@@ -1,0 +1,119 @@
+package graft.search
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.GraftSql.{column, expression}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Unboxed nearest-centroid kernels, called from generated code. */
+object IvfKernels {
+  /** Ids of the `n` nearest centroids to `v` by L2 (ascending). On
+    * normalized vectors L2 order equals cosine order, so one quantizer
+    * serves all metrics — the same simplification faiss's IVF makes. */
+  def nearest(v: ArrayData, centroids: Array[Array[Float]], n: Int): ArrayData = {
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val cent = centroids(c)
+      var s = 0.0; var i = 0
+      while (i < cent.length) {
+        val d = v.getFloat(i).toDouble - cent(i); s += d * d; i += 1
+      }
+      dists(c) = s; c += 1
+    }
+    val m = math.min(n, k)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](k)
+    var j = 0
+    while (j < m) {
+      var best = -1; var bestD = Double.MaxValue
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dists(c) < bestD) { best = c; bestD = dists(c) }
+        c += 1
+      }
+      taken(best) = true; out(j) = best; j += 1
+    }
+    new GenericArrayData(out.map(Int.box))
+  }
+}
+
+/** Codegen'd expression: `n` nearest centroid ids for a vector. The centroid
+  * matrix rides along as a plan reference object (broadcast-in-codegen), not
+  * a per-row closure — stays inside whole-stage codegen. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    IvfKernels.nearest(v.asInstanceOf[ArrayData], centroids, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c => s"graft.search.IvfKernels.nearest($c, $ref, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
+/**
+ * IVF-style approximate search: k-means the corpus into `nlist` cells at
+ * fit time (the analog of faiss's coarse quantizer, faiss index_factory
+ * "IVFn,Flat" — /root/reference/backend/faiss_searcher.py:100-107), store
+ * each row's cell id, and at query time scan only the `nprobe` nearest
+ * cells. On a cluster the cells are co-partitioned (`repartition(cellId)`),
+ * so a query touches nprobe/nlist of the data — the partition-pruning that
+ * makes 100 TB similarity search tractable where brute force isn't.
+ */
+object IvfIndex {
+  private[search] val CID = "__cell"
+  private val MaxTrainRows = 100000L
+
+  def nearestCentroidsCol(v: Column, cents: Array[Array[Float]], n: Int): Column =
+    column(NearestCentroids(expression(v), cents, n))
+
+  /** K-means centroids on (a sample of) the vectors. Deterministic: fixed
+    * seed, deterministic sample (mirrors the reference's sampled whitening
+    * fit idea, bert_encoder.py:163-171). */
+  def fitCentroids(df: DataFrame, vecCol: String, nlist: Int, total: Long): Array[Array[Float]] = {
+    val fraction = if (total <= MaxTrainRows) 1.0 else MaxTrainRows.toDouble / total
+    val train = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
+      .select(array_to_vector(col(vecCol).cast(ArrayType(org.apache.spark.sql.types.DoubleType))).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(20).setFeaturesCol("features")
+    km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Assign each indexed row its cell id (fit-time, stored + co-partitioned). */
+  def assignCells(indexed: DataFrame, vecCol: String, cents: Array[Array[Float]],
+      partitions: Int): DataFrame =
+    indexed
+      .withColumn(CID, nearestCentroidsCol(col(vecCol), cents, 1).getItem(0))
+      .repartition(math.min(partitions, cents.length), col(CID))
+
+  /** Query-time probe: explode each query into its nprobe nearest cells,
+    * equi-join on cell id (only those cells are scanned), then per-query
+    * top-k — same shape as the exact path but over a pruned corpus. */
+  def ivfTopK(model: SearcherModel, q: DataFrame, topK: Int, nlist: Int,
+      nprobe: Int): DataFrame = {
+    import SparkSearcher._
+    val metric = model.searcher.metric
+    val cents = model.centroids.getOrElse(
+      throw new IllegalStateException("IVF search without fitted centroids"))
+    val probes = q.withColumn(CID,
+      explode(nearestCentroidsCol(col(QVEC), cents, math.min(nprobe, nlist))))
+    val slim = model.indexed.select(col(ROW_ID), col(VEC), col(CID))
+    val scored = probes.join(slim, CID)
+      .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+    val w = Window.partitionBy(col(QID))
+      .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
+    scored
+      .withColumn(RANK, row_number().over(w))
+      .filter(col(RANK) <= topK)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+}

@@ -1,0 +1,370 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.encoders.{Encoder, PassthroughEncoder}
+import graft.functions.VectorFunctions
+import graft.functions.VectorFunctions.Metric
+
+/**
+ * Searcher configuration — the Spark mirror of the reference constructor
+ * (/root/reference/backend/faiss_searcher.py:25-61, README.md:17-26).
+ *
+ * @param itemCol   item column; default = first column (the reference's
+ *                  "first column is the item" contract, README.md:21,
+ *                  faiss_searcher.py:56)
+ * @param idCol     stable unique id column to use as `row_id`; when absent a
+ *                  0-based contiguous id is assigned by `zipWithIndex`
+ *                  (positional `item_list` alignment, faiss_searcher.py:39-40)
+ * @param indexParam faiss-style factory string selecting the physical access
+ *                  path (faiss_searcher.py:100-107): `"Flat"` → exact brute
+ *                  force; `"IVFn[,...]"`/`"HNSWn"` → partition-pruned ANN
+ * @param measurement one of the 8 reference metrics (faiss_searcher.py:75-90)
+ * @param metricArg faiss metric_arg (p of L_p)
+ * @param normVec   L2-normalize vectors at fit/query time; forced for `cos`
+ *                  by the reference (faiss_searcher.py:53) — our cosine
+ *                  kernel normalizes internally so `cos` needs no data prep
+ * @param docFeatureSep   truncate matched items at this separator in results
+ *                  (faiss_searcher.py:154-156)
+ * @param queryFeatureSep truncate query items likewise (150-152)
+ * @param nprobe    IVF probes per query (ANN recall knob)
+ * @param broadcastThreshold max index rows to broadcast for the exact path;
+ *                  beyond it the cross join shuffles (at cluster scale you'd
+ *                  switch to the IVF strategy instead)
+ */
+final case class SearcherParams(
+    itemCol: Option[String] = None,
+    idCol: Option[String] = None,
+    indexParam: String = "Flat",
+    measurement: String = "cos",
+    metricArg: Double = 2.0,
+    normVec: Boolean = false,
+    docFeatureSep: Option[String] = None,
+    queryFeatureSep: Option[String] = None,
+    nprobe: Int = 4,
+    broadcastThreshold: Long = 2000000L)
+
+/** Physical access path selected by the faiss-style factory string
+  * (faiss_searcher.py:100-107). */
+sealed trait IndexStrategy
+case object ExactFlat extends IndexStrategy
+final case class IvfFlat(nlist: Int) extends IndexStrategy
+
+object IndexStrategy {
+  private val Ivf = "IVF(\\d+).*".r
+  private val Hnsw = "HNSW(\\d*).*".r
+  /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
+    * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
+    * request to the IVF (cluster-pruned) strategy — same contract: approximate
+    * top-k, tunable recall. */
+  def parse(param: String): IndexStrategy = param match {
+    case null | "" | "Flat" => ExactFlat
+    case Ivf(n)             => IvfFlat(n.toInt)
+    case Hnsw(_)            => IvfFlat(64)
+    case other => throw new IllegalArgumentException(
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn)")
+  }
+}
+
+/**
+ * Spark-native similarity searcher with the query surface of the reference
+ * engine (train / search / multi-K search / cal_sim / save / load —
+ * faiss_searcher.py:116-208), re-expressed as lazy DataFrame plans:
+ *
+ *  - `fit` (reference `train`, faiss_searcher.py:116-125) encodes the items
+ *    table once, assigns a stable `row_id`, and caches — the cached table IS
+ *    the "index"; for IVF params it also k-means-clusters the vectors so
+ *    search can prune to `nprobe` partitions.
+ *  - `search` (faiss_searcher.py:161-169) is a top-K similarity join:
+ *    cross-join against the (broadcast) index, native codegen'd distance
+ *    expression, per-query top-k via `row_number` over a window — which
+ *    Catalyst rewrites to `WindowGroupLimit`, i.e. a map-side partial top-k
+ *    before any shuffle, the same pushdown faiss gets by passing k into the
+ *    index (SURVEY §4).
+ *  - payload columns ride along into results by joining the hits back to the
+ *    items table on `row_id` (the reference's positional `iloc` gather,
+ *    faiss_searcher.py:146-147, becomes an equi-join).
+ */
+class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherParams()) {
+  import SparkSearcher._
+
+  val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
+  val strategy: IndexStrategy = IndexStrategy.parse(params.indexParam)
+
+  /** Build the index: encode all items, assign row_id, materialize.
+    * Reference `train()` (faiss_searcher.py:116-125). */
+  def fit(items: DataFrame): SearcherModel = {
+    val itemCol = params.itemCol.getOrElse(items.columns.head)
+    require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
+
+    val encoded0 = encoder.encode(items, itemCol, VEC)
+    // norm_vec (faiss_searcher.py:53, 70): cosine kernel normalizes
+    // internally, so only materialize normalized vectors when asked for a
+    // non-cos metric (e.g. ip-on-normalized ≡ cos, the reference's trick).
+    val encoded =
+      if (params.normVec && params.measurement != "cos")
+        encoded0.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+      else encoded0
+
+    val withId = params.idCol match {
+      case Some(c) =>
+        require(items.columns.contains(c), s"id column '$c' missing")
+        encoded.withColumn(ROW_ID, col(c).cast(LongType))
+      case None => zipWithRowId(encoded)
+    }
+
+    val payloadCols = items.columns.filter(c =>
+      c != itemCol && !params.idCol.contains(c) && !encoder.sourceCols.contains(c))
+    val base = withId.select((col(ROW_ID) +: col(itemCol).as(ITEM) +: col(VEC) +:
+      payloadCols.map(col).toSeq): _*)
+
+    strategy match {
+      case ExactFlat =>
+        val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
+        val d = dimOf(indexed)
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None)
+      case IvfFlat(nlist) =>
+        val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        // store each row's cell and co-partition by it, so query-time probes
+        // scan only their nprobe cells (partition pruning at cluster scale)
+        val indexed = IvfIndex
+          .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        val d = dimOf(indexed)
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents))
+    }
+  }
+
+  private def dimOf(indexed: DataFrame): Int = encoder.dim.getOrElse(
+    indexed.select(size(col(VEC))).head().getInt(0)) // dim probe (faiss_searcher.py:56)
+}
+
+object SparkSearcher {
+  // internal column names, prefixed to dodge payload collisions
+  private[search] val VEC = "__vec"
+  private[search] val QVEC = "__qvec"
+  private[search] val QID = "__qid"
+  private[search] val DIST = "__dist"
+  private[search] val RANK = "__rank"
+  private[search] val ROW_ID = "row_id"
+
+  // public result schema (faiss_searcher.py:129-131)
+  val SourceItem = "source_item"
+  val SimVal = "sim_val"
+  val RankNo = "rank_no"
+  val SimItem = "sim_item"
+
+  /** Contiguous 0-based row ids via zipWithIndex — deterministic, unlike
+    * monotonically_increasing_id (SURVEY §7.3). One extra pass; prefer
+    * passing a natural `idCol`. */
+  private[graft] def zipWithRowId(df: DataFrame, idName: String = ROW_ID): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(StructField(idName, LongType, nullable = false) +: df.schema.fields)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Load a saved model (reference `load_index`, faiss_searcher.py:109-114),
+    * re-asserting the stored invariants: row count and vector dim. */
+  def load(spark: SparkSession, path: String,
+      encoder: Encoder = new PassthroughEncoder("embedding")): SearcherModel = {
+    val kv = spark.read.json(s"$path/params.json").head()
+    def str(n: String) = kv.getAs[String](n)
+    def lng(n: String) = kv.getAs[Long](n)
+    val params = SearcherParams(
+      itemCol = Option(str("itemCol")),
+      idCol = None, // ids already materialized in the saved table
+      indexParam = str("indexParam"),
+      measurement = str("measurement"),
+      metricArg = kv.getAs[Double]("metricArg"),
+      normVec = kv.getAs[Boolean]("normVec"),
+      docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
+      queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty))
+    val indexed = spark.read.parquet(s"$path/items").persist(StorageLevel.MEMORY_AND_DISK)
+    val n = indexed.count()
+    require(n == lng("count"),
+      s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
+    val d = indexed.select(size(col(VEC))).head().getInt(0)
+    require(d == lng("dim"),
+      s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
+    val payload = indexed.columns
+      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID)).toSeq
+    val searcher = new SparkSearcher(encoder, params)
+    val centroids = searcher.strategy match {
+      case ExactFlat => None
+      case IvfFlat(_) => Some(spark.read.parquet(s"$path/centroids")
+        .orderBy("centroid_id").collect()
+        .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+    }
+    new SearcherModel(searcher,
+      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids)
+  }
+
+  private[search] val ITEM = "__item"
+  private[search] val ITEM_SAVED = "item"
+}
+
+/**
+ * A trained searcher: the materialized `(row_id, item, vec, payload…)`
+ * table plus (for IVF) the centroid set. Query surface mirrors
+ * faiss_searcher.py:127-208.
+ */
+class SearcherModel private[search] (
+    val searcher: SparkSearcher,
+    private[search] val indexed: DataFrame,
+    val payloadCols: Seq[String],
+    val count: Long,
+    val dim: Int,
+    private[search] val centroids: Option[Array[Array[Float]]]) {
+
+  import SparkSearcher._
+  private def params = searcher.params
+  private def metric = searcher.metric
+  private val spark = indexed.sparkSession
+
+  /** Truncate at feature separator: `str(x).split(sep)[0]`
+    * (faiss_searcher.py:150-156). `substring_index` keeps everything before
+    * the first occurrence — equal semantics for 1 field, and avoids regex
+    * escaping of the separator. */
+  private def sepSplit(c: Column, sep: Option[String]): Column =
+    sep.fold(c)(s => substring_index(c.cast("string"), s, 1))
+
+  /**
+   * Top-K similarity search (reference `search` + `search_items`,
+   * faiss_searcher.py:127-169). Queries is any DataFrame whose `queryIdCol`
+   * uniquely identifies rows (assigned via zipWithIndex when absent) and
+   * whose item column (first column by default) is encodable by the
+   * searcher's encoder.
+   *
+   * Result schema (faiss_searcher.py:129-131): `[<queryIdCol>, source_item,
+   * sim_val: float, rank_no: int (if keepRankNo), sim_item, payload…]`,
+   * rank-ordered per query, ties broken by `row_id` (SURVEY §4).
+   */
+  def search(queries: DataFrame, topK: Int, keepRankNo: Boolean = false,
+      queryIdCol: Option[String] = None): DataFrame = {
+    require(count > 0, "search before fit (faiss_searcher.py:187)")
+    val qItemCol = params.itemCol
+      .filter(queries.columns.contains).getOrElse(queries.columns.head)
+    val withId = queryIdCol match {
+      case Some(c) => queries.withColumn(QID, col(c))
+      case None    => zipWithRowId(queries, QID)
+    }
+    val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
+    val qn =
+      if (params.normVec && params.measurement != "cos")
+        q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
+      else q
+
+    val hits = searcher.strategy match {
+      case ExactFlat      => exactTopK(qn, topK)
+      case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, params.nprobe)
+    }
+
+    // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
+    val payloadSide = indexed.select(
+      (col(ROW_ID) +: col(ITEM) +: payloadCols.map(col)): _*)
+    val joined = hits.join(
+      if (count <= params.broadcastThreshold) broadcast(payloadSide) else payloadSide,
+      ROW_ID)
+
+    val base = Seq(
+      col(QID).as(queryIdCol.getOrElse("query_id")),
+      sepSplit(col(SourceItem), params.queryFeatureSep).as(SourceItem),
+      col(DIST).cast(FloatType).as(SimVal)) ++
+      (if (keepRankNo) Seq((col(RANK) - 1).cast("int").as(RankNo)) else Nil) ++
+      Seq(sepSplit(col(ITEM), params.docFeatureSep).as(SimItem)) ++
+      payloadCols.map(col)
+    // no global sort here: results are identified by (query id, rank_no);
+    // callers that need a total order add their own orderBy
+    joined.select(base: _*)
+  }
+
+  /** Exact brute-force top-k: broadcast cross join + codegen'd distance +
+    * WindowGroupLimit (Catalyst turns the rank filter into per-partition
+    * partial top-k — no full sort, no unbounded shuffle). */
+  private def exactTopK(q: DataFrame, topK: Int): DataFrame = {
+    val slim = indexed.select(col(ROW_ID), col(VEC))
+    val side = if (count <= params.broadcastThreshold) broadcast(slim) else slim
+    val scored = q.crossJoin(side)
+      .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+    val w = Window.partitionBy(col(QID))
+      .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
+    scored
+      .withColumn(RANK, row_number().over(w))
+      .filter(col(RANK) <= topK)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
+  /**
+   * Multi-K search (faiss_searcher.py:170-183): ONE search at `max(ks)`,
+   * cached, each smaller k derived by a rank filter — the reference's
+   * multi-query optimization reproduced (SURVEY §4 "multi-query reuse").
+   */
+  def searchMulti(queries: DataFrame, topKs: Seq[Int], keepRankNo: Boolean = false,
+      queryIdCol: Option[String] = None): Map[Int, DataFrame] = {
+    require(topKs.nonEmpty, "topKs must be non-empty")
+    val maxK = topKs.max
+    val full = search(queries, maxK, keepRankNo = true, queryIdCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    topKs.map { k =>
+      val filtered = full.filter(col(RankNo) < k)
+      k -> (if (keepRankNo) filtered else filtered.drop(RankNo))
+    }.toMap
+  }
+
+  /** Score one item against a list (reference `cal_sim`,
+    * faiss_searcher.py:192-198): dot-product scores, full descending sort.
+    * Adopts the intended DataFrame shape (the reference's line 196 is buggy
+    * for >1 item, SURVEY §7.3). */
+  def calSim(item1: String, items2: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val one = searcher.encoder.encode(Seq(item1).toDF("item"), "item", QVEC)
+      .select(col(QVEC))
+    val many = searcher.encoder.encode(
+      items2.zipWithIndex.toDF("item", "pos"), "item", VEC)
+    many.crossJoin(broadcast(one))
+      .withColumn("score", VectorFunctions.vec_dot(col(VEC), col(QVEC)).cast(FloatType))
+      .select(col("item"), col("score"), col("pos"))
+      .orderBy(col("score").desc, col("pos"))
+      .drop("pos")
+  }
+
+  /** Persist the trained searcher (reference `save_index`/`save_searcher`,
+    * faiss_searcher.py:189-190, 200-203): items table as parquet + params
+    * JSON (+ IVF centroids), Spark-ML style — no object serialization. */
+  def save(path: String): Unit = {
+    indexed.withColumnRenamed(ITEM, ITEM_SAVED)
+      .write.mode("overwrite").parquet(s"$path/items")
+    centroids.foreach { cs =>
+      val sp = spark
+      import sp.implicits._
+      cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("centroid_id", "centroid")
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    val p = params
+    val json =
+      s"""{"itemCol":"${p.itemCol.getOrElse("")}","indexParam":"${p.indexParam}",
+         |"measurement":"${p.measurement}","metricArg":${p.metricArg},
+         |"normVec":${p.normVec},"docFeatureSep":"${p.docFeatureSep.getOrElse("")}",
+         |"queryFeatureSep":"${p.queryFeatureSep.getOrElse("")}",
+         |"count":$count,"dim":$dim}""".stripMargin.replace("\n", "")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/params.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def unpersist(): Unit = indexed.unpersist()
+}
