@@ -4,8 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.dedup.Dedup
 import graft.encoders.PassthroughEncoder
 import graft.search.{SearcherModel, SparkSearcher, SearcherParams}
+import graft.text.TextAnalysis
+import graft.whitening.VecsWhitening
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +94,55 @@ object SparkEntry {
           col("label").as("sim_label"), col("sim_val"))
         .orderBy("source_id", "rank_no")
     }),
+    // O20-O23: whitening fit (distributed moments + driver SVD) + transform
+    "whitening_transform" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val model = new VecsWhitening(16).fit(emb, "embedding")
+      model.transform(emb, "embedding")
+        .select(col("vec_id"), col("embedding").as("whitened"))
+        .orderBy("vec_id")
+    }),
+    // dedup: exact (hash aggregation on a prefix key)
+    "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
+      table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
+      Seq("prefix"), "doc_id")
+      .orderBy("prefix")),
+    // dedup: exact n-gram Jaccard pairs (shingle equi-join)
+    "dedup_jaccard5" -> ((s, dir) => Dedup.jaccardPairs(
+      table(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)
+      .orderBy("id_a", "id_b")),
+    // dedup: MinHash-LSH banded candidates + verify (no SQL oracle: xxhash64)
+    "dedup_minhash" -> ((s, dir) => Dedup.minHashNearDups(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")),
+    // dedup: SimHash hamming-band pairs (no SQL oracle: xxhash64)
+    "dedup_simhash" -> ((s, dir) => Dedup.simHashNearDups(
+      table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")),
+    // dedup: embedding-cosine near-dup pairs
+    "dedup_embedding_cos" -> ((s, dir) => Dedup.embeddingNearDups(
+      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
+    // text analysis: token counts, ratios (integer-exact + one double div)
+    "text_stats" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok_ws"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_tok_bpe"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+      .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")),
+    "text_langid" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")),
     // relational spine: scan → filter → group → aggregate (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => table(s, dir, "lineitem")
       .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
@@ -102,6 +154,46 @@ object SparkEntry {
           .cast(DecimalType(24, 4))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")),
+    // join pipeline: broadcast dim join + group + top-n (TPC-H Q3 shape)
+    "q3_join_topn" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("c_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // window function: per-user running sum over event time
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      table(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(20, 2))).over(w)
+            .cast("double").as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+    // time bucketing: hourly tumbling aggregation (batch twin of the
+    // streaming windowed agg in graft.streaming). `ts` arrives as
+    // epoch-nanos long (nanosAsLong); bucket with exact integer division.
+    "q_events_hourly" -> ((s, dir) => table(s, dir, "events")
+      .groupBy(expr("ts div 3600000000000 * 3600000000000").as("hour_ns"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_value"))
+      .orderBy("hour_ns", "event_type")),
+    // semi-structured: JSON extraction + aggregation over events.props
+    "q_json_extract" -> ((s, dir) => table(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +215,107 @@ object SparkEntry {
         |WHERE l_shipdate < TIMESTAMP '1997-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+    "dedup_exact_prefix" ->
+      """SELECT substr(text, 1, 20) prefix, min(doc_id) keep_id, count(*) n_dups
+        |FROM documents GROUP BY 1 ORDER BY prefix""".stripMargin.replace("\n", " "),
+    "dedup_jaccard5" ->
+      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(text) - 4, 0) + 1), i -> substr(text, i, 5))) s
+        |  FROM documents),
+        |ex AS (SELECT doc_id, len(s) sz, unnest(s) sg FROM sh),
+        |j AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sz_a, b.sz sz_b, count(*) c
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, c::DOUBLE / (sz_a + sz_b - c) jaccard FROM j
+        |WHERE c::DOUBLE / (sz_a + sz_b - c) >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "dedup_embedding_cos" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM p WHERE c >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "text_stats" ->
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) n_tok_ws,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) n_tok_bpe,
+        | CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |   ELSE list_sum(list_transform(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0), t -> len(t)::BIGINT))::DOUBLE
+        |        / len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) END mean_tok_len,
+        | CASE WHEN len(text) = 0 THEN 0.0
+        |   ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / len(text) END punct_ratio,
+        | CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) = 0 THEN 0.0
+        |   ELSE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |     t -> len(t) > 0 AND t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it')))::DOUBLE
+        |        / len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) END stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) toks,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ltoks
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  least(len(text)::DOUBLE / 400.0, 1.0) ls,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(toks, x -> len(x)::BIGINT))::DOUBLE / len(toks) END mtl,
+        |  CASE WHEN len(ltoks) = 0 THEN 0.0
+        |    ELSE len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it')))::DOUBLE / len(ltoks) END sw,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / len(text) END pr
+        | FROM t)
+        |SELECT doc_id,
+        |  ls * 0.25 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25
+        |  + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END) * 0.25
+        |  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.0) END) * 0.25 quality
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_langid" -> {
+      val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
+      }
+      val hitCols = markers.map { case (lang, inList) =>
+        s"len(list_filter(toks, t -> t IN $inList)) h_$lang"
+      }.mkString(", ")
+      val best = markers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+      val winners = markers.map { case (lang, _) =>
+        s"(CASE WHEN h_$lang = best AND best > 0 THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN winners = 1 AND h_$lang = best AND best > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id,
+         | list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks
+         | FROM documents),
+         |h AS (SELECT doc_id, $hitCols FROM t),
+         |b AS (SELECT *, $best best FROM h),
+         |w AS (SELECT *, $winners winners FROM b)
+         |SELECT doc_id, CASE $cases ELSE 'und' END lang_pred
+         |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        | list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
+        | (acc, c) -> (acc * 31 + c) % 1000000007) fp
+        |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "q3_join_topn" ->
+      """SELECT o_orderkey, c_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, c_name
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ns(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) running_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "),
+    "q_events_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600000000000 hour_ns, event_type,
+        | count(*) n, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin.replace("\n", " "),
+    "q_json_extract" ->
+      """SELECT event_type, count(*) n, sum(CAST(props->>'$.k' AS BIGINT)) sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
   )
 }

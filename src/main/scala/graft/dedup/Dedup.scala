@@ -1,0 +1,173 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/**
+ * Deduplication operators for large-scale corpus curation — the
+ * training-data-pipeline extension of the engine (BASELINE.json north
+ * star). All operators are declarative DataFrame plans: exact dedup is one
+ * hash aggregation; near-dup pipelines are shingle → signature → banded
+ * self-join → verify, the standard MinHash-LSH shape, with every join an
+ * equi-join on a computed key so it shuffles by key instead of comparing
+ * all pairs (the O(n²) the LSH exists to avoid at 100 TB).
+ */
+object Dedup {
+
+  /** Character n-gram shingles (distinct, order-dropped) from a string
+    * column — built-ins only, stays in codegen. */
+  def charShingles(textCol: String, n: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 0)), " +
+        s"i -> substring($textCol, i, $n))"))
+
+  /**
+   * Exact deduplication by key columns: one hash aggregation. Returns
+   * `[<keys…>, keep_id, n_dups]` where `keep_id` is the smallest id in the
+   * group (deterministic survivor) and `n_dups` the group size.
+   */
+  def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /**
+   * Exact n-gram Jaccard near-duplicate pairs: shingle both sides, explode,
+   * equi-join on the shingle, count common shingles per pair, compute
+   * `J = |A∩B| / (|A|+|B|−|A∩B|)`, keep pairs ≥ threshold. Quadratic in
+   * docs *sharing a shingle*, not in all docs — fine for verification and
+   * small corpora; use [[minHashCandidates]] first at scale.
+   * Returns `[id_a, id_b, jaccard]` with `id_a < id_b`.
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      charShingles(textCol, n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * MinHash signature: `numHashes` permutation-hashes over the shingle
+   * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
+   * deterministic seeded coefficients — one narrow projection, no shuffle.
+   */
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    // 2^31 − 1 (Mersenne prime): (a·(h mod p) + b) stays < 2^62, no ANSI
+    // long overflow; plenty of hash space for min-hashing
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val coefs = Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val sh = array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
+      i => substring(text, i, lit(n))))
+    val hashes = transform(sh, s => xxhash64(s))
+    array(coefs.map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
+    }: _*)
+  }
+
+  /**
+   * LSH banding: split each signature into `bands` bands of
+   * `numHashes/bands` rows, hash each band, self-join on
+   * `(band_index, band_hash)` — candidate pairs collide on ≥1 band.
+   * Returns distinct `[id_a, id_b]`, `id_a < id_b`. The join is an
+   * equi-join on the band key: co-partitioned shuffle, never all-pairs.
+   */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(col(textCol), n, numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map(bIdx =>
+        hash(slice(col("sig"), bIdx * r + 1, r))): _*)).as(Seq("band", "bh")))
+    val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dup pipeline: banded candidates, then exact-Jaccard
+    * verification of only the candidate pairs (join back to the texts). */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands)
+    val texts = df.select(col(idCol).as("id"),
+      charShingles(textCol, n).as("sh"))
+    val withA = cands.join(texts.withColumnRenamed("id", "id_a")
+      .withColumnRenamed("sh", "sh_a"), "id_a")
+    val withB = withA.join(texts.withColumnRenamed("id", "id_b")
+      .withColumnRenamed("sh", "sh_b"), "id_b")
+    withB
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: per token the same xxhash64
+   * Spark's built-in uses; each bit votes ±1; the vote signs form the
+   * fingerprint. One codegen'd expression ([[SimHash64]]), single pass.
+   */
+  def simHash64(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    org.apache.spark.sql.graftshim.GraftSql.column(
+      SimHash64(org.apache.spark.sql.graftshim.GraftSql.expression(toks)))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`: band the 64-bit space into
+    * `maxHamming+1` chunks (pigeonhole: a pair within the distance agrees
+    * exactly on ≥1 chunk), equi-join per chunk, verify with bit_count(xor).
+    * Returns `[id_a, id_b, hamming]`. */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sh = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"), posexplode(
+      array((0 until chunks).map(c =>
+        shiftright(col("sh"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "key")))
+    val l = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
+   * Brute version is a broadcast self-join (verification / small corpora);
+   * at scale route through [[graft.search.IvfIndex]] cells first.
+   */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorFunctions.vec_cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

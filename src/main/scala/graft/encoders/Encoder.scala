@@ -1,7 +1,7 @@
 package graft.encoders
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
 
@@ -99,8 +99,7 @@ final class BatchedEncoder(f: Seq[String] => Seq[Array[Float]],
   override def encode(df: DataFrame, itemCol: String, outCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, ArrayType(FloatType, containsNull = false), nullable = false))
-    val enc: ExpressionEncoder[Row] = RowEncoder.encoderFor(outSchema)
-      .asInstanceOf[ExpressionEncoder[Row]]
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(itemCol)
     val fn = f
     val bs = batchSize

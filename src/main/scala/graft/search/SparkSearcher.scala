@@ -145,7 +145,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
   }
 
   private def dimOf(indexed: DataFrame): Int = encoder.dim.getOrElse(
-    indexed.select(size(col(VEC))).head().getInt(0)) // dim probe (faiss_searcher.py:56)
+    // dim probe (faiss_searcher.py:56); empty index → 0, search() then errors
+    indexed.select(size(col(VEC))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
 }
 
 object SparkSearcher {

@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for corpus curation (the training-data-pipeline
+ * extension, BASELINE.json north star): token counting, quality scoring,
+ * language identification, document fingerprinting. Everything is built
+ * from codegen'd built-in functions with deterministic integer/double
+ * arithmetic, so each operator has an exact DuckDB oracle.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-space symbols — a deterministic proxy for tokenizer load
+    * (regexp shared verbatim with the oracle; RE2/Java-compatible). */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Mean whitespace-token length (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Ratio of non-alphanumeric-non-space chars to total chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+        length(text))
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "as", "at", "by", "it")
+  def stopwordRatio(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1] — the heuristic-gauntlet shape of
+   * C4/Gopher-style corpus filters: reward moderate length, healthy mean
+   * token length, some stopwords; punish punctuation soup. Deterministic
+   * double arithmetic, exact oracle.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
+    val sw = stopwordRatio(text)
+    val swScore = when(sw >= 0.05, 1.0).otherwise(sw * 20.0)
+    val punct = punctRatio(text)
+    val punctScore = when(punct <= 0.2, 1.0).otherwise(greatest(lit(0.0),
+      lit(1.0) - (punct - 0.2) * 2.0))
+    (lenScore * 0.25 + mtlScore * 0.25 + swScore * 0.25 + punctScore * 0.25)
+  }
+
+  /** Language marker profiles: tiny per-language function-word sets (the
+    * n-gram-profile idea of Cavnar-Trenkle reduced to its word-unigram
+    * core, deterministic and oracle-expressible). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "una", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "为"))
+
+  /** Marker hits for one language's profile. */
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+  }
+
+  /** Identified language: argmax of marker hits, ties → "und"
+    * (undetermined) unless one language strictly wins. */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, markers) =>
+      (lang, markerHits(text, markers))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val winners = hits.foldLeft(lit(0)) { case (acc, (_, h)) =>
+      acc + when(h === best && best > 0, 1).otherwise(0)
+    }
+    hits.foldLeft(when(lit(true), lit("und"))) { case (acc, (lang, h)) =>
+      when(winners === 1 && h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling-hash fingerprint over the document's characters:
+    * `h = (h·31 + codepoint) mod (10^9+7)` — order-sensitive, deterministic,
+    * exactly reproducible in DuckDB via list_reduce. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit("."), lit(0)),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L)))
+}

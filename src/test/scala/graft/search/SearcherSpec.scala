@@ -1,0 +1,153 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.encoders.{BatchedEncoder, HashEncoder, PassthroughEncoder}
+import org.apache.spark.sql.functions._
+
+/** End-to-end searcher behavior: README flows 1 & 2 replayed on the
+  * driver's parquet tables (FIXTURES.md F1/F2), contracts from the
+  * reference runtime asserts (SURVEY §5). */
+class SearcherSpec extends SparkSpec {
+
+  private def embModel(measurement: String = "cos") =
+    new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = measurement))
+      .fit(sf("embeddings"))
+
+  test("flagship search: result schema, self-match at rank 0, payload carry") {
+    val model = embModel()
+    val res = model.search(sf("embeddings").filter(col("vec_id") < 5),
+      topK = 3, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(res.columns.toSeq ===
+      Seq("vec_id", "source_item", "sim_val", "rank_no", "sim_item", "label"))
+    assert(res.count() === 15)
+    // rank 0 of each query is the query itself with cos ≈ 1
+    val self = res.filter(col("rank_no") === 0).collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(r.getAs[Long]("vec_id") === r.getAs[Long]("sim_item"))
+      assert(math.abs(r.getAs[Float]("sim_val") - 1f) < 1e-5)
+    }
+  }
+
+  test("ordering direction flips per metric (faiss_searcher.py:77-86)") {
+    val cos = embModel("cos").search(sf("embeddings").filter(col("vec_id") === 0),
+      topK = 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .orderBy("rank_no").select("sim_val").collect().map(_.getFloat(0))
+    assert(cos.toSeq === cos.sortBy(-_).toSeq, "cos ranks descending")
+    val l2 = embModel("l2").search(sf("embeddings").filter(col("vec_id") === 0),
+      topK = 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .orderBy("rank_no").select("sim_val").collect().map(_.getFloat(0))
+    assert(l2.toSeq === l2.sorted.toSeq, "l2 ranks ascending")
+  }
+
+  test("multi-K: res(k) == res(maxK).filter(rank_no < k) (faiss_searcher.py:173-182)") {
+    val model = embModel()
+    val q = sf("embeddings").filter(col("vec_id") < 5)
+    val byK = model.searchMulti(q, Seq(1, 3, 5), keepRankNo = true,
+      queryIdCol = Some("vec_id"))
+    assert(byK.keySet === Set(1, 3, 5))
+    val k5 = byK(5)
+    for (k <- Seq(1, 3)) {
+      val direct = byK(k).orderBy("vec_id", "rank_no").collect()
+      val derived = k5.filter(col("rank_no") < k).orderBy("vec_id", "rank_no").collect()
+      assert(direct === derived, s"k=$k")
+    }
+    // keepRankNo=false drops the rank column (faiss_searcher.py:179)
+    val noRank = model.searchMulti(q, Seq(2), keepRankNo = false,
+      queryIdCol = Some("vec_id"))(2)
+    assert(!noRank.columns.contains("rank_no"))
+  }
+
+  test("encoder flow on documents: payload carry + feature sep (README flow 1)") {
+    val docs = sf("documents").select("text", "doc_id", "lang", "source", "n_chars")
+    val model = new SparkSearcher(new HashEncoder(32),
+      SearcherParams(docFeatureSep = Some(" "), queryFeatureSep = Some(" ")))
+      .fit(docs)
+    val res = model.search(docs.limit(3), topK = 2, keepRankNo = true)
+    assert(res.columns.toSeq === Seq("query_id", "source_item", "sim_val",
+      "rank_no", "sim_item", "doc_id", "lang", "source", "n_chars"))
+    val rows = res.collect()
+    assert(rows.length === 6)
+    // feature sep: items truncated at first space (faiss_searcher.py:150-156)
+    rows.foreach { r =>
+      assert(!r.getAs[String]("source_item").contains(" "))
+      assert(!r.getAs[String]("sim_item").contains(" "))
+    }
+  }
+
+  test("save/load round-trip + invariant asserts (faiss_searcher.py:109-114)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val model = embModel()
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.count === model.count)
+    assert(loaded.dim === model.dim)
+    val res = loaded.search(sf("embeddings").filter(col("vec_id") < 2),
+      topK = 2, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(res.count() === 4)
+    // corrupt the stored count → load must fail (ntotal assert). Write a
+    // fresh copy (Spark caches file metadata per path).
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-idx2").toString
+    loaded.save(dir2)
+    val pjson = java.nio.file.Paths.get(s"$dir2/params.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(pjson), "UTF-8")
+    // same-length corruption (Spark caches FileStatus lengths per path)
+    val bad = s""""count":${model.count}""".replaceAll("\\d", "9")
+    java.nio.file.Files.write(pjson,
+      txt.replace(s""""count":${model.count}""", bad).getBytes("UTF-8"))
+    // drop hadoop's checksum sidecar, invalidated by the raw edit
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir2/.params.json.crc"))
+    spark.catalog.refreshByPath(s"$dir2/params.json")
+    intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
+  }
+
+  test("calSim: dot scores, descending (faiss_searcher.py:192-198, intended semantics)") {
+    val model = new SparkSearcher(new HashEncoder(32), SearcherParams()).fit(
+      sf("documents").select("text", "doc_id"))
+    val res = model.calSim("spark window agg", Seq("spark window agg",
+      "filter join", "spark window")).collect()
+    assert(res.length === 3)
+    assert(res.head.getAs[String]("item") === "spark window agg") // self first
+    val scores = res.map(_.getAs[Float]("score"))
+    assert(scores.toSeq === scores.sortBy(-_).toSeq)
+  }
+
+  test("IVF strategy: recall vs exact >= 0.9 at nprobe=12/nlist=16") {
+    val exact = embModel()
+    val ivf = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF16,Flat", nprobe = 12))
+      .fit(sf("embeddings"))
+    val q = sf("embeddings").filter(col("vec_id") < 20)
+    def hits(m: SearcherModel) = m.search(q, 10, keepRankNo = true,
+      queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("sim_item"))).toSet
+    val e = hits(exact); val a = hits(ivf)
+    val recall = (e intersect a).size.toDouble / e.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("batched encoder: grouped mapPartitions path (encoder_utils.py:48-75)") {
+    val enc = new BatchedEncoder(
+      texts => texts.map(t => Array(t.length.toFloat, 1f)), batchSize = 4, dimension = 2)
+    val model = new SparkSearcher(enc, SearcherParams(measurement = "l2"))
+      .fit(sf("documents").select("text", "doc_id"))
+    val res = model.search(sf("documents").select("text").limit(2), topK = 1,
+      keepRankNo = true)
+    assert(res.count() === 2)
+    // l2=0 to itself: identical length vector exists (the query is in the corpus)
+    assert(res.collect().forall(_.getAs[Float]("sim_val") === 0f))
+  }
+
+  test("search on unfitted/empty index errors (faiss_searcher.py:187)") {
+    val empty = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
+      .fit(sf("embeddings").filter(col("vec_id") < 0))
+    intercept[IllegalArgumentException](
+      empty.search(sf("embeddings").limit(1), 1))
+  }
+}
