@@ -102,6 +102,36 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding").as("whitened"))
         .orderBy("vec_id")
     }),
+    // O16/O17 encoder flow (README flow 1): feature-hash encoder over the
+    // documents table, payload carried into results (no SQL oracle: the
+    // hashing-trick encoder is not SQL-expressible)
+    "knn_hash_encoder" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select("text", "doc_id", "lang", "source", "n_chars")
+      val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
+        SearcherParams()).fit(docs)
+      model.search(docs.limit(10), topK = 5, keepRankNo = true)
+        .select(col("query_id"), col("rank_no"), col("sim_val"),
+          col("doc_id").as("sim_doc_id"), col("lang"), col("n_chars"))
+        .orderBy("query_id", "rank_no")
+    }),
+    // O13 cal_sim: 1×N dot-product scoring, descending
+    "cal_sim" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("text", "doc_id")
+      val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
+        SearcherParams()).fit(docs.limit(50))
+      val items2 = table(s, dir, "documents").limit(20)
+        .collect().map(_.getAs[String]("text")).toSeq
+      model.calSim(items2.head, items2)
+    }),
+    // multimodal: binary ingestion → batched stub decode → per-modality stats
+    "multimodal_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.ingestFromText(
+        table(s, dir, "documents"), "doc_id", "text", "text")
+      Multimodal.featureStats(Multimodal.decodeFeatures(media, dim = 16))
+        .orderBy("modality")
+    }),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -114,7 +144,7 @@ object SparkEntry {
     // dedup: MinHash-LSH banded candidates + verify (no SQL oracle: xxhash64)
     "dedup_minhash" -> ((s, dir) => Dedup.minHashNearDups(
       table(s, dir, "documents"), "doc_id", "text",
-      n = 5, numHashes = 32, bands = 8, threshold = 0.5)
+      n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")),
     // dedup: SimHash hamming-band pairs (no SQL oracle: xxhash64)
     "dedup_simhash" -> ((s, dir) => Dedup.simHashNearDups(

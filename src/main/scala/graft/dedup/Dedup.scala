@@ -34,24 +34,43 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /**
-   * Exact n-gram Jaccard near-duplicate pairs: shingle both sides, explode,
-   * equi-join on the shingle, count common shingles per pair, compute
-   * `J = |A∩B| / (|A|+|B|−|A∩B|)`, keep pairs ≥ threshold. Quadratic in
-   * docs *sharing a shingle*, not in all docs — fine for verification and
-   * small corpora; use [[minHashCandidates]] first at scale.
+   * EXACT n-gram Jaccard near-duplicate pairs via a prefix-filtered
+   * set-similarity join (the PPJoin family): identical output to the naive
+   * all-pairs shingle join, but candidates are generated only from each
+   * document's *prefix* — its `|A| − ⌈t·|A|⌉ + 1` globally-rarest shingles
+   * under one corpus-wide frequency order. Any pair with `J ≥ t` must share
+   * a prefix shingle (standard prefix-filter bound), and rare shingles have
+   * small join buckets, so the quadratic blow-up on ubiquitous shingles
+   * never happens — this is what keeps exact Jaccard feasible at corpus
+   * scale (the naive join was 500+ s at sf0.1; this is seconds).
    * Returns `[id_a, id_b, jaccard]` with `id_a < id_b`.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      charShingles(textCol, n).as("sh"))
+    val sh = df.select(col(idCol).as("id"), charShingles(textCol, n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    val a = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
-    val b = ex.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("common"))
+    // one global rarity order: corpus-wide shingle document-frequency
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    val prefix = ex.join(freq, "s")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "s")
+    // candidates: share a prefix shingle + size-compatible (t·max ≤ min)
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+    val cands = a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").distinct()
+    // verify candidates exactly on the full shingle sets
+    val full = sh.select(col("id"), col("sh"), col("sz"))
+    cands
+      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -88,7 +107,7 @@ object Dedup {
    * equi-join on the band key: co-partitioned shuffle, never all-pairs.
    */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int = 5, numHashes: Int = 64, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
@@ -106,7 +125,7 @@ object Dedup {
   /** MinHash near-dup pipeline: banded candidates, then exact-Jaccard
     * verification of only the candidate pairs (join back to the texts). */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands)
     val texts = df.select(col(idCol).as("id"),

@@ -367,5 +367,9 @@ class SearcherModel private[search] (
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Pruned `(row_id, __vec)` view of the index, for external scorers
+    * (e.g. [[graft.streaming.StreamingOps.scoreStream]]). */
+  def indexedSlim: DataFrame = indexed.select(col(ROW_ID), col(VEC))
+
   def unpersist(): Unit = indexed.unpersist()
 }

@@ -1,0 +1,73 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operator behavior on the documents table + synthetic literals. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = sf("documents")
+
+  test("exact dedup groups identical keys, keeps min id") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("id", "t")
+    val res = Dedup.exact(df, Seq("t"), "id").orderBy("t").collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq(("aa", 1L, 2L), ("bb", 2L, 1L)))
+  }
+
+  test("charShingles: positional n-grams, distinct") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq("abcab").toDF("text")
+      .select(Dedup.charShingles("text", 3)).head().getSeq[String](0)
+    assert(got === Seq("abc", "bca", "cab"))
+  }
+
+  test("jaccard pairs: near-identical texts found, unrelated not") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different text with nothing shared")).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(df, "id", "text", 5, 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+  }
+
+  test("minhash LSH candidates recover the exact-jaccard pairs (recall=1 here)") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minHashNearDups(docs, "doc_id", "text", 5, 64, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(mh === exact) // high-sim pairs: banding should not lose any
+  }
+
+  test("simhash: identical texts hamming 0; near-dups close; fingerprint deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),
+      ("a b c d e f g h", "a b c d e f g z")).toDF("t1", "t2")
+      .select(Dedup.simHash64(col("t1")).as("h1"), Dedup.simHash64(col("t2")).as("h2"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === rows(0).getLong(1))
+    val hamming = java.lang.Long.bitCount(rows(1).getLong(0) ^ rows(1).getLong(1))
+    assert(hamming <= 16, s"near-dup hamming $hamming")
+    // deterministic across evaluations
+    assert(rows(0).getLong(0) === rows(1).getLong(0))
+  }
+
+  test("embedding near-dups: symmetric pairs, id_a < id_b, cos >= threshold") {
+    val pairs = Dedup.embeddingNearDups(sf("embeddings"), "vec_id", "embedding", 0.4)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.encoders.PassthroughEncoder
+import graft.search.{SearcherParams, SparkSearcher}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming surface: watermarked windowed agg and stream-static
+  * similarity scoring, driven synchronously from parquet batches. */
+class StreamingSpec extends SparkSpec {
+
+  test("hourly event stats: streaming result == batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    // file-stream source needs a directory; glob down to the events file
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val q = StreamingOps.hourlyEventStats(stream)
+      .writeStream.outputMode("append").format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; compare those
+    val got = spark.table("hourly")
+    val batch = StreamingOps.hourlyEventStats(batchEvents)
+      // batch run of the same plan ignores the watermark: all windows
+    val maxClosed = got.agg(max(col("hour"))).head().getTimestamp(0)
+    if (maxClosed != null) {
+      val g = got.filter(col("hour") <= maxClosed)
+        .orderBy("hour", "event_type").collect()
+      val b = batch.filter(col("hour") <= maxClosed)
+        .orderBy("hour", "event_type").collect()
+      assert(g === b)
+    }
+    assert(got.count() > 0)
+  }
+
+  test("scoreStream: streamed vectors match themselves against the index") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
+      .fit(emb)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val scored = StreamingOps.scoreStream(
+      stream.select(col("vec_id"), col("embedding")), model, "embedding",
+      threshold = 0.999)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("scored").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val hits = spark.table("scored")
+    // every vector is its own near-exact match
+    assert(hits.filter(col("vec_id") === col("match_row_id")).count() === emb.count())
+    model.unpersist()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def oneRow(text: String) = {
+    val sp = spark
+    import sp.implicits._
+    Seq(text).toDF("text")
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val r = oneRow("hello w0rld, x!").select(
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpeish(col("text")).as("bpe")).head()
+    assert(r.getInt(0) === 3)
+    // hello | w | 0 | rld | , | x | ! = 7
+    assert(r.getInt(1) === 7)
+  }
+
+  test("ratios and mean token length; empty text guarded") {
+    val r = oneRow("the cat!!").select(
+      TextAnalysis.meanTokenLen(col("text")).as("mtl"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.stopwordRatio(col("text")).as("sw")).head()
+    assert(r.getDouble(0) === (3 + 5) / 2.0) // "the"(3), "cat!!"(5)
+    assert(r.getDouble(1) === 2.0 / 9)
+    assert(r.getDouble(2) === 0.5)
+    val z = oneRow("").select(TextAnalysis.meanTokenLen(col("text")),
+      TextAnalysis.punctRatio(col("text")),
+      TextAnalysis.stopwordRatio(col("text")),
+      TextAnalysis.qualityScore(col("text"))).head()
+    assert(!z.anyNull)
+  }
+
+  test("quality score in [0,1], higher for healthy text than punctuation soup") {
+    val r = oneRow("The quick brown fox jumps over the lazy dog and runs far away home")
+      .select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    val junk = oneRow("!!! ??? ### $$$ %%% ^^^ &&&")
+      .select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    assert(r > junk)
+    assert(r >= 0.0 && r <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+
+  test("langid: marker argmax with deterministic tie -> und") {
+    val sp = spark
+    import sp.implicits._
+    val r = Seq(
+      "the cat is on the mat and it is happy",
+      "der hund ist nicht mit der katze",
+      "le chat est dans la maison pour le moment",
+      "xyz qqq zzz").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(r.toSeq === Seq("en", "de", "fr", "und"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, stable on real docs") {
+    val sp = spark
+    import sp.implicits._
+    val r = Seq("ab", "ba", "ab").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(r(0) === r(2))
+    assert(r(0) !== r(1))
+    // h("ab") = (0*31+97)*31+98 mod p = 3105
+    assert(r(0) === 3105L)
+  }
+}
