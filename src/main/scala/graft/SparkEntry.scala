@@ -38,15 +38,22 @@ object SparkEntry {
   /** k-NN over embeddings: first 10 vec_ids as queries against the full
     * table — the engine's flagship top-K similarity join (reference
     * `search`, faiss_searcher.py:161-169). */
-  private def knn(s: SparkSession, dir: String, measurement: String, k: Int): DataFrame = {
-    val model = embSearcher(s, dir, measurement)
+  private def knn(s: SparkSession, dir: String, measurement: String, k: Int,
+      metricArg: Double = 2.0): DataFrame = {
+    val items = table(s, dir, "embeddings")
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = measurement, metricArg = metricArg))
+      .fit(items)
     val queries = table(s, dir, "embeddings").filter(col("vec_id") < 10)
-    model.search(queries, k, keepRankNo = true, queryIdCol = Some("vec_id"))
-      .select(col("vec_id").as("source_id"), col("rank_no"),
-        col("sim_item").cast("long").as("sim_id"),
-        col("label").as("sim_label"), col("sim_val"))
-      .orderBy("source_id", "rank_no")
+    knnSelect(model.search(queries, k, keepRankNo = true, queryIdCol = Some("vec_id")))
   }
+
+  private def knnSelect(res: DataFrame): DataFrame =
+    res.select(col("vec_id").as("source_id"), col("rank_no"),
+      col("sim_item").cast("long").as("sim_id"),
+      col("label").as("sim_label"), col("sim_val"))
+      .orderBy("source_id", "rank_no")
 
   /** DuckDB oracle for `knn`: same double-precision expression tree —
     * dot/(||q||·||x||) per pair, rank by distance with row_id tie-break,
@@ -59,6 +66,18 @@ object SparkEntry {
       case "l2"  => "list_sum(list_transform(list_zip(q.v, x.v), p -> (p[1]-p[2])*(p[1]-p[2])))"
       case "l1"  => "list_sum(list_transform(list_zip(q.v, x.v), p -> abs(p[1]-p[2])))"
       case "l_inf" => "list_max(list_transform(list_zip(q.v, x.v), p -> abs(p[1]-p[2])))"
+      case "l_p3" => "list_sum(list_transform(list_zip(q.v, x.v), p -> pow(abs(p[1]-p[2]), 3.0)))"
+      case "brayCurtis" =>
+        "(CASE WHEN list_sum(list_transform(list_zip(q.v, x.v), p -> abs(p[1]+p[2]))) = 0 THEN 0.0 " +
+          "ELSE list_sum(list_transform(list_zip(q.v, x.v), p -> abs(p[1]-p[2]))) " +
+          "/ list_sum(list_transform(list_zip(q.v, x.v), p -> abs(p[1]+p[2]))) END)"
+      case "canberra" =>
+        "list_sum(list_transform(list_zip(q.v, x.v), p -> " +
+          "CASE WHEN abs(p[1]) + abs(p[2]) > 0 THEN abs(p[1]-p[2]) / (abs(p[1]) + abs(p[2])) ELSE 0.0 END))"
+      case "jensen_shannon" =>
+        "list_sum(list_transform(list_zip(q.v, x.v), p -> " +
+          "(CASE WHEN p[1] > 0 AND 0.5*(p[1]+p[2]) > 0 THEN 0.5*p[1]*ln(p[1]/(0.5*(p[1]+p[2]))) ELSE 0.0 END) + " +
+          "(CASE WHEN p[2] > 0 AND 0.5*(p[1]+p[2]) > 0 THEN 0.5*p[2]*ln(p[2]/(0.5*(p[1]+p[2]))) ELSE 0.0 END)))"
     }
     val dir = if (measurement == "cos" || measurement == "ip") "DESC" else "ASC"
     s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
@@ -82,6 +101,32 @@ object SparkEntry {
     "knn_l2_top5"   -> ((s, dir) => knn(s, dir, "l2", 5)),
     "knn_l1_top5"   -> ((s, dir) => knn(s, dir, "l1", 5)),
     "knn_linf_top5" -> ((s, dir) => knn(s, dir, "l_inf", 5)),
+    "knn_lp3_top5"  -> ((s, dir) => knn(s, dir, "l_p", 5, metricArg = 3.0)),
+    "knn_braycurtis_top5" -> ((s, dir) => knn(s, dir, "brayCurtis", 5)),
+    "knn_canberra_top5"   -> ((s, dir) => knn(s, dir, "canberra", 5)),
+    "knn_js_top5"   -> ((s, dir) => knn(s, dir, "jensen_shannon", 5)),
+    // O6 ANN access path: IVF cells + nprobe pruning (no SQL oracle:
+    // approximate by design; recall-vs-exact asserted in SearcherSpec)
+    "knn_ivf_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF16,Flat", nprobe = 12))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // O14/O15 persistence: fit → save → load → search must equal a direct
+    // search, so it shares the knn cos oracle
+    "save_load_search" -> ((s, dir) => {
+      val model = embSearcher(s, dir, "cos")
+      val path = java.nio.file.Files.createTempDirectory("graft-slq").toString
+      model.save(path)
+      val loaded = SparkSearcher.load(s, path,
+        new PassthroughEncoder("embedding"))
+      knnSelect(loaded.search(table(s, dir, "embeddings").filter(col("vec_id") < 10),
+        10, keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // O9: multi-K — one search at max(ks), k=3 derived by rank filter
     "knn_multik_k3" -> ((s, dir) => {
       val model = embSearcher(s, dir, "cos")
@@ -234,7 +279,12 @@ object SparkEntry {
     "knn_l2_top5"   -> knnOracle("l2", 5),
     "knn_l1_top5"   -> knnOracle("l1", 5),
     "knn_linf_top5" -> knnOracle("l_inf", 5),
+    "knn_lp3_top5"  -> knnOracle("l_p3", 5),
+    "knn_braycurtis_top5" -> knnOracle("brayCurtis", 5),
+    "knn_canberra_top5"   -> knnOracle("canberra", 5),
+    "knn_js_top5"   -> knnOracle("jensen_shannon", 5),
     "knn_multik_k3" -> knnOracle("cos", 3),
+    "save_load_search" -> knnOracle("cos", 10),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,

@@ -134,8 +134,10 @@ object VectorKernels {
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       val m = 0.5 * (x + y)
-      if (x > 0.0 && m > 0.0) s += 0.5 * x * math.log(x / m)
-      if (y > 0.0 && m > 0.0) s += 0.5 * y * math.log(y / m)
+      // one add per element (t1 + t2), matching the oracle's summation shape
+      val t1 = if (x > 0.0 && m > 0.0) 0.5 * x * math.log(x / m) else 0.0
+      val t2 = if (y > 0.0 && m > 0.0) 0.5 * y * math.log(y / m) else 0.0
+      s += t1 + t2
       i += 1
     }
     s
