@@ -8,13 +8,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extension-injected functions usable from SQL") {
-    // session config is per-SparkContext; reuse the shared context but a
-    // fresh session with extensions applied
+    // getOrCreate returns any existing session (ignoring withExtensions):
+    // clear active/default so a fresh session is built over the shared
+    // context with the extensions applied, then restore
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
+    try {
     val r = spark.sql(
       """SELECT vec_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) c,
         |       vec_l1(array(1.0F, 0.0F), array(3.0F, 4.0F)) l1,
@@ -26,5 +31,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 72.0) < 1e-9)
     assert(r.getSeq[Float](3) === Seq(0.6f, 0.8f))
     assert(r.getLong(4) === r.getLong(4)) // deterministic value present
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
   }
 }
