@@ -182,9 +182,11 @@ object SparkEntry {
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
       Seq("prefix"), "doc_id")
       .orderBy("prefix")),
-    // dedup: exact n-gram Jaccard pairs (shingle equi-join)
-    "dedup_jaccard5" -> ((s, dir) => Dedup.jaccardPairs(
-      table(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.5)
+    // dedup: EXACT word-3-gram Jaccard pairs via prefix-filtered
+    // set-similarity join (word shingles: low per-shingle document
+    // frequency keeps the candidate join selective at corpus scale)
+    "dedup_jaccard_w3" -> ((s, dir) => Dedup.jaccardPairsWords(
+      table(s, dir, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
       .orderBy("id_a", "id_b")),
     // dedup: MinHash-LSH banded candidates + verify (no SQL oracle: xxhash64)
     "dedup_minhash" -> ((s, dir) => Dedup.minHashNearDups(
@@ -298,10 +300,13 @@ object SparkEntry {
     "dedup_exact_prefix" ->
       """SELECT substr(text, 1, 20) prefix, min(doc_id) keep_id, count(*) n_dups
         |FROM documents GROUP BY 1 ORDER BY prefix""".stripMargin.replace("\n", " "),
-    "dedup_jaccard5" ->
-      """WITH sh AS (SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(text) - 4, 0) + 1), i -> substr(text, i, 5))) s
+    "dedup_jaccard_w3" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) w
         |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM t),
         |ex AS (SELECT doc_id, len(s) sz, unnest(s) sg FROM sh),
         |j AS (SELECT a.doc_id id_a, b.doc_id id_b, a.sz sz_a, b.sz sz_b, count(*) c
         |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id

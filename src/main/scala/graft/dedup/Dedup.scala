@@ -18,11 +18,25 @@ import graft.functions.VectorFunctions
 object Dedup {
 
   /** Character n-gram shingles (distinct, order-dropped) from a string
-    * column — built-ins only, stays in codegen. */
-  def charShingles(textCol: String, n: Int): Column =
-    array_distinct(expr(
-      s"transform(sequence(1, greatest(length($textCol) - ${n - 1}, 0)), " +
-        s"i -> substring($textCol, i, $n))"))
+    * column — built-ins only, stays in codegen. Guarded for short strings
+    * (Spark's `sequence(1, 0)` counts DOWN, not empty). */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word w-gram shingles over whitespace tokens — the standard granularity
+    * for document-level near-dup detection: far lower per-shingle document
+    * frequency than character n-grams, so the prefix-filter and LSH joins
+    * stay selective even on repetitive corpora. */
+  def wordShingles(text: Column, w: Int): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + lit(o))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /**
    * Exact deduplication by key columns: one hash aggregation. Returns
@@ -46,8 +60,17 @@ object Dedup {
    * Returns `[id_a, id_b, jaccard]` with `id_a < id_b`.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double): DataFrame =
+    jaccardPairsBy(df, idCol, charShingles(col(textCol), n), threshold)
+
+  /** Word-shingle variant — see [[wordShingles]]. */
+  def jaccardPairsWords(df: DataFrame, idCol: String, textCol: String, w: Int,
+      threshold: Double): DataFrame =
+    jaccardPairsBy(df, idCol, wordShingles(col(textCol), w), threshold)
+
+  def jaccardPairsBy(df: DataFrame, idCol: String, shingle: Column,
       threshold: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), charShingles(textCol, n).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingle.as("sh"))
       .withColumn("sz", size(col("sh")))
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     // one global rarity order: corpus-wide shingle document-frequency
@@ -82,17 +105,17 @@ object Dedup {
    * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
    * deterministic seeded coefficients — one narrow projection, no shuffle.
    */
-  def minHashSignature(text: Column, n: Int, numHashes: Int): Column = {
+  def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minHashSignatureBy(charShingles(text, n), numHashes)
+
+  def minHashSignatureBy(shingles: Column, numHashes: Int): Column = {
     // 2^31 − 1 (Mersenne prime): (a·(h mod p) + b) stays < 2^62, no ANSI
     // long overflow; plenty of hash space for min-hashing
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(numHashes)(
       (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val sh = array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => substring(text, i, lit(n))))
-    val hashes = transform(sh, s => xxhash64(s))
+    val hashes = transform(shingles, s => xxhash64(s))
     array(coefs.map { case (a, b) =>
       array_min(transform(hashes, h =>
         pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
@@ -129,7 +152,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands)
     val texts = df.select(col(idCol).as("id"),
-      charShingles(textCol, n).as("sh"))
+      charShingles(col(textCol), n).as("sh"))
     val withA = cands.join(texts.withColumnRenamed("id", "id_a")
       .withColumnRenamed("sh", "sh_a"), "id_a")
     val withB = withA.join(texts.withColumnRenamed("id", "id_b")

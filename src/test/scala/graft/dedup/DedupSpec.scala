@@ -21,7 +21,7 @@ class DedupSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     val got = Seq("abcab").toDF("text")
-      .select(Dedup.charShingles("text", 3)).head().getSeq[String](0)
+      .select(Dedup.charShingles(col("text"), 3)).head().getSeq[String](0)
     assert(got === Seq("abc", "bca", "cab"))
   }
 
