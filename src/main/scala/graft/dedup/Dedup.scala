@@ -17,26 +17,20 @@ import graft.functions.VectorFunctions
  */
 object Dedup {
 
-  /** Character n-gram shingles (distinct, order-dropped) from a string
-    * column — built-ins only, stays in codegen. Guarded for short strings
-    * (Spark's `sequence(1, 0)` counts DOWN, not empty). */
+  import org.apache.spark.sql.graftshim.GraftSql.{column => toCol, expression => toExpr}
+
+  /** Distinct character n-gram shingles — single-pass codegen kernel
+    * ([[CharShinglesExpr]]; the HOF-lambda formulation is interpreted and
+    * recomputed per reference, see ShingleExpressions scaladoc). */
   def charShingles(text: Column, n: Int): Column =
-    when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => substring(text, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    toCol(CharShinglesExpr(toExpr(text), n))
 
   /** Word w-gram shingles over whitespace tokens — the standard granularity
     * for document-level near-dup detection: far lower per-shingle document
     * frequency than character n-grams, so the prefix-filter and LSH joins
     * stay selective even on repetitive corpora. */
-  def wordShingles(text: Column, w: Int): Column = {
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
-    when(size(toks) >= w,
-      array_distinct(transform(sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + lit(o))): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, w: Int): Column =
+    toCol(WordShinglesExpr(toExpr(text), w))
 
   /**
    * Exact deduplication by key columns: one hash aggregation. Returns
@@ -110,16 +104,13 @@ object Dedup {
 
   def minHashSignatureBy(shingles: Column, numHashes: Int): Column = {
     // 2^31 − 1 (Mersenne prime): (a·(h mod p) + b) stays < 2^62, no ANSI
-    // long overflow; plenty of hash space for min-hashing
+    // long overflow; plenty of hash space for min-hashing. All numHashes
+    // minima computed in ONE pass over the shingles (MinHashSignatureExpr).
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
-    val coefs = Array.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val hashes = transform(shingles, s => xxhash64(s))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashes, h =>
-        pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
+    val coefA = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (p - 1) + 1)
+    val coefB = Array.fill(numHashes)(math.abs(rnd.nextLong()) % p)
+    toCol(MinHashSignatureExpr(toExpr(shingles), coefA, coefB))
   }
 
   /**

@@ -1,0 +1,114 @@
+package graft.dedup
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass shingling and MinHash kernels. The expression-only versions
+ * (nested `transform`/`array_min` lambdas) are interpreted by Spark —
+ * higher-order functions don't participate in whole-stage codegen and
+ * don't get subexpression elimination, so a 64-hash signature recomputed
+ * the shingle set 64 times (227 s for sf0.1 in the bench). These kernels
+ * do one pass per row inside generated code.
+ */
+object ShingleKernels {
+
+  /** Distinct character n-grams, first-occurrence order. */
+  def charShingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    if (s.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    toUtf8Array(seen)
+  }
+
+  /** Distinct word w-grams over whitespace tokens, first-occurrence order. */
+  def wordShingles(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - w) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    toUtf8Array(seen)
+  }
+
+  private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Full MinHash signature in one pass: for each shingle, xxhash64 (seed
+    * 42, same as Spark's built-in) then all `numHashes` permutations
+    * `(a·(h mod p) + b) mod p`, tracking each minimum. */
+  def minHashSignature(shingles: ArrayData, coefA: Array[Long],
+      coefB: Array[Long]): ArrayData = {
+    val p = 2147483647L // 2^31 − 1
+    val k = coefA.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val hp = ((h % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (coefA(j) * hp + coefB(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box))
+  }
+}
+
+case class CharShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.charShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.charShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_shingles"
+}
+
+case class WordShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.wordShingles(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.wordShingles($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** `child` is an array<string> of shingles; coefficients ride as plan
+  * reference objects. */
+case class MinHashSignatureExpr(child: Expression, coefA: Array[Long],
+    coefB: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.minHashSignature(v.asInstanceOf[ArrayData], coefA, coefB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val b = ctx.addReferenceObj("coefB", coefB, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.dedup.ShingleKernels.minHashSignature($c, $a, $b)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
