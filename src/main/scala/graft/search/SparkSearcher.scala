@@ -290,19 +290,45 @@ class SearcherModel private[search] (
     joined.select(base: _*)
   }
 
-  /** Exact brute-force top-k: broadcast cross join + codegen'd distance +
-    * WindowGroupLimit (Catalyst turns the rank filter into per-partition
-    * partial top-k — no full sort, no unbounded shuffle). */
-  private def exactTopK(q: DataFrame, topK: Int): DataFrame = {
+  /** Exact brute-force top-k. Two physical shapes, chosen by index size
+    * (faiss's "push k into the scan" reproduced twice over — SURVEY §4):
+    *
+    *  - index fits broadcast: broadcast cross join + codegen'd distance +
+    *    `row_number` rank filter, which Catalyst rewrites to partial+final
+    *    WindowGroupLimit (map-side top-k before the exchange);
+    *  - index too large: broadcast the (small) QUERY set instead, stream
+    *    the index partitions, and heap-aggregate per query with the native
+    *    [[TopKByDistance]] TypedImperativeAggregate — O(n log k) work,
+    *    shuffle of only k rows per query per partition, no sort of the
+    *    n×q cross product. This is the 1000-executor/100 TB plan. */
+  private def exactTopK(q: DataFrame, topK: Int): DataFrame =
+    if (count <= params.broadcastThreshold) exactTopKWindow(q, topK)
+    else exactTopKAggregate(q, topK)
+
+  private def exactTopKWindow(q: DataFrame, topK: Int): DataFrame = {
     val slim = indexed.select(col(ROW_ID), col(VEC))
-    val side = if (count <= params.broadcastThreshold) broadcast(slim) else slim
-    val scored = q.crossJoin(side)
+    val scored = q.crossJoin(broadcast(slim))
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
     val w = Window.partitionBy(col(QID))
       .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
     scored
       .withColumn(RANK, row_number().over(w))
       .filter(col(RANK) <= topK)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
+  private[search] def exactTopKAggregate(q: DataFrame, topK: Int): DataFrame = {
+    val slim = indexed.select(col(ROW_ID), col(VEC))
+    val hits = slim
+      .crossJoin(broadcast(q.select(col(QID), col(QVEC))))
+      .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+      .groupBy(col(QID))
+      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
+        asc = !metric.higherIsCloser).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+    hits.join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 

@@ -131,6 +131,23 @@ class SearcherSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall")
   }
 
+  test("big-index aggregate top-k path ≡ window path (incl. tie-break)") {
+    for (m <- Seq("cos", "l2")) {
+      val windowModel = embModel(m)
+      val aggModel = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = m, broadcastThreshold = 0)) // force aggregate path
+        .fit(sf("embeddings"))
+      val q = sf("embeddings").filter(col("vec_id") < 20)
+      def rows(mm: SearcherModel) = mm.search(q, 7, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+        .orderBy("vec_id", "rank_no")
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+      assert(rows(aggModel) === rows(windowModel), s"metric $m")
+      aggModel.unpersist(); windowModel.unpersist()
+    }
+  }
+
   test("batched encoder: grouped mapPartitions path (encoder_utils.py:48-75)") {
     val enc = new BatchedEncoder(
       texts => texts.map(t => Array(t.length.toFloat, 1f)), batchSize = 4, dimension = 2)
