@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.VectorFunctions
 import graft.search.SearcherModel
 
 /**
@@ -38,6 +38,65 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Input/output rows for stateful sessionization. */
+  case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
+  case class UserSession(user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Long, sum_value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  /**
+   * Custom-state sessionization via `flatMapGroupsWithState` — the
+   * arbitrary-state surface of the engine: per-user sessions close after
+   * `gapMinutes` of inactivity (processing-time timeout) and are emitted
+   * with their event count and value sum. The state is O(1) per active
+   * user regardless of stream length.
+   */
+  def sessionize(events: Dataset[SessionEvent],
+      gapMinutes: Int = 30, closeOnIdle: Boolean = true): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapNs = gapMinutes.toLong * 60 * 1000000000L
+    // closeOnIdle registers wall-clock timers so a silent user's open
+    // session eventually closes — but timers make the query self-trigger
+    // (never idle); pass false for drain-and-stop batch-style runs where
+    // only event-time gaps close sessions.
+    val timeoutConf =
+      if (closeOnIdle) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, s.start, s.end, s.n, s.total))
+          } else {
+            // merge the micro-batch into the open session; close + emit any
+            // session whose gap to the next event exceeds gapNs
+            val sorted = rows.toArray.sortBy(e => (e.ts_ns))
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ns - s.end > gapNs =>
+                  closed ::= UserSession(userId, s.start, s.end, s.n, s.total)
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.end, e.ts_ns),
+                    s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (closeOnIdle) state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.reverseIterator
+          }
+        })
+  }
 
   /**
    * Continuous similarity scoring: each arriving vector is scored against

@@ -35,6 +35,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("sessionize: custom state via flatMapGroupsWithState closes sessions on gaps") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = sp.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapMinutes = 30,
+      closeOnIdle = false) // wall-clock timers never idle the test query
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    val min = 60L * 1000000000L
+    // user 1: two sessions separated by a 60-min gap; user 2: one session
+    input.addData(
+      StreamingOps.SessionEvent(1, 0 * min, 1.0),
+      StreamingOps.SessionEvent(1, 10 * min, 2.0),
+      StreamingOps.SessionEvent(1, 80 * min, 5.0),
+      StreamingOps.SessionEvent(2, 0 * min, 7.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions").as[StreamingOps.UserSession].collect()
+    // the first user-1 session closed (gap 70min > 30min); open ones held in state
+    assert(closed.toSeq === Seq(
+      StreamingOps.UserSession(1, 0, 10 * min, 2, 3.0)))
+    q.stop()
+  }
+
   test("scoreStream: streamed vectors match themselves against the index") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
