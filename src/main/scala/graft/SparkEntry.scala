@@ -264,6 +264,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_value"))
       .orderBy("hour_ns", "event_type")),
+    // set operations: INTERSECT / EXCEPT with distinct-set semantics
+    "q_setops" -> ((s, dir) => {
+      val building = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val spenders = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+      building.intersect(spenders).withColumn("tag", lit("both"))
+        .union(building.except(spenders).withColumn("tag", lit("only_building")))
+        .orderBy("k", "tag")
+    }),
+    // multi-level aggregation: ROLLUP with sentinel'd group keys (so the
+    // null super-aggregate rows hash-compare cleanly)
+    "q_rollup" -> ((s, dir) => table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -402,5 +422,18 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type, count(*) n, sum(CAST(props->>'$.k' AS BIGINT)) sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
+    "q_setops" ->
+      """WITH b AS (SELECT c_custkey k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |s AS (SELECT o_custkey k FROM orders WHERE o_totalprice > 200000)
+        |SELECT k, tag FROM (
+        |  SELECT k, 'both' tag FROM (SELECT k FROM b INTERSECT SELECT k FROM s)
+        |  UNION ALL
+        |  SELECT k, 'only_building' tag FROM (SELECT k FROM b EXCEPT SELECT k FROM s))
+        |ORDER BY k, tag""".stripMargin.replace("\n", " "),
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin.replace("\n", " "),
   )
 }
