@@ -64,8 +64,13 @@ object Dedup {
 
   def jaccardPairsBy(df: DataFrame, idCol: String, shingle: Column,
       threshold: Double): DataFrame = {
+    // the shingle table feeds 6 subtrees (frequency count, both prefix
+    // sides, both verify sides) — persist it so the source is scanned and
+    // shingled ONCE, not per subtree (at corpus scale the re-scan dwarfs
+    // everything else); evicted by Spark's LRU when consumers finish
     val sh = df.select(col(idCol).as("id"), shingle.as("sh"))
       .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     // one global rarity order: corpus-wide shingle document-frequency
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -141,9 +146,22 @@ object Dedup {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, n, numHashes, bands)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    // shingle once, reuse for signatures (banding self-join) and verify
     val texts = df.select(col(idCol).as("id"),
       charShingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = texts.select(col("id"),
+      minHashSignatureBy(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map(bIdx =>
+        hash(slice(col("sig"), bIdx * r + 1, r))): _*)).as(Seq("band", "bh")))
+    val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+    val cands = left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val withA = cands.join(texts.withColumnRenamed("id", "id_a")
       .withColumnRenamed("sh", "sh_a"), "id_a")
     val withB = withA.join(texts.withColumnRenamed("id", "id_b")
@@ -202,5 +220,32 @@ object Dedup {
       .withColumn("cos", VectorFunctions.vec_cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /**
+   * Cell-blocked embedding near-dup (the 100 TB path): k-means the vectors
+   * into `nlist` cells (same coarse quantizer as the IVF index), assign
+   * each vector its `nprobe` nearest cells, and compare only pairs sharing
+   * a cell — an equi-join on cell id instead of the all-pairs cross join.
+   * Approximate: a pair split across all probed cells is missed; raise
+   * `nprobe` for recall (2 catches most boundary pairs).
+   */
+  def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 64, nprobe: Int = 2): DataFrame = {
+    import graft.search.IvfIndex
+    val vecs = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "v", math.min(nlist, total.toInt max 1), total)
+    val celled = vecs.withColumn("cell",
+      explode(IvfIndex.nearestCentroidsCol(col("v"), cents, nprobe)))
+    val a = celled.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = celled.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.vec_cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair can share several probed cells
   }
 }

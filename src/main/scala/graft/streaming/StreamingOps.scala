@@ -99,6 +99,20 @@ object StreamingOps {
   }
 
   /**
+   * Streaming exact deduplication: drop rows whose key was already seen
+   * within the watermark horizon (`dropDuplicatesWithinWatermark` keeps
+   * state bounded — the streaming twin of the batch hash-agg dedup,
+   * [[graft.dedup.Dedup.exact]]). For a corpus-ingest pipeline this is the
+   * "don't index the same document twice" guard.
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", nsToTimestamp(col("ts")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /**
    * Continuous similarity scoring: each arriving vector is scored against
    * the fitted index (stream-static broadcast join, no state) and rows
    * within `threshold` of some indexed item are emitted with the match.

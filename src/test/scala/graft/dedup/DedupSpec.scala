@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getLong(0) === rows(1).getLong(0))
   }
 
+  test("cell-blocked embedding near-dups: high recall vs brute force") {
+    val emb = sf("embeddings")
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", 0.4,
+      nlist = 16, nprobe = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(blocked.subsetOf(brute)) // never false positives (exact verify)
+    val recall = (brute intersect blocked).size.toDouble / brute.size
+    assert(recall >= 0.8, s"blocked recall $recall")
+  }
+
   test("embedding near-dups: symmetric pairs, id_a < id_b, cos >= threshold") {
     val pairs = Dedup.embeddingNearDups(sf("embeddings"), "vec_id", "embedding", 0.4)
       .collect()

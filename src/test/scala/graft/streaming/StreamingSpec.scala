@@ -60,6 +60,21 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedupStream: duplicate keys within the watermark are dropped") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // user_id as the dedup key: one surviving event per user
+    val q = StreamingOps.dedupStream(stream, Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup")
+    assert(got.count() === got.select("user_id").distinct().count())
+    assert(got.count() > 0)
+  }
+
   test("scoreStream: streamed vectors match themselves against the index") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
