@@ -332,6 +332,17 @@ class SearcherModel private[search] (
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
+  /** Convenience overload mirroring the reference's `List[str]` query input
+    * (faiss_searcher.py:161: `target: List[str]`): items become a one-column
+    * DataFrame, query identity = list position. */
+  def search(queries: Seq[String], topK: Int, keepRankNo: Boolean): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+      .toDF("query_pos", params.itemCol.getOrElse(ITEM_SAVED))
+    search(qdf, topK, keepRankNo, queryIdCol = Some("query_pos"))
+  }
+
   /**
    * Multi-K search (faiss_searcher.py:170-183): ONE search at `max(ks)`,
    * cached, each smaller k derived by a rank filter — the reference's

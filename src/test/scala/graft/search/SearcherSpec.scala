@@ -160,6 +160,19 @@ class SearcherSpec extends SparkSpec {
     assert(res.collect().forall(_.getAs[Float]("sim_val") === 0f))
   }
 
+  test("Seq[String] query overload mirrors the reference List[str] input") {
+    val docs = sf("documents").select("text", "doc_id")
+    val model = new SparkSearcher(new HashEncoder(32), SearcherParams())
+      .fit(docs)
+    val texts = docs.limit(3).collect().map(_.getString(0)).toSeq
+    val res = model.search(texts, topK = 1, keepRankNo = true)
+    assert(res.count() === 3)
+    // each query is in the corpus, so its best hit scores cos ≈ 1
+    // (hash-vector ties can let an identically-hashed doc win on row_id)
+    assert(res.collect().forall(r => r.getAs[Float]("sim_val") > 0.999f))
+    model.unpersist()
+  }
+
   test("search on unfitted/empty index errors (faiss_searcher.py:187)") {
     val empty = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
