@@ -338,8 +338,10 @@ class SearcherModel private[search] (
   def search(queries: Seq[String], topK: Int, keepRankNo: Boolean): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val qdf = queries.zipWithIndex.map { case (q, i) => (i.toLong, q) }
-      .toDF("query_pos", params.itemCol.getOrElse(ITEM_SAVED))
+    // item column FIRST: search() resolves the item column positionally
+    // when params.itemCol is absent (first-column convention, README.md:21)
+    val qdf = queries.zipWithIndex.map { case (q, i) => (q, i.toLong) }
+      .toDF(params.itemCol.getOrElse(ITEM_SAVED), "query_pos")
     search(qdf, topK, keepRankNo, queryIdCol = Some("query_pos"))
   }
 
