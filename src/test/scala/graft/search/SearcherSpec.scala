@@ -133,11 +133,11 @@ class SearcherSpec extends SparkSpec {
 
   test("big-index aggregate top-k path ≡ window path (incl. tie-break)") {
     for (m <- Seq("cos", "l2")) {
-      val windowModel = embModel(m)
-      val aggModel = new SparkSearcher(new PassthroughEncoder("embedding"),
+      val windowModel = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-          measurement = m, broadcastThreshold = 0)) // force aggregate path
+          measurement = m, exactPath = "window"))
         .fit(sf("embeddings"))
+      val aggModel = embModel(m) // default = aggregate path
       val q = sf("embeddings").filter(col("vec_id") < 20)
       def rows(mm: SearcherModel) = mm.search(q, 7, keepRankNo = true,
         queryIdCol = Some("vec_id"))
@@ -171,6 +171,16 @@ class SearcherSpec extends SparkSpec {
     // (hash-vector ties can let an identically-hashed doc win on row_id)
     assert(res.collect().forall(r => r.getAs[Float]("sim_val") > 0.999f))
     model.unpersist()
+  }
+
+  test("payload columns colliding with the result schema fail fast at fit") {
+    val bad = sf("embeddings").withColumnRenamed("label", "sim_val")
+    val ex = intercept[IllegalArgumentException] {
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
+        .fit(bad)
+    }
+    assert(ex.getMessage.contains("sim_val"))
   }
 
   test("search on unfitted/empty index errors (faiss_searcher.py:187)") {
