@@ -70,6 +70,7 @@ object Dedup {
     // everything else); evicted by Spark's LRU when consumers finish
     val sh = df.select(col(idCol).as("id"), shingle.as("sh"))
       .withColumn("sz", size(col("sh")))
+      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     // one global rarity order: corpus-wide shingle document-frequency
@@ -87,12 +88,15 @@ object Dedup {
         col("sz_a") >= col("sz_b") * threshold &&
         col("sz_b") >= col("sz_a") * threshold)
       .select("id_a", "id_b").distinct()
-    // verify candidates exactly on the full shingle sets
-    val full = sh.select(col("id"), col("sh"), col("sz"))
+    // verify candidates on the full sets, via sorted-hash merge scans
+    // (64-bit fingerprints: collision-free in practice, no per-pair string
+    // hashing or result-array allocation — this was the pipeline hotspot)
+    val full = sh.select(col("id"), col("hs"), col("sz"))
     cands
-      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
-      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common",
+        toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -151,6 +155,8 @@ object Dedup {
     // shingle once, reuse for signatures (banding self-join) and verify
     val texts = df.select(col(idCol).as("id"),
       charShingles(col(textCol), n).as("sh"))
+      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
+      .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = texts.select(col("id"),
       minHashSignatureBy(col("sh"), numHashes).as("sig"))
@@ -162,14 +168,14 @@ object Dedup {
     val cands = left.join(right, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val withA = cands.join(texts.withColumnRenamed("id", "id_a")
-      .withColumnRenamed("sh", "sh_a"), "id_a")
-    val withB = withA.join(texts.withColumnRenamed("id", "id_b")
-      .withColumnRenamed("sh", "sh_b"), "id_b")
-    withB
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val slim = texts.select(col("id"), col("hs"), col("sz"))
+    cands
+      .join(slim.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(slim.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("common",
+        toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+        (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
