@@ -202,6 +202,28 @@ object SparkEntry {
       table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
+    // dedup: cell-blocked variant (the 100 TB shape; approximate by design,
+    // recall-vs-brute asserted in DedupSpec → rows-only here)
+    "dedup_embedding_blocked" -> ((s, dir) => Dedup.embeddingNearDupsBlocked(
+      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
+      nlist = 16, nprobe = 4)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
+    // O12 feature-sep projection: query/doc items truncated at the first
+    // separator in results (faiss_searcher.py:150-156); no SQL oracle (the
+    // hash-encoder ranking isn't SQL-expressible) — sep behavior also
+    // asserted in SearcherSpec
+    "search_feature_sep" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select("text", "doc_id", "lang", "source", "n_chars")
+      val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
+        SearcherParams(docFeatureSep = Some(" "), queryFeatureSep = Some(" ")))
+        .fit(docs)
+      model.search(docs.limit(10), topK = 3, keepRankNo = true)
+        .select(col("query_id"), col("rank_no"), col("source_item"),
+          col("sim_item"), col("doc_id").as("sim_doc_id"))
+        .orderBy("query_id", "rank_no")
+    }),
     // text analysis: token counts, ratios (integer-exact + one double div)
     "text_stats" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"),
