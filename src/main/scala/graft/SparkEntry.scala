@@ -160,14 +160,13 @@ object SparkEntry {
           col("doc_id").as("sim_doc_id"), col("lang"), col("n_chars"))
         .orderBy("query_id", "rank_no")
     }),
-    // O13 cal_sim: 1×N dot-product scoring, descending
+    // O13 cal_sim: 1×N dot-product scoring, descending (needs no fit —
+    // encoder-only, like the reference)
     "cal_sim" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select("text", "doc_id")
-      val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
-        SearcherParams()).fit(docs.limit(50))
       val items2 = table(s, dir, "documents").limit(20)
         .collect().map(_.getAs[String]("text")).toSeq
-      model.calSim(items2.head, items2)
+      new SparkSearcher(new graft.encoders.HashEncoder(64), SearcherParams())
+        .calSim(s, items2.head, items2)
     }),
     // multimodal: binary ingestion → batched stub decode → per-modality stats
     "multimodal_features" -> ((s, dir) => {

@@ -84,6 +84,25 @@ final class HashEncoder(dimension: Int = 64) extends Encoder {
 }
 
 /**
+ * Adaptive encoder — the reference's remote-or-local executor choice
+ * (bert_encoder.py:151-157: use the remote bert-service if a 20 ms probe
+ * passes, else the local model) behind the Encoder contract: probe once
+ * with a wall-clock budget ([[graft.util.Timeout]], the O24 decorator),
+ * then route every encode call to primary or fallback.
+ */
+final class FallbackEncoder(primary: Encoder, fallback: Encoder,
+    probeMillis: Long)(probe: () => Boolean) extends Encoder {
+  @transient private lazy val usePrimary: Boolean =
+    try graft.util.Timeout.withTimeout(probeMillis)(probe())
+    catch { case _: Throwable => false }
+  private def active: Encoder = if (usePrimary) primary else fallback
+  override def dim: Option[Int] = active.dim
+  override def sourceCols: Seq[String] = active.sourceCols
+  override def encode(df: DataFrame, itemCol: String, outCol: String): DataFrame =
+    active.encode(df, itemCol, outCol)
+}
+
+/**
  * Batched encoder adapter — the Spark analog of the reference's
  * micro-batch generators (encoder_utils.py:48-75: tokenize, pad, emit
  * `batch_size` chunks). Wraps a whole-batch function `Seq[String] →

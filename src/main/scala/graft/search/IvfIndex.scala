@@ -84,7 +84,7 @@ object IvfIndex {
     val fraction = if (total <= MaxTrainRows) 1.0 else MaxTrainRows.toDouble / total
     val train = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
       .select(array_to_vector(col(vecCol).cast(ArrayType(org.apache.spark.sql.types.DoubleType))).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(20).setFeaturesCol("features")
+    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).setFeaturesCol("features")
     km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
   }
 

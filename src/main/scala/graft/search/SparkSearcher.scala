@@ -157,6 +157,26 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     }
   }
 
+  /** Score one item against a list (reference `cal_sim`,
+    * faiss_searcher.py:192-198): dot-product scores, full descending sort.
+    * Needs only the encoder — works without `fit`, like the reference.
+    * Adopts the intended DataFrame shape (the reference's line 196 is buggy
+    * for >1 item, SURVEY §7.3). */
+  def calSim(spark: SparkSession, item1: String, items2: Seq[String]): DataFrame = {
+    import SparkSearcher._
+    val sp = spark
+    import sp.implicits._
+    val one = encoder.encode(Seq(item1).toDF("item"), "item", QVEC)
+      .select(col(QVEC))
+    val many = encoder.encode(items2.zipWithIndex.toDF("item", "pos"), "item", VEC)
+    many.crossJoin(broadcast(one))
+      .withColumn("score",
+        graft.functions.VectorFunctions.vec_dot(col(VEC), col(QVEC)).cast("float"))
+      .select(col("item"), col("score"), col("pos"))
+      .orderBy(col("score").desc, col("pos"))
+      .drop("pos")
+  }
+
   private def dimOf(indexed: DataFrame): Int = encoder.dim.getOrElse(
     // dim probe (faiss_searcher.py:56); empty index → 0, search() then errors
     indexed.select(size(col(VEC))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
@@ -380,23 +400,10 @@ class SearcherModel private[search] (
     }.toMap
   }
 
-  /** Score one item against a list (reference `cal_sim`,
-    * faiss_searcher.py:192-198): dot-product scores, full descending sort.
-    * Adopts the intended DataFrame shape (the reference's line 196 is buggy
-    * for >1 item, SURVEY §7.3). */
-  def calSim(item1: String, items2: Seq[String]): DataFrame = {
-    val sp = spark
-    import sp.implicits._
-    val one = searcher.encoder.encode(Seq(item1).toDF("item"), "item", QVEC)
-      .select(col(QVEC))
-    val many = searcher.encoder.encode(
-      items2.zipWithIndex.toDF("item", "pos"), "item", VEC)
-    many.crossJoin(broadcast(one))
-      .withColumn("score", VectorFunctions.vec_dot(col(VEC), col(QVEC)).cast(FloatType))
-      .select(col("item"), col("score"), col("pos"))
-      .orderBy(col("score").desc, col("pos"))
-      .drop("pos")
-  }
+  /** Reference `cal_sim` — delegates to [[SparkSearcher.calSim]] (which,
+    * like the reference, needs only the encoder, not a trained index). */
+  def calSim(item1: String, items2: Seq[String]): DataFrame =
+    searcher.calSim(spark, item1, items2)
 
   /** Persist the trained searcher (reference `save_index`/`save_searcher`,
     * faiss_searcher.py:189-190, 200-203): items table as parquet + params

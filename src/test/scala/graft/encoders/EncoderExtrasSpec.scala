@@ -22,6 +22,18 @@ class EncoderExtrasSpec extends SparkSpec {
     assert(self > other)
   }
 
+  test("FallbackEncoder: slow probe routes to fallback (bert_encoder.py:151-157)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("a b c").toDF("text")
+    val slow = new FallbackEncoder(new HashEncoder(8), new HashEncoder(16),
+      probeMillis = 50)(() => { Thread.sleep(5000); true })
+    assert(slow.encode(df, "text", "v").select("v").head().getSeq[Float](0).length === 16)
+    val fast = new FallbackEncoder(new HashEncoder(8), new HashEncoder(16),
+      probeMillis = 2000)(() => true)
+    assert(fast.encode(df, "text", "v").select("v").head().getSeq[Float](0).length === 8)
+  }
+
   test("Timeout.withTimeout: passes fast work, kills slow work (encoder_utils.py:26-35)") {
     assert(Timeout.withTimeout(5000)(21 * 2) === 42)
     intercept[TimeoutException](
