@@ -139,13 +139,17 @@ object SparkEntry {
           col("label").as("sim_label"), col("sim_val"))
         .orderBy("source_id", "rank_no")
     }),
-    // O20-O23: whitening fit (distributed moments + driver SVD) + transform
+    // O20-O23: whitening fit (distributed moments + driver SVD) + transform.
+    // Output exploded to scalar rows — the driver's pandas comparison can't
+    // sort/hash array cells (round-1 failure). No SQL oracle: the kernel
+    // comes from an SVD DuckDB can't express; invariants (mean≈0, cov≈I,
+    // save/load round-trip) are asserted in WhiteningSpec.
     "whitening_transform" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val model = new VecsWhitening(16).fit(emb, "embedding")
       model.transform(emb, "embedding")
-        .select(col("vec_id"), col("embedding").as("whitened"))
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "w")))
+        .orderBy("vec_id", "pos")
     }),
     // O16/O17 encoder flow (README flow 1): feature-hash encoder over the
     // documents table, payload carried into results (no SQL oracle: the
@@ -398,8 +402,16 @@ object SparkEntry {
       val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
         lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
       }
-      val hitCols = markers.map { case (lang, inList) =>
-        s"len(list_filter(toks, t -> t IN $inList)) h_$lang"
+      val hitCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        // CJK profiles match by substring containment, token languages by
+        // token equality — same rule as TextAnalysis.markerHits
+        if (TextAnalysis.SubstringLangs(lang))
+          ms.map(m => s"(CASE WHEN contains(lower(text), '$m') THEN 1 ELSE 0 END)")
+            .mkString("(", " + ", s") h_$lang")
+        else {
+          val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
+          s"len(list_filter(toks, t -> t IN $inList)) h_$lang"
+        }
       }.mkString(", ")
       val best = markers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
       val winners = markers.map { case (lang, _) =>
@@ -408,7 +420,7 @@ object SparkEntry {
       val cases = markers.map { case (lang, _) =>
         s"WHEN winners = 1 AND h_$lang = best AND best > 0 THEN '$lang'"
       }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id, text,
          | list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks
          | FROM documents),
          |h AS (SELECT doc_id, $hitCols FROM t),
@@ -440,8 +452,10 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600000000000 hour_ns, event_type,
         | count(*) n, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin.replace("\n", " "),
+    // sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float) — cast back
+    // to BIGINT to match Spark's long sum
     "q_json_extract" ->
-      """SELECT event_type, count(*) n, sum(CAST(props->>'$.k' AS BIGINT)) sum_k
+      """SELECT event_type, count(*) n, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
     "q_setops" ->
       """WITH b AS (SELECT c_custkey k FROM customer WHERE c_mktsegment = 'BUILDING'),

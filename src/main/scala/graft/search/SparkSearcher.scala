@@ -119,6 +119,15 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     val withId = params.idCol match {
       case Some(c) =>
         require(items.columns.contains(c), s"id column '$c' missing")
+        // a non-integral id (e.g. string doc ids) would cast to NULL row_ids
+        // and silently drop every payload-join hit — fail fast instead
+        items.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+               _: org.apache.spark.sql.types.IntegerType | _: LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"id column '$c' must be an integral type usable as row_id, got $other; " +
+              "omit idCol to let fit() assign positional ids (faiss_searcher.py:39-40)")
+        }
         encoded.withColumn(ROW_ID, col(c).cast(LongType))
       case None => zipWithRowId(encoded)
     }
@@ -126,7 +135,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     val payloadCols = items.columns.filter(c =>
       c != itemCol && !params.idCol.contains(c) && !encoder.sourceCols.contains(c))
     val reserved = payloadCols.toSet.intersect(
-      Set(SourceItem, SimVal, RankNo, SimItem, ROW_ID))
+      Set(SourceItem, SimVal, RankNo, SimItem, ROW_ID, ITEM_SAVED))
     require(reserved.isEmpty,
       s"payload column(s) ${reserved.mkString(", ")} collide with the result " +
         s"schema [$SourceItem, $SimVal, $RankNo, $SimItem, $ROW_ID] — rename " +
@@ -215,14 +224,17 @@ object SparkSearcher {
     def str(n: String) = kv.getAs[String](n)
     def lng(n: String) = kv.getAs[Long](n)
     val params = SearcherParams(
-      itemCol = Option(str("itemCol")),
+      itemCol = Option(str("itemCol")).filter(_.nonEmpty),
       idCol = None, // ids already materialized in the saved table
       indexParam = str("indexParam"),
       measurement = str("measurement"),
       metricArg = kv.getAs[Double]("metricArg"),
       normVec = kv.getAs[Boolean]("normVec"),
       docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
-      queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty))
+      queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty),
+      nprobe = lng("nprobe").toInt,
+      broadcastThreshold = lng("broadcastThreshold"),
+      exactPath = str("exactPath"))
     val indexed = spark.read.parquet(s"$path/items").persist(StorageLevel.MEMORY_AND_DISK)
     val n = indexed.count()
     require(n == lng("count"),
@@ -418,17 +430,22 @@ class SearcherModel private[search] (
         .toDF("centroid_id", "centroid")
         .write.mode("overwrite").parquet(s"$path/centroids")
     }
+    // params as a 1-row JSON written by Spark's writer (real escaping — a
+    // separator containing quotes/backslashes round-trips) with every
+    // search-relevant knob persisted (nprobe/exactPath/broadcastThreshold
+    // included: a reloaded IVF model must keep its recall setting). Option
+    // fields use an empty-string sentinel so the read schema is stable
+    // (spark.read.json drops always-null columns).
     val p = params
-    val json =
-      s"""{"itemCol":"${p.itemCol.getOrElse("")}","indexParam":"${p.indexParam}",
-         |"measurement":"${p.measurement}","metricArg":${p.metricArg},
-         |"normVec":${p.normVec},"docFeatureSep":"${p.docFeatureSep.getOrElse("")}",
-         |"queryFeatureSep":"${p.queryFeatureSep.getOrElse("")}",
-         |"count":$count,"dim":$dim}""".stripMargin.replace("\n", "")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/params.json"), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val sp = spark
+    import sp.implicits._
+    Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
+        p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
+        p.nprobe, p.exactPath, p.broadcastThreshold, count, dim))
+      .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
+        "docFeatureSep", "queryFeatureSep", "nprobe", "exactPath",
+        "broadcastThreshold", "count", "dim")
+      .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 
   /** Pruned `(row_id, __vec)` view of the index, for external scorers

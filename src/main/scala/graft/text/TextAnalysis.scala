@@ -75,17 +75,27 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "por", "una", "con"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "为"))
 
-  /** Marker hits for one language's profile. */
-  private def markerHits(text: Column, markers: Seq[String]): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    size(filter(toks, t => t.isin(markers.map(lit): _*)))
-  }
+  /** Languages whose markers are matched by substring containment instead
+    * of whitespace tokens — CJK text has no space-delimited words, so a
+    * token-equality profile can never fire (round-1 advice). */
+  val SubstringLangs: Set[String] = Set("zh")
+
+  /** Marker hits for one language's profile: token equality for
+    * space-delimited languages, marker-containment count for CJK. */
+  private def markerHits(lang: String, text: Column, markers: Seq[String]): Column =
+    if (SubstringLangs(lang))
+      markers.map(m => when(contains(lower(text), lit(m)), 1).otherwise(0))
+        .reduce(_ + _)
+    else {
+      val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
 
   /** Identified language: argmax of marker hits, ties → "und"
     * (undetermined) unless one language strictly wins. */
   def langId(text: Column): Column = {
     val hits = LangMarkers.map { case (lang, markers) =>
-      (lang, markerHits(text, markers))
+      (lang, markerHits(lang, text, markers))
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     val winners = hits.foldLeft(lit(0)) { case (acc, (_, h)) =>

@@ -91,7 +91,12 @@ class SearcherSpec extends SparkSpec {
     // fresh copy (Spark caches file metadata per path).
     val dir2 = java.nio.file.Files.createTempDirectory("graft-idx2").toString
     loaded.save(dir2)
-    val pjson = java.nio.file.Paths.get(s"$dir2/params.json")
+    // params.json is a Spark-written JSON directory: corrupt its part file
+    val pjson = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir2/params.json"))
+      .filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".json"))
+      .findFirst().get()
     val txt = new String(java.nio.file.Files.readAllBytes(pjson), "UTF-8")
     // same-length corruption (Spark caches FileStatus lengths per path)
     val bad = s""""count":${model.count}""".replaceAll("\\d", "9")
@@ -99,7 +104,7 @@ class SearcherSpec extends SparkSpec {
       txt.replace(s""""count":${model.count}""", bad).getBytes("UTF-8"))
     // drop hadoop's checksum sidecar, invalidated by the raw edit
     java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(s"$dir2/.params.json.crc"))
+      pjson.resolveSibling("." + pjson.getFileName.toString + ".crc"))
     spark.catalog.refreshByPath(s"$dir2/params.json")
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
