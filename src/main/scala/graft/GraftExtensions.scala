@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.dedup.SimHash64
+import graft.dedup.SimHash62
 import graft.functions._
 
 /**
@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     inject("vec_l2_normalize", "L2-normalize a float vector",
       es => VecL2Normalize(es.head))
-    inject("simhash64", "64-bit SimHash of an array of tokens",
-      es => SimHash64(es.head))
+    inject("simhash62", "62-bit SimHash of an array of tokens",
+      es => SimHash62(es.head))
   }
 }

@@ -93,6 +93,81 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     knn(spark, "/root/testdata/sf0.001", "cos", 10)
 
+  import graft.functions.PolyHash
+  import graft.encoders.HashEmbedKernel
+
+  /** CTE prefix computing the hash-embedding of every document (+ payload
+    * cols) as `fv(…, v: DOUBLE[])` — DuckDB mirror of [[HashEmbedKernel]]. */
+  private def hashVecCtes(payloadCols: String): String =
+    s"""d0 AS (SELECT doc_id, $payloadCols text, ${HashEmbedKernel.sqlRawVec("text", 64)} v0 FROM documents),
+       |${HashEmbedKernel.normCtes("d0")}""".stripMargin
+
+  /** DuckDB oracle for the hash-encoder cos top-k search (knn_hash_encoder /
+    * search_feature_sep shape): cosine in double over the float-rounded
+    * vectors, rank per query with doc_id tie-break, sim_val cast float32. */
+  private def hashKnnOracle(k: Int, select: String): String = {
+    val denom = "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)))"
+    s"""WITH ${hashVecCtes("lang, n_chars,")}
+       |, q AS (SELECT * FROM fv WHERE doc_id < 10),
+       |s AS (SELECT q.doc_id qid, q.text qtext, x.doc_id xid, x.lang, x.n_chars, x.text xtext,
+       |  CASE WHEN $denom = 0 THEN 0.0 ELSE list_dot_product(q.v, x.v) / $denom END c
+       |  FROM q CROSS JOIN fv x),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, xid) rn FROM s)
+       |SELECT $select FROM r WHERE rn <= $k ORDER BY qid, rn""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB oracle for minhash-LSH near-dups: the exact polynomial
+    * signature + band-key arithmetic of [[Dedup.minHashSignatureBy]] /
+    * BandKeysExpr (same coefficients, embedded), candidates from band
+    * collisions, verified by true shingle-set Jaccard. */
+  private def minhashOracle(n: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+    val r = numHashes / bands
+    val (coefA, coefB) = Dedup.minHashCoefficients(numHashes)
+    val sigTerms = (0 until numHashes).map(j =>
+      s"list_min(list_transform(h, x -> (${coefA(j)} * x + ${coefB(j)}) % ${PolyHash.P}))")
+      .mkString("[", ", ", "]")
+    s"""WITH b0 AS (SELECT doc_id id, text FROM documents),
+       |sh AS (SELECT id, CASE WHEN length(text) >= $n THEN
+       |  list_distinct(list_transform(range(1, length(text) - ${n - 2}), i -> substr(text, i, $n)))
+       |  ELSE [] END s FROM b0),
+       |hs AS (SELECT id, s, list_transform(s, g -> ${PolyHash.sql("g", PolyHash.B1)}) h FROM sh WHERE len(s) > 0),
+       |sg AS (SELECT id, $sigTerms sig FROM hs),
+       |bk AS (SELECT id, r.range band,
+       |  list_reduce(list_prepend(0::BIGINT, list_slice(sig, r.range * $r + 1, r.range * $r + $r)),
+       |    (acc, v) -> (acc * ${PolyHash.B1} + v) % ${PolyHash.P}) bkey
+       |  FROM sg CROSS JOIN range(0, $bands) r),
+       |cd AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bk a JOIN bk b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |vr AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) c, len(sa.s) za, len(sb.s) zb
+       |  FROM cd JOIN sh sa ON sa.id = cd.id_a JOIN sh sb ON sb.id = cd.id_b)
+       |SELECT id_a, id_b, c::DOUBLE / (za + zb - c) jaccard FROM vr
+       |WHERE c::DOUBLE / (za + zb - c) >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** DuckDB oracle for simhash near-dups: 62-bit two-polynomial fingerprint
+    * (bit votes over token multisets), pigeonhole chunk join, hamming ≤ max. */
+  private def simhashOracle(maxHamming: Int): String = {
+    val chunkRows = Dedup.simHashChunks(maxHamming + 1).zipWithIndex
+      .map { case ((off, w), c) => s"($c, $off, $w)" }.mkString(", ")
+    s"""WITH b0 AS (SELECT doc_id id,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0) toks FROM documents),
+       |tk AS (SELECT id, unnest(toks) tok FROM b0),
+       |hh AS (SELECT id, ${PolyHash.sql("tok", PolyHash.B1)} h1, ${PolyHash.sql("tok", PolyHash.B2)} h2 FROM tk),
+       |vt AS (SELECT id, r.range b,
+       |  SUM(CASE WHEN ((CASE WHEN r.range < 31 THEN (h1 >> r.range) ELSE (h2 >> (r.range - 31)) END) & 1) = 1
+       |    THEN 1 ELSE -1 END) vote
+       |  FROM hh CROSS JOIN range(0, 62) r GROUP BY 1, 2),
+       |fp0 AS (SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) f
+       |  FROM vt GROUP BY 1),
+       |fp AS (SELECT b0.id, coalesce(fp0.f, 0) f FROM b0 LEFT JOIN fp0 ON b0.id = fp0.id),
+       |bk AS (SELECT id, f, c.chunk, (f >> c.off) & ((1::BIGINT << c.w) - 1) bkey
+       |  FROM fp CROSS JOIN (VALUES $chunkRows) c(chunk, off, w)),
+       |pr AS (SELECT DISTINCT a.id id_a, b.id id_b, CAST(bit_count(xor(a.f, b.f)) AS INT) hamming
+       |  FROM bk a JOIN bk b ON a.chunk = b.chunk AND a.bkey = b.bkey AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O8+O11: top-K similarity join, per metric (O5)
@@ -105,13 +180,26 @@ object SparkEntry {
     "knn_braycurtis_top5" -> ((s, dir) => knn(s, dir, "brayCurtis", 5)),
     "knn_canberra_top5"   -> ((s, dir) => knn(s, dir, "canberra", 5)),
     "knn_js_top5"   -> ((s, dir) => knn(s, dir, "jensen_shannon", 5)),
-    // O6 ANN access path: IVF cells + nprobe pruning (no SQL oracle:
-    // approximate by design; recall-vs-exact asserted in SearcherSpec)
+    // O6 ANN access path: IVF cells machinery, gated EXACTLY by probing all
+    // nlist cells (nprobe = nlist ⇒ full coverage ⇒ result ≡ brute force ⇒
+    // the cos oracle applies); the recall/speed trade of partial probing is
+    // exercised by knn_ivf_pruned + SearcherSpec's recall assertion
     "knn_ivf_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-          measurement = "cos", indexParam = "IVF16,Flat", nprobe = 12))
+          measurement = "cos", indexParam = "IVF16,Flat", nprobe = 16))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // the 100 TB shape: scan only nprobe/nlist of the corpus per query
+    // (approximate by design → rows-only gate; recall asserted in spec)
+    "knn_ivf_pruned" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF16,Flat", nprobe = 4))
         .fit(items)
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
@@ -152,27 +240,32 @@ object SparkEntry {
         .orderBy("vec_id", "pos")
     }),
     // O16/O17 encoder flow (README flow 1): feature-hash encoder over the
-    // documents table, payload carried into results (no SQL oracle: the
-    // hashing-trick encoder is not SQL-expressible)
+    // documents table, payload carried into results. Polynomial-hash
+    // embedding ⇒ full DuckDB oracle; doc_id as both row_id and query id
+    // keeps every rank deterministic.
     "knn_hash_encoder" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-        .select("text", "doc_id", "lang", "source", "n_chars")
+        .select("text", "doc_id", "lang", "n_chars")
+        .withColumn("m_doc_id", col("doc_id"))
       val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
-        SearcherParams()).fit(docs)
-      model.search(docs.limit(10), topK = 5, keepRankNo = true)
-        .select(col("query_id"), col("rank_no"), col("sim_val"),
-          col("doc_id").as("sim_doc_id"), col("lang"), col("n_chars"))
-        .orderBy("query_id", "rank_no")
+        SearcherParams(idCol = Some("doc_id"))).fit(docs)
+      model.search(docs.filter(col("doc_id") < 10), topK = 5,
+          keepRankNo = true, queryIdCol = Some("doc_id"))
+        .select(col("doc_id").as("source_id"), col("rank_no"), col("sim_val"),
+          col("m_doc_id"), col("lang"), col("n_chars"))
+        .orderBy("source_id", "rank_no")
     }),
     // O13 cal_sim: 1×N dot-product scoring, descending (needs no fit —
-    // encoder-only, like the reference)
+    // encoder-only, like the reference); items = texts of doc_id 0..19
     "cal_sim" -> ((s, dir) => {
-      val items2 = table(s, dir, "documents").limit(20)
-        .collect().map(_.getAs[String]("text")).toSeq
+      val items2 = table(s, dir, "documents").filter(col("doc_id") < 20)
+        .orderBy("doc_id").select("text")
+        .collect().map(_.getString(0)).toSeq
       new SparkSearcher(new graft.encoders.HashEncoder(64), SearcherParams())
         .calSim(s, items2.head, items2)
     }),
-    // multimodal: binary ingestion → batched stub decode → per-modality stats
+    // multimodal: binary ingestion → batched stub decode → per-modality
+    // stats (deterministic code-point fake ⇒ full oracle)
     "multimodal_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.ingestFromText(
@@ -212,20 +305,30 @@ object SparkEntry {
       nlist = 16, nprobe = 4)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
+    // same machinery gated EXACTLY: nprobe = nlist ⇒ every pair shares a
+    // cell ⇒ output ≡ brute force ⇒ the cos-pairs oracle applies (subset
+    // keeps the all-cells blow-up cheap)
+    "dedup_embedding_blocked_full" -> ((s, dir) => Dedup.embeddingNearDupsBlocked(
+      table(s, dir, "embeddings").filter(col("vec_id") < 800),
+      "vec_id", "embedding", threshold = 0.4, nlist = 4, nprobe = 4)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
     // O12 feature-sep projection: query/doc items truncated at the first
-    // separator in results (faiss_searcher.py:150-156); no SQL oracle (the
-    // hash-encoder ranking isn't SQL-expressible) — sep behavior also
-    // asserted in SearcherSpec
+    // separator in results (faiss_searcher.py:150-156); full oracle via the
+    // polynomial hash-embedding + split_part
     "search_feature_sep" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-        .select("text", "doc_id", "lang", "source", "n_chars")
+        .select("text", "doc_id")
+        .withColumn("m_doc_id", col("doc_id"))
       val model = new SparkSearcher(new graft.encoders.HashEncoder(64),
-        SearcherParams(docFeatureSep = Some(" "), queryFeatureSep = Some(" ")))
+        SearcherParams(idCol = Some("doc_id"),
+          docFeatureSep = Some(" "), queryFeatureSep = Some(" ")))
         .fit(docs)
-      model.search(docs.limit(10), topK = 3, keepRankNo = true)
-        .select(col("query_id"), col("rank_no"), col("source_item"),
-          col("sim_item"), col("doc_id").as("sim_doc_id"))
-        .orderBy("query_id", "rank_no")
+      model.search(docs.filter(col("doc_id") < 10), topK = 3,
+          keepRankNo = true, queryIdCol = Some("doc_id"))
+        .select(col("doc_id").as("source_id"), col("rank_no"),
+          col("source_item"), col("sim_item"), col("m_doc_id"))
+        .orderBy("source_id", "rank_no")
     }),
     // text analysis: token counts, ratios (integer-exact + one double div)
     "text_stats" -> ((s, dir) => table(s, dir, "documents")
@@ -332,6 +435,44 @@ object SparkEntry {
     "knn_js_top5"   -> knnOracle("jensen_shannon", 5),
     "knn_multik_k3" -> knnOracle("cos", 3),
     "save_load_search" -> knnOracle("cos", 10),
+    // IVF probing all cells ≡ exact ⇒ brute-force oracle applies
+    "knn_ivf_cos" -> knnOracle("cos", 10),
+    "knn_hash_encoder" -> hashKnnOracle(5,
+      "qid source_id, CAST(rn - 1 AS INT) rank_no, CAST(c AS FLOAT) sim_val, " +
+        "xid m_doc_id, lang, n_chars"),
+    "search_feature_sep" -> hashKnnOracle(3,
+      "qid source_id, CAST(rn - 1 AS INT) rank_no, " +
+        "split_part(qtext, ' ', 1) source_item, split_part(xtext, ' ', 1) sim_item, " +
+        "xid m_doc_id"),
+    "cal_sim" ->
+      s"""WITH d0 AS (SELECT doc_id, text, ${HashEmbedKernel.sqlRawVec("text", 64)} v0
+         |  FROM documents WHERE doc_id < 20),
+         |${HashEmbedKernel.normCtes("d0")},
+         |q AS (SELECT v FROM fv WHERE doc_id = 0)
+         |SELECT fv.text item, CAST(list_dot_product(fv.v, q.v) AS FLOAT) score
+         |FROM fv CROSS JOIN q""".stripMargin.replace("\n", " "),
+    "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+    "dedup_simhash" -> simhashOracle(maxHamming = 3),
+    "multimodal_features" ->
+      """WITH m AS (SELECT doc_id media_id, 'text' modality,
+        |  octet_length(encode(text)) payload_bytes, text FROM documents),
+        |h AS (SELECT media_id, modality, payload_bytes,
+        |  list_transform(range(0, 16), i -> len(list_filter(
+        |    list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch) % 16), c -> c = i))) hist FROM m),
+        |n0 AS (SELECT *, sqrt(list_sum(list_transform(hist, c -> (c * c)::DOUBLE))) nrm FROM h),
+        |f AS (SELECT modality, payload_bytes, CASE WHEN nrm = 0 THEN 0.0 ELSE
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(hist, c -> ((c::DOUBLE / nrm)::FLOAT)::DOUBLE)),
+        |    (a, x) -> a + x) END fs FROM n0)
+        |SELECT modality, count(*) n_media, CAST(sum(payload_bytes) AS BIGINT) total_bytes,
+        |  CAST(sum(CAST(fs AS DECIMAL(28,10))) AS DOUBLE) sum_feat
+        |FROM f GROUP BY modality ORDER BY modality""".stripMargin.replace("\n", " "),
+    "dedup_embedding_blocked_full" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 800),
+        |p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+        |  list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM p WHERE c >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,

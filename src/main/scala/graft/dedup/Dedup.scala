@@ -111,14 +111,21 @@ object Dedup {
   def minHashSignature(text: Column, n: Int, numHashes: Int): Column =
     minHashSignatureBy(charShingles(text, n), numHashes)
 
-  def minHashSignatureBy(shingles: Column, numHashes: Int): Column = {
-    // 2^31 − 1 (Mersenne prime): (a·(h mod p) + b) stays < 2^62, no ANSI
-    // long overflow; plenty of hash space for min-hashing. All numHashes
-    // minima computed in ONE pass over the shingles (MinHashSignatureExpr).
-    val p = 2147483647L
+  /** Deterministic permutation coefficients, exposed so the DuckDB oracle
+    * builder can embed the exact same values. */
+  def minHashCoefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+    val p = graft.functions.PolyHash.P
     val rnd = new scala.util.Random(42)
     val coefA = Array.fill(numHashes)(math.abs(rnd.nextLong()) % (p - 1) + 1)
     val coefB = Array.fill(numHashes)(math.abs(rnd.nextLong()) % p)
+    (coefA, coefB)
+  }
+
+  def minHashSignatureBy(shingles: Column, numHashes: Int): Column = {
+    // 2^31 − 1 (Mersenne prime): (a·h + b) stays < 2^62, no ANSI long
+    // overflow; plenty of hash space for min-hashing. All numHashes minima
+    // computed in ONE pass over the shingles (MinHashSignatureExpr).
+    val (coefA, coefB) = minHashCoefficients(numHashes)
     toCol(MinHashSignatureExpr(toExpr(shingles), coefA, coefB))
   }
 
@@ -136,8 +143,7 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"),
       minHashSignature(col(textCol), n, numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map(bIdx =>
-        hash(slice(col("sig"), bIdx * r + 1, r))): _*)).as(Seq("band", "bh")))
+      toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     left.join(right, Seq("band", "bh"))
@@ -161,8 +167,7 @@ object Dedup {
     val sig = texts.select(col("id"),
       minHashSignatureBy(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map(bIdx =>
-        hash(slice(col("sig"), bIdx * r + 1, r))): _*)).as(Seq("band", "bh")))
+      toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cands = left.join(right, Seq("band", "bh"))
@@ -181,34 +186,44 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash over whitespace tokens: per token the same xxhash64
-   * Spark's built-in uses; each bit votes ±1; the vote signs form the
-   * fingerprint. One codegen'd expression ([[SimHash64]]), single pass.
+   * 62-bit SimHash over whitespace tokens (two polynomial hashes per
+   * token, [[SimHashKernels]]): each bit votes ±1; the vote signs form
+   * the fingerprint. One codegen'd expression ([[SimHash62]]), single
+   * pass, bit-exactly reproducible in DuckDB SQL.
    */
-  def simHash64(text: Column): Column = {
+  def simHash62(text: Column): Column = {
     val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    org.apache.spark.sql.graftshim.GraftSql.column(
-      SimHash64(org.apache.spark.sql.graftshim.GraftSql.expression(toks)))
+    toCol(SimHash62(toExpr(toks)))
   }
 
-  /** SimHash near-dup pairs within `maxHamming`: band the 64-bit space into
+  /** Chunk (offset, width) partition of the 62-bit space into `chunks`
+    * contiguous pieces, widths as even as possible — shared with the
+    * oracle builder. */
+  def simHashChunks(chunks: Int): Seq[(Int, Int)] = {
+    val base = SimHashKernels.Bits / chunks
+    val rem = SimHashKernels.Bits % chunks
+    val widths = Seq.tabulate(chunks)(c => if (c < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`: band the 62-bit space into
     * `maxHamming+1` chunks (pigeonhole: a pair within the distance agrees
     * exactly on ≥1 chunk), equi-join per chunk, verify with bit_count(xor).
     * Returns `[id_a, id_b, hamming]`. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val sh = df.select(col(idCol).as("id"), simHash64(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
     val banded = sh.select(col("id"), col("sh"), posexplode(
-      array((0 until chunks).map(c =>
-        shiftright(col("sh"), c * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("chunk", "key")))
+      array(simHashChunks(chunks).map { case (off, width) =>
+        shiftright(col("sh"), off)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk", "key")))
     val l = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
     l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

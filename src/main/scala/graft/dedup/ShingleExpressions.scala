@@ -50,29 +50,52 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
-  /** Full MinHash signature in one pass: for each shingle, xxhash64 (seed
-    * 42, same as Spark's built-in) then all `numHashes` permutations
-    * `(a·(h mod p) + b) mod p`, tracking each minimum. */
+  /** Full MinHash signature in one pass: for each shingle, the oracle-
+    * expressible polynomial hash ([[graft.functions.PolyHash]]) then all
+    * `numHashes` permutations `(a·h + b) mod p`, tracking each minimum.
+    * Every product stays < 2^62 — no overflow on either side. */
   def minHashSignature(shingles: ArrayData, coefA: Array[Long],
       coefB: Array[Long]): ArrayData = {
-    val p = 2147483647L // 2^31 − 1
+    val p = graft.functions.PolyHash.P
     val k = coefA.length
     val mins = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      val hp = ((h % p) + p) % p
+      val h = graft.functions.PolyHash.hash(
+        shingles.getUTF8String(i), graft.functions.PolyHash.B1)
       var j = 0
       while (j < k) {
-        val v = (coefA(j) * hp + coefB(j)) % p
+        val v = (coefA(j) * h + coefB(j)) % p
         if (v < mins(j)) mins(j) = v
         j += 1
       }
       i += 1
     }
     new GenericArrayData(mins.map(Long.box))
+  }
+
+  /** LSH band keys: fold each of the `bands` signature slices of length `r`
+    * with the same polynomial combine the oracle uses:
+    * `acc = (acc·B1 + v) mod P`. */
+  def bandKeys(sig: ArrayData, bands: Int, r: Int): ArrayData = {
+    val p = graft.functions.PolyHash.P
+    val m = graft.functions.PolyHash.B1
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < r) {
+        // signature values are < P except the empty-set sentinel
+        // Long.MaxValue; reduce first so the product stays < 2^52
+        acc = (acc * m + sig.getLong(b * r + j) % p) % p
+        j += 1
+      }
+      out(b) = Long.box(acc)
+      b += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -151,6 +174,18 @@ case class WordShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.wordShingles($c, $w)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** LSH band keys of a MinHash signature (array<long> → array<long> of
+  * `bands` polynomial folds over length-`r` slices). */
+case class BandKeysExpr(child: Expression, bands: Int, r: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.bandKeys(v.asInstanceOf[ArrayData], bands, r)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.bandKeys($c, $bands, $r)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "band_keys"
 }
 
 /** `child` is an array<string> of shingles; coefficients ride as plan

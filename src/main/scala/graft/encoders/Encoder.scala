@@ -59,28 +59,17 @@ final class PassthroughEncoder(vecCol: String) extends Encoder {
  * plug-in contract with reproducible vectors. Tokenizes on non-word chars
  * (lowercased, like the reference tokenizer's do_lower_case,
  * encoder_utils.py:56), hashes each token into one of `dimension` buckets
- * with a sign hash (classic hashing trick), then L2-normalizes.
- *
- * Expressed with built-in codegen'd functions + native expressions — no
- * UDF: split → filter empties → per-token murmur3 bucket/sign via `hash()`
- * → aggregate into the bucket array.
+ * with a sign hash (classic hashing trick), then L2-normalizes — all in
+ * one codegen'd kernel ([[HashEmbedExpr]]), bit-exactly reproducible in
+ * DuckDB SQL so encoder-path searches get full oracles.
  */
 final class HashEncoder(dimension: Int = 64) extends Encoder {
   override def dim: Option[Int] = Some(dimension)
 
-  override def encode(df: DataFrame, itemCol: String, outCol: String): DataFrame = {
-    val toks = filter(split(lower(col(itemCol)), "\\W+"), t => length(t) > 0)
-    // per token: bucket = pmod(hash(t), dim), sign from an independent seed
-    val contrib = transform(toks, t =>
-      struct(pmod(hash(t), lit(dimension)).as("b"),
-        (pmod(hash(t, lit(777)), lit(2)) * 2 - 1).cast("float").as("s")))
-    // fold contributions into a dense dim-bucket vector
-    val zeros = array_repeat(lit(0.0f), dimension)
-    val vec = aggregate(contrib, zeros, (acc, c) =>
-      transform(acc, (v, i) => when(i === c.getField("b"),
-        v + c.getField("s")).otherwise(v)))
-    df.withColumn(outCol, vec_l2_normalize(as_float_vec(vec)))
-  }
+  override def encode(df: DataFrame, itemCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, org.apache.spark.sql.graftshim.GraftSql.column(
+      HashEmbedExpr(org.apache.spark.sql.graftshim.GraftSql.expression(
+        col(itemCol).cast("string")), dimension)))
 }
 
 /**

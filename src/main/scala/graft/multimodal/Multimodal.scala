@@ -37,22 +37,27 @@ object Multimodal {
 
   /**
    * STUB decoder: deterministic fake "decode + feature extraction" standing
-   * in for a real media codec. Produces a `dim`-bucket byte histogram
-   * (normalized) — shape-compatible with a real embedding so everything
-   * downstream (similarity search, dedup, clustering) runs unchanged.
+   * in for a real media codec. Interprets the payload as UTF-8 and produces
+   * a `dim`-bucket code-point histogram (L2-normalized) — shape-compatible
+   * with a real embedding so everything downstream (similarity search,
+   * dedup, clustering) runs unchanged, and bit-exactly reproducible in
+   * DuckDB SQL (`ascii(ch) % dim` over `regexp_extract_all(text, '.')`,
+   * so '\n' code points are skipped on both sides).
    */
   def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
     val counts = new Array[Float](dim)
     if (payload != null) {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
-      while (i < payload.length) {
-        counts((payload(i) & 0xff) % dim) += 1f
-        i += 1
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (cp != '\n'.toInt) counts(cp % dim) += 1f
+        i += Character.charCount(cp)
       }
       var ss = 0.0
       counts.foreach(c => ss += c.toDouble * c)
       val norm = math.sqrt(ss)
-      if (norm > 0) { i = 0; while (i < dim) { counts(i) = (counts(i) / norm).toFloat; i += 1 } }
+      if (norm > 0) { i = 0; while (i < dim) { counts(i) = (counts(i).toDouble / norm).toFloat; i += 1 } }
     }
     counts
   }
@@ -79,7 +84,9 @@ object Multimodal {
     }(enc)
   }
 
-  /** Per-modality feature statistics — the downstream-analytics shape. */
+  /** Per-modality feature statistics — the downstream-analytics shape.
+    * The double feat_sum goes through DECIMAL before the cross-row sum so
+    * the aggregate is independent of row order (oracle-exact). */
   def featureStats(withFeatures: DataFrame): DataFrame =
     withFeatures
       .select(col("modality"), col("media_id"),
@@ -89,5 +96,6 @@ object Multimodal {
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("payload_bytes")).as("total_bytes"),
-        avg(col("feat_sum")).as("avg_feat_sum"))
+        sum(col("feat_sum").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("sum_feat"))
 }

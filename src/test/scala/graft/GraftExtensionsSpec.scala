@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       vec_l1(array(1.0F, 0.0F), array(3.0F, 4.0F)) l1,
         |       vec_lp(array(1.0F, 0.0F), array(3.0F, 4.0F), 3.0) lp,
         |       vec_l2_normalize(array(3.0F, 4.0F)) nv,
-        |       simhash64(array('a', 'b')) sh""".stripMargin).head()
+        |       simhash62(array('a', 'b')) sh""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) === 6.0)
     assert(math.abs(r.getDouble(2) - 72.0) < 1e-9)

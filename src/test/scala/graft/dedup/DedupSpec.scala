@@ -52,7 +52,7 @@ class DedupSpec extends SparkSpec {
     val df = Seq(
       ("a b c d e f g h", "a b c d e f g h"),
       ("a b c d e f g h", "a b c d e f g z")).toDF("t1", "t2")
-      .select(Dedup.simHash64(col("t1")).as("h1"), Dedup.simHash64(col("t2")).as("h2"))
+      .select(Dedup.simHash62(col("t1")).as("h1"), Dedup.simHash62(col("t2")).as("h2"))
     val rows = df.collect()
     assert(rows(0).getLong(0) === rows(0).getLong(1))
     val hamming = java.lang.Long.bitCount(rows(1).getLong(0) ^ rows(1).getLong(1))
