@@ -23,7 +23,7 @@ object SimHashKernels {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val s = tokens.getUTF8String(i).toString
+      val s = tokens.getUTF8String(i)
       val h1 = PolyHash.hash(s, PolyHash.B1)
       val h2 = PolyHash.hash(s, PolyHash.B2)
       var b = 0

@@ -34,7 +34,22 @@ object PolyHash {
     acc
   }
 
-  def hash(s: UTF8String, mult: Long): Long = hash(s.toString, mult)
+  /** UTF8String overload with an ASCII fast path: for pure-ASCII bytes the
+    * UTF-8 bytes ARE the code points, so the fold runs straight over the
+    * byte buffer with no String allocation (the common case for tokens);
+    * any high byte falls back to proper code-point iteration. */
+  def hash(s: UTF8String, mult: Long): Long = {
+    val n = s.numBytes
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return hash(s.toString, mult) // non-ASCII → code-point path
+      if (b != '\n'.toByte) acc = (acc * mult + b) % P
+      i += 1
+    }
+    acc
+  }
 
   /** The DuckDB expression computing exactly [[hash]] of `sqlExpr`. */
   def sql(sqlExpr: String, mult: Long): String =

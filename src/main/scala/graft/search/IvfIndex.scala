@@ -1,7 +1,5 @@
 package graft.search
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -77,15 +75,83 @@ object IvfIndex {
   def nearestCentroidsCol(v: Column, cents: Array[Array[Float]], n: Int): Column =
     column(NearestCentroids(expression(v), cents, n))
 
-  /** K-means centroids on (a sample of) the vectors. Deterministic: fixed
-    * seed, deterministic sample (mirrors the reference's sampled whitening
-    * fit idea, bert_encoder.py:163-171). */
+  /** K-means centroids on a bounded sample of the vectors, Lloyd-iterated
+    * ON THE DRIVER. Training the coarse quantizer on a ≤100k sample is the
+    * standard IVF recipe (faiss does exactly this): at 100 TB the sample is
+    * one narrow collect, the Lloyd iterations are a few hundred MFLOPs of
+    * local arithmetic, and the cluster never runs the 10+ tiny jobs a
+    * distributed k-means would schedule per iteration. Deterministic:
+    * fixed-seed sample, k-means++-lite init from the sample order. */
   def fitCentroids(df: DataFrame, vecCol: String, nlist: Int, total: Long): Array[Array[Float]] = {
     val fraction = if (total <= MaxTrainRows) 1.0 else MaxTrainRows.toDouble / total
-    val train = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
-      .select(array_to_vector(col(vecCol).cast(ArrayType(org.apache.spark.sql.types.DoubleType))).as("features"))
-    val km = new KMeans().setK(nlist).setSeed(42).setMaxIter(10).setFeaturesCol("features")
-    km.fit(train).clusterCenters.map(_.toArray.map(_.toFloat))
+    val sample = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
+      .select(col(vecCol).cast(ArrayType(FloatType)))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "IVF fit: no vectors to train on")
+    lloyd(sample, math.min(nlist, sample.length), iters = 10)
+  }
+
+  /** Plain Lloyd k-means over a local sample: deterministic spread-out init
+    * (greedy farthest-point from a fixed start), 10 iterations, empty
+    * clusters re-seeded from the farthest point. */
+  private[search] def lloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val n = xs.length
+    val d = xs(0).length
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i).toDouble - b(i); s += t * t; i += 1 }
+      s
+    }
+    // farthest-point init (deterministic k-means++ analog, no RNG)
+    val cents = new Array[Array[Float]](k)
+    cents(0) = xs(0).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var far = 0; var farD = -1.0; var i = 0
+      while (i < n) {
+        val dd = d2(xs(i), cents(c - 1))
+        if (dd < minD(i)) minD(i) = dd
+        if (minD(i) > farD) { farD = minD(i); far = i }
+        i += 1
+      }
+      cents(c) = xs(far).clone(); c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var j = 0
+        while (j < k) {
+          val dd = d2(xs(i), cents(j))
+          if (dd < bestD) { bestD = dd; best = j }
+          j += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        val x = xs(i); var f = 0
+        while (f < d) { sums(a)(f) += x(f); f += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val cj = new Array[Float](d); var f = 0
+          while (f < d) { cj(f) = (sums(j)(f) / counts(j)).toFloat; f += 1 }
+          cents(j) = cj
+        }
+        j += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Assign each indexed row its cell id (fit-time, stored + co-partitioned). */

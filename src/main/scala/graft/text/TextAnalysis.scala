@@ -53,7 +53,13 @@ object TextAnalysis {
    * token length, some stopwords; punish punctuation soup. Deterministic
    * double arithmetic, exact oracle.
    */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(QualityExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
+  /** Column/HOF formulation of [[qualityScore]] — same arithmetic,
+    * interpreted (kept as the semantic cross-check). */
+  def qualityScoreColumns(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
     val mtl = meanTokenLen(text)
     val mtlScore = when(mtl >= 3.0 && mtl <= 10.0, 1.0).otherwise(0.5)
@@ -92,8 +98,15 @@ object TextAnalysis {
     }
 
   /** Identified language: argmax of marker hits, ties → "und"
-    * (undetermined) unless one language strictly wins. */
-  def langId(text: Column): Column = {
+    * (undetermined) unless one language strictly wins. Single-pass codegen
+    * kernel ([[TextKernels.langId]]); [[langIdColumns]] is the equivalent
+    * built-in-function formulation (kept as the semantic cross-check). */
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(LangIdExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
+  /** Column/HOF formulation of [[langId]] — same semantics, interpreted. */
+  def langIdColumns(text: Column): Column = {
     val hits = LangMarkers.map { case (lang, markers) =>
       (lang, markerHits(lang, text, markers))
     }

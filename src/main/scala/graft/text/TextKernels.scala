@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Single-pass kernels for the text-analysis operators. The Column/HOF
+ * formulations ([[TextAnalysis]]) re-tokenize per sub-expression in
+ * interpreted lambdas; these kernels tokenize once per row inside
+ * whole-stage codegen. Semantics are IDENTICAL to the Column versions and
+ * to the DuckDB oracles: ASCII `\s` runs delimit tokens, ASCII
+ * `[^A-Za-z0-9\s]` counts as punctuation, marker matching is
+ * token-equality (or substring containment for CJK profiles).
+ */
+object TextKernels {
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  private val stopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextAnalysis.Stopwords.foreach(s.add)
+    s
+  }
+
+  // (lang, token-equality marker set or null, substring markers or null)
+  private val profiles: Array[(String, java.util.HashSet[String], Array[String])] =
+    TextAnalysis.LangMarkers.map { case (lang, markers) =>
+      if (TextAnalysis.SubstringLangs(lang)) (lang, null, markers.toArray)
+      else {
+        val s = new java.util.HashSet[String]()
+        markers.foreach(s.add)
+        (lang, s, null)
+      }
+    }.toArray
+
+  private val und = UTF8String.fromString("und")
+  private val langU: Map[String, UTF8String] =
+    TextAnalysis.LangMarkers.map { case (l, _) => l -> UTF8String.fromString(l) }.toMap
+
+  /** Identified language — single tokenize, per-profile hit counts, strict
+    * argmax (ties or zero hits → "und"). Matches [[TextAnalysis.langId]]. */
+  def langId(text: UTF8String): UTF8String = {
+    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val k = profiles.length
+    val hits = new Array[Int](k)
+    var p = 0
+    while (p < k) {
+      val (_, tokSet, substr) = profiles(p)
+      if (substr != null) {
+        var m = 0
+        while (m < substr.length) {
+          if (lower.contains(substr(m))) hits(p) += 1
+          m += 1
+        }
+      } else {
+        var i = 0
+        val n = lower.length
+        while (i < n) {
+          while (i < n && isWs(lower.charAt(i))) i += 1
+          val start = i
+          while (i < n && !isWs(lower.charAt(i))) i += 1
+          if (i > start && tokSet.contains(lower.substring(start, i))) hits(p) += 1
+        }
+      }
+      p += 1
+    }
+    var best = 0
+    p = 0
+    while (p < k) { if (hits(p) > best) best = hits(p); p += 1 }
+    if (best == 0) return und
+    var winner = -1
+    p = 0
+    while (p < k) {
+      if (hits(p) == best) { if (winner >= 0) return und; winner = p }
+      p += 1
+    }
+    langU(profiles(winner)._1)
+  }
+
+  /** Composite quality score — same arithmetic tree as
+    * [[TextAnalysis.qualityScore]] (and its oracle), one pass. */
+  def quality(text: UTF8String): Double = {
+    val s = text.toString
+    val len = s.codePointCount(0, s.length)
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    var punct = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (!alnum && !isWs(c)) punct += 1
+      i += 1
+    }
+    var ntoks = 0
+    var sumLens = 0L
+    var nstop = 0
+    i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && isWs(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lower.charAt(i))) i += 1
+      if (i > start) {
+        ntoks += 1
+        sumLens += lower.codePointCount(start, i)
+        if (stopwords.contains(lower.substring(start, i))) nstop += 1
+      }
+    }
+    val lenScore = math.min(len.toDouble / 400.0, 1.0)
+    val mtl = if (ntoks == 0) 0.0 else sumLens.toDouble / ntoks
+    val mtlScore = if (mtl >= 3.0 && mtl <= 10.0) 1.0 else 0.5
+    val sw = if (ntoks == 0) 0.0 else nstop.toDouble / ntoks
+    val swScore = if (sw >= 0.05) 1.0 else sw * 20.0
+    val pr = if (len == 0) 0.0 else punct.toDouble / len
+    val punctScore = if (pr <= 0.2) 1.0 else math.max(0.0, 1.0 - (pr - 0.2) * 2.0)
+    lenScore * 0.25 + mtlScore * 0.25 + swScore * 0.25 + punctScore * 0.25
+  }
+}
+
+/** Codegen'd language identification (see [[TextKernels.langId]]). */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.langId(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.langId($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "lang_id"
+}
+
+/** Codegen'd composite quality score (see [[TextKernels.quality]]). */
+case class QualityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.quality(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.quality($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "quality_score"
+}

@@ -66,4 +66,21 @@ class TextAnalysisSpec extends SparkSpec {
     // h("ab") = (0*31+97)*31+98 mod p = 3105
     assert(r(0) === 3105L)
   }
+
+  test("kernel formulations match the Column/HOF cross-checks on the corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("zh", org.apache.spark.sql.functions.concat(col("text"),
+        org.apache.spark.sql.functions.lit(" \u7684\u662f\u5728")))
+    val diff = docs.select(
+        TextAnalysis.langId(col("text")).as("k1"),
+        TextAnalysis.langIdColumns(col("text")).as("c1"),
+        TextAnalysis.qualityScore(col("text")).as("k2"),
+        TextAnalysis.qualityScoreColumns(col("text")).as("c2"),
+        TextAnalysis.langId(col("zh")).as("k3"),
+        TextAnalysis.langIdColumns(col("zh")).as("c3"))
+      .filter(col("k1") =!= col("c1") || col("k2") =!= col("c2") ||
+        col("k3") =!= col("c3"))
+      .count()
+    assert(diff === 0L)
+  }
 }
