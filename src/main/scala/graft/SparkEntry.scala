@@ -412,6 +412,59 @@ object SparkEntry {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")),
+    // LSH-bucketed embedding near-dup: deterministic sign-random-projection
+    // candidates + exact cos verify — fully oracle-checked ANN pipeline
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
+      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
+      numTables = 12, bits = 6, seed = 42L)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
+    // as-of join: each event joined to the user's latest prior purchase
+    // (union + one window pass — single shuffle, no range explosion)
+    "q_asof_join" -> ((s, dir) => {
+      import graft.operators.Relational
+      // microsecond timestamps on both sides: DuckDB TIMESTAMP is µs —
+      // comparing raw nanos against µs-truncated oracle times could flip
+      // same-µs as-of matches
+      val ev = table(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      // aggregate purchase value per (user, ts) so as-of keys are unique
+      val p = table(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .groupBy(col("user_id"), expr("ts div 1000").as("pts"))
+        .agg(sum(col("value").cast(DecimalType(20, 2))).cast("double").as("pv"))
+      Relational.asofJoin(ev, p, keys = Seq("user_id"),
+          leftTime = "ts_us", rightTime = "pts", valueCols = Seq("pv"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("pv").as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
+    // exact discrete percentiles by rank selection (values, not
+    // interpolations — bit-exact, order-independent)
+    "q_percentiles" -> ((s, dir) => graft.operators.Relational.exactPercentiles(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag")),
+    // CUBE over two dims with sentinel'd keys (rollup's sibling)
+    "q_cube" -> ((s, dir) => table(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")),
+    // salted equi-join (hot-key mitigation): output must equal the plain
+    // join, which is exactly what the oracle checks
+    "q_salted_join" -> ((s, dir) => graft.operators.Relational.saltedEquiJoin(
+      table(s, dir, "lineitem"), table(s, dir, "orders"),
+      "l_orderkey", "o_orderkey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -611,5 +664,49 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin.replace("\n", " "),
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin.replace("\n", " "),
+    "dedup_embedding_lsh" -> {
+      val planes = graft.search.SignLsh.planes(numTables = 12, bits = 6, dim = 64, seed = 42L)
+      val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, $bucketExprs bs FROM e),
+         |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM n0 CROSS JOIN range(0, 12) r),
+         |cd AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a JOIN bk b
+         |  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |vr AS (SELECT id_a, id_b,
+         |  CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+         |    ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END c
+         |  FROM cd JOIN n0 na ON na.vec_id = cd.id_a JOIN n0 nb ON nb.vec_id = cd.id_b)
+         |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM vr WHERE c >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+    },
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) ts_us, event_type
+        |  FROM events WHERE user_id < 50),
+        |p AS (SELECT user_id, epoch_us(ts) pts,
+        |  CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) pv
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 50 GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_us, e.event_type, p.pv last_purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.pts
+        |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+    "q_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_extendedprice v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(CASE WHEN rn = ceil(0.5 * n) THEN v END) p50,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN v END) p90,
+        |  max(CASE WHEN rn = ceil(0.99 * n) THEN v END) p99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
   )
 }

@@ -251,6 +251,39 @@ object Dedup {
   }
 
   /**
+   * LSH-bucketed embedding near-dup: sign-random-projection tables
+   * ([[graft.search.SignLsh]]) generate candidates via an equi-join on
+   * `(table, bucket)`; candidates are verified with the exact cosine.
+   * Approximate with tunable recall (more tables / fewer bits ⇒ higher
+   * recall), but — unlike the k-means blocking — fully DETERMINISTIC given
+   * the seed, so the whole pipeline has a bit-exact DuckDB oracle.
+   */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numTables: Int = 12, bits: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    import graft.search.SignLsh
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("v"))
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val planes = SignLsh.planes(numTables, bits, dim, seed)
+    val bucketed = base
+      .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(SignLsh.bucketsCol(col("v"), planes)).as(Seq("tbl", "bkt")))
+    val a = bucketed.select(col("tbl"), col("bkt"),
+      col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = bucketed.select(col("tbl"), col("bkt"),
+      col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("tbl", "bkt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("n_a") * col("n_b") === 0.0, 0.0)
+          .otherwise(VectorFunctions.vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair can collide in several tables
+  }
+
+  /**
    * Cell-blocked embedding near-dup (the 100 TB path): k-means the vectors
    * into `nlist` cells (same coarse quantizer as the IVF index), assign
    * each vector its `nprobe` nearest cells, and compare only pairs sharing

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operators beyond the built-in surface, each expressed as a
+ * single-shuffle declarative plan (the shape that survives a 1000-executor
+ * scale-up) and each with an exact DuckDB oracle.
+ */
+object Relational {
+
+  /**
+   * As-of (backward) join: for every left row, the latest right row of the
+   * same key with `rightTime <= leftTime`. Implemented as union + one
+   * window pass — ONE shuffle on the key, a sort within partitions, no
+   * range cross-product (the naive `l.time >= r.time` theta-join explodes
+   * quadratically per key; this is linear). Right rows must be unique per
+   * `(keys, rightTime)` — pre-aggregate if not (ties would be
+   * nondeterministic on any engine; DuckDB ASOF has the same contract).
+   *
+   * Returns all left columns plus `valueCols` from the matched right row
+   * (null when no right row precedes).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // align schemas: left side carries null right-values, right side
+    // carries null left-payload; IS_LEFT orders right rows first at equal
+    // times (inclusive <= semantics)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__rv_$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = l.unionByName(r)
+      .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        valueCols.map(c =>
+          last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
+  /**
+   * Exact discrete percentiles per group, rank-selection method: the
+   * p-quantile is the value at sorted position `ceil(p·n)` — an actual
+   * data value, so results are bit-exact and oracle-comparable (no
+   * interpolation-arithmetic drift). One window pass + one aggregation.
+   */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(pctAgg(ps.head, valueCol), ps.tail.map(pctAgg(_, valueCol)): _*)
+  }
+
+  private def pctAgg(p: Double, valueCol: String): Column =
+    max(when(col("__rn") === ceil(lit(p) * col("__n")), col(valueCol)))
+      .as(s"p${(p * 100).round}")
+
+  /**
+   * Skew-resilient equi-join: salt the (big, skewed) probe side into
+   * `saltBuckets` sub-keys and replicate the build side across every salt
+   * — the classic hot-key mitigation when one join key carries a
+   * disproportionate share of rows (AQE's skew handling covers sort-merge
+   * splits; explicit salting also redistributes the hash-aggregation that
+   * follows). Output is EXACTLY the plain join's output, so the oracle is
+   * the unsalted SQL join.
+   */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltBuckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(col(bigKey), monotonically_increasing_id()), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+          col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+
+  test("asofJoin: latest prior right row per key, inclusive at equal time, null when none") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "rt", "v")
+    val res = Relational.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(res.toSeq === Seq(
+      (1L, 5L, null),      // before any right row
+      (1L, 10L, 100.0),    // equal time matches (inclusive)
+      (1L, 20L, 150.0),    // latest of the two priors
+      (2L, 10L, null)))    // key with no right rows at all
+  }
+
+  test("exactPercentiles: rank-selection values on a known distribution") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Relational.exactPercentiles(df, Seq("g"), "v", Seq(0.5, 0.9, 0.99))
+      .head()
+    assert(r.getDouble(1) === 50.0) // ceil(0.5*100) = 50
+    assert(r.getDouble(2) === 90.0)
+    assert(r.getDouble(3) === 99.0) // 0.99*100 rounds to exactly 99.0 in IEEE double
+  }
+
+  test("saltedEquiJoin: output equals the plain join") {
+    val li = sf("lineitem").select("l_orderkey", "l_extendedprice")
+    val o = sf("orders").select("o_orderkey", "o_orderpriority")
+    val salted = Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum("l_extendedprice").as("s"))
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum("l_extendedprice").as("s"))
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("LSH near-dup: subset of brute force with high recall on close pairs") {
+    import graft.dedup.Dedup
+    val emb = sf("embeddings")
+    val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteClose = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH output must be a subset of brute force")
+    if (bruteClose.nonEmpty) {
+      val recall = bruteClose.count(lsh.contains).toDouble / bruteClose.size
+      assert(recall >= 0.9, s"recall on cos>=0.8 pairs was $recall")
+    }
+  }
+}
