@@ -372,6 +372,33 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
+    // star join: fact scan + 3 broadcast dims (TPC-H Q5 shape) — the dim
+    // tables stay broadcast at any fact scale
+    "q5_star_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val su = table(s, dir, "supplier")
+      val na = table(s, dir, "nation")
+      val re = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+    // fact-to-dim join + multi-aggregate over part attributes
+    "q_part_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part").filter(col("p_size") < 10)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"),
+          max(col("p_retailprice")).as("max_price"))
+        .orderBy("p_brand")
+    }),
     // window function: per-user running sum over event time
     "q_window_running" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -703,6 +730,20 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(0.9 * n) THEN v END) p90,
         |  max(CASE WHEN rn = ceil(0.99 * n) THEN v END) p99
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q5_star_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue,
+        | count(*) n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin.replace("\n", " "),
+    "q_part_agg" ->
+      """SELECT p_brand, count(*) n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,
+        | max(p_retailprice) max_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size < 10 GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) n,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
