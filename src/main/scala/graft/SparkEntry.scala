@@ -330,15 +330,19 @@ object SparkEntry {
           col("source_item"), col("sim_item"), col("m_doc_id"))
         .orderBy("source_id", "rank_no")
     }),
-    // text analysis: token counts, ratios (integer-exact + one double div)
-    "text_stats" -> ((s, dir) => table(s, dir, "documents")
-      .select(col("doc_id"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_tok_ws"),
-        TextAnalysis.tokenCountBpeish(col("text")).as("n_tok_bpe"),
-        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"),
-        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
-      .orderBy("doc_id")),
+    // text analysis: token counts, ratios (integer-exact + one double div;
+    // one single-pass kernel, fields CSE'd in codegen)
+    "text_stats" -> ((s, dir) => {
+      val st = TextAnalysis.textStats(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          st.getField("n_tok_ws").as("n_tok_ws"),
+          st.getField("n_tok_bpe").as("n_tok_bpe"),
+          st.getField("mean_tok_len").as("mean_tok_len"),
+          st.getField("punct_ratio").as("punct_ratio"),
+          st.getField("stopword_ratio").as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")),
@@ -419,6 +423,26 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(20, 2))).cast("double").as("sum_value"))
       .orderBy("hour_ns", "event_type")),
+    // STREAMING, oracle-gated: the same hourly aggregation executed as a
+    // real Structured Streaming job (file source, AvailableNow trigger,
+    // complete-mode memory sink) — its final state must hash-match the
+    // batch DuckDB oracle, proving batch/stream semantic parity
+    "q_stream_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = graft.streaming.StreamingOps.hourlyEventStats(stream)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("q_stream_hourly_sink")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      q.stop()
+      s.table("q_stream_hourly_sink")
+        .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour_us", "event_type")
+    }),
     // set operations: INTERSECT / EXCEPT with distinct-set semantics
     "q_setops" -> ((s, dir) => {
       val building = table(s, dir, "customer")
@@ -673,6 +697,10 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 * 3600000000000 hour_ns, event_type,
         | count(*) n, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ns, event_type""".stripMargin.replace("\n", " "),
+    "q_stream_hourly" ->
+      """SELECT epoch_us(ts) // 3600000000 * 3600000000 hour_us, event_type,
+        | count(*) n, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin.replace("\n", " "),
     // sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float) — cast back
     // to BIGINT to match Spark's long sum
     "q_json_extract" ->

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /** All five document statistics as one struct from a single-pass kernel
+    * ([[TextKernels.stats]]); field-select the pieces — whole-stage codegen
+    * subexpression elimination evaluates the kernel once per row. */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(TextStatsExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))

@@ -80,6 +80,59 @@ object TextKernels {
     langU(profiles(winner)._1)
   }
 
+  val statsType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tok_ws", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tok_bpe", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mean_tok_len", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("punct_ratio", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("stopword_ratio", DoubleType, nullable = false)))
+
+  /** One-pass document statistics — identical semantics to the Column
+    * formulations in [[TextAnalysis]] (whitespace tokens, BPE-ish runs,
+    * ASCII punctuation class, lowercase stopword membership). */
+  def stats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val len = s.codePointCount(0, s.length)
+    var punct = 0
+    var bpe = 0
+    var prev = 0 // 0 = other/ws, 1 = letter run, 2 = digit run
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val letter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      val digit = c >= '0' && c <= '9'
+      if (letter) { if (prev != 1) bpe += 1; prev = 1 }
+      else if (digit) { if (prev != 2) bpe += 1; prev = 2 }
+      else {
+        prev = 0
+        if (!isWs(c)) { bpe += 1; punct += 1 }
+      }
+      i += 1
+    }
+    var ntoks = 0
+    var sumLens = 0L
+    var nstop = 0
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && isWs(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lower.charAt(i))) i += 1
+      if (i > start) {
+        ntoks += 1
+        sumLens += lower.codePointCount(start, i)
+        if (stopwords.contains(lower.substring(start, i))) nstop += 1
+      }
+    }
+    val mtl = if (ntoks == 0) 0.0 else sumLens.toDouble / ntoks
+    val pr = if (len == 0) 0.0 else punct.toDouble / len
+    val sw = if (ntoks == 0) 0.0 else nstop.toDouble / ntoks
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ntoks, bpe, mtl, pr, sw))
+  }
+
   /** Composite quality score — same arithmetic tree as
     * [[TextAnalysis.qualityScore]] (and its oracle), one pass. */
   def quality(text: UTF8String): Double = {
@@ -118,6 +171,17 @@ object TextKernels {
     val punctScore = if (pr <= 0.2) 1.0 else math.max(0.0, 1.0 - (pr - 0.2) * 2.0)
     lenScore * 0.25 + mtlScore * 0.25 + swScore * 0.25 + punctScore * 0.25
   }
+}
+
+/** Codegen'd one-pass document statistics (see [[TextKernels.stats]]). */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.statsType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.stats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.stats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_stats"
 }
 
 /** Codegen'd language identification (see [[TextKernels.langId]]). */

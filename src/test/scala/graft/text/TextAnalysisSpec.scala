@@ -67,6 +67,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0) === 3105L)
   }
 
+  test("textStats kernel fields match the Column formulations on the corpus") {
+    val st = TextAnalysis.textStats(col("text"))
+    val diff = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        st.getField("n_tok_ws").as("k1"), TextAnalysis.tokenCountWs(col("text")).as("c1"),
+        st.getField("n_tok_bpe").as("k2"), TextAnalysis.tokenCountBpeish(col("text")).as("c2"),
+        st.getField("mean_tok_len").as("k3"), TextAnalysis.meanTokenLen(col("text")).as("c3"),
+        st.getField("punct_ratio").as("k4"), TextAnalysis.punctRatio(col("text")).as("c4"),
+        st.getField("stopword_ratio").as("k5"), TextAnalysis.stopwordRatio(col("text")).as("c5"))
+      .filter(col("k1") =!= col("c1") || col("k2") =!= col("c2") ||
+        col("k3") =!= col("c3") || col("k4") =!= col("c4") || col("k5") =!= col("c5"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("kernel formulations match the Column/HOF cross-checks on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("zh", org.apache.spark.sql.functions.concat(col("text"),
