@@ -193,6 +193,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // O6 second ANN access path: LSH tables (faiss factory "LSH" analog).
+    // Approximate, yet fully DETERMINISTIC (seeded planes) — so the entire
+    // candidate-generation + re-rank pipeline is hash-match gated
+    "knn_lsh_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "LSH12"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // the 100 TB shape: scan only nprobe/nlist of the corpus per query
     // (approximate by design → rows-only gate; recall asserted in spec)
     "knn_ivf_pruned" -> ((s, dir) => {
@@ -541,6 +553,24 @@ object SparkEntry {
     "save_load_search" -> knnOracle("cos", 10),
     // IVF probing all cells ≡ exact ⇒ brute-force oracle applies
     "knn_ivf_cos" -> knnOracle("cos", 10),
+    // LSH: same seeded planes embedded — candidates + re-rank reproduced
+    "knn_lsh_cos" -> {
+      val planes = graft.search.SignLsh.planes(numTables = 12, bits = 8, dim = 64, seed = 42L)
+      val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+         |b0 AS (SELECT vec_id, $bucketExprs bs FROM e),
+         |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM b0 CROSS JOIN range(0, 12) r),
+         |qb AS (SELECT * FROM bk WHERE vec_id < 10),
+         |cd AS (SELECT DISTINCT q.vec_id qid, x.vec_id xid FROM qb q JOIN bk x
+         |  ON q.tbl = x.tbl AND q.bkt = x.bkt),
+         |s AS (SELECT cd.qid source_id, cd.xid sim_id, ex.label sim_label,
+         |  list_dot_product(eq.v, ex.v) / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ex.v, ex.v))) c
+         |  FROM cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ex ON ex.vec_id = cd.xid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY c DESC, sim_id) rn FROM s)
+         |SELECT source_id, CAST(rn - 1 AS INT) rank_no, sim_id, sim_label, CAST(c AS FLOAT) sim_val
+         |FROM r WHERE rn <= 10 ORDER BY source_id, rank_no""".stripMargin.replace("\n", " ")
+    },
     "knn_hash_encoder" -> hashKnnOracle(5,
       "qid source_id, CAST(rn - 1 AS INT) rank_no, CAST(c AS FLOAT) sim_val, " +
         "xid m_doc_id, lang, n_chars"),

@@ -59,20 +59,24 @@ final case class SearcherParams(
 sealed trait IndexStrategy
 case object ExactFlat extends IndexStrategy
 final case class IvfFlat(nlist: Int) extends IndexStrategy
+final case class LshTables(numTables: Int, bits: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
+  private val Lsh = "LSH(\\d*)".r
   /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
     * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
     * request to the IVF (cluster-pruned) strategy — same contract: approximate
-    * top-k, tunable recall. */
+    * top-k, tunable recall. `LSH[n]` (faiss's binary-LSH factory string) maps
+    * to `n` sign-random-projection tables of 8 bits ([[SignLsh]]). */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(_)            => IvfFlat(64)
+    case Lsh(n)             => LshTables(if (n.isEmpty) 12 else n.toInt, 8)
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHn)")
   }
 }
 
@@ -149,7 +153,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
         val d = dimOf(indexed)
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None)
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None)
       case IvfFlat(nlist) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -162,7 +166,21 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         indexed.count()
         pre.unpersist()
         val d = dimOf(indexed)
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents))
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None)
+      case LshTables(numTables, bits) =>
+        val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "LSH fit on empty/zero-dim vectors")
+        val planes = SignLsh.planes(numTables, bits, d)
+        // store each row's per-table bucket keys; search is an equi-join on
+        // (table, bucket) — candidates only, never the full corpus
+        val indexed = pre
+          .withColumn(BUCKETS, SignLsh.bucketsCol(col(VEC), planes))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, Some(planes))
     }
   }
 
@@ -243,20 +261,33 @@ object SparkSearcher {
     require(d == lng("dim"),
       s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
     val payload = indexed.columns
-      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID)).toSeq
+      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS)).toSeq
     val searcher = new SparkSearcher(encoder, params)
     val centroids = searcher.strategy match {
-      case ExactFlat => None
       case IvfFlat(_) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      case _ => None
+    }
+    val planes = searcher.strategy match {
+      case LshTables(_, _) =>
+        val rows = spark.read.parquet(s"$path/lsh_planes")
+          .orderBy("tbl", "bit").collect()
+        val grouped = rows.groupBy(_.getAs[Int]("tbl")).toSeq.sortBy(_._1)
+          .map { case (_, rs) =>
+            rs.sortBy(_.getAs[Int]("bit"))
+              .map(_.getAs[scala.collection.Seq[Float]]("plane").toArray)
+          }.toArray
+        Some(grouped)
+      case _ => None
     }
     new SearcherModel(searcher,
-      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids)
+      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids, planes)
   }
 
   private[search] val ITEM = "__item"
   private[search] val ITEM_SAVED = "item"
+  private[search] val BUCKETS = "__lsh_buckets"
 }
 
 /**
@@ -270,7 +301,8 @@ class SearcherModel private[search] (
     val payloadCols: Seq[String],
     val count: Long,
     val dim: Int,
-    private[search] val centroids: Option[Array[Array[Float]]]) {
+    private[search] val centroids: Option[Array[Array[Float]]],
+    private[search] val lshPlanes: Option[Array[Array[Array[Float]]]]) {
 
   import SparkSearcher._
   private def params = searcher.params
@@ -314,6 +346,7 @@ class SearcherModel private[search] (
     val hits = searcher.strategy match {
       case ExactFlat      => exactTopK(qn, topK)
       case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, params.nprobe)
+      case LshTables(_, _) => lshTopK(qn, topK)
     }
 
     // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
@@ -382,6 +415,36 @@ class SearcherModel private[search] (
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
+  /** LSH candidate search: queries explode into their per-table bucket
+    * keys, equi-join against the stored index buckets (only colliding rows
+    * are ever scored), exact re-rank of the distinct candidates. Fully
+    * deterministic given the fitted planes — oracle-checkable despite
+    * being approximate. May return < topK rows for a query with few
+    * collisions (faiss's LSH behaves the same). */
+  private def lshTopK(q: DataFrame, topK: Int): DataFrame = {
+    val planes = lshPlanes.getOrElse(
+      throw new IllegalStateException("LSH search without fitted planes"))
+    val probes = q.select(col(QID), col(QVEC),
+      posexplode(graft.search.SignLsh.bucketsCol(col(QVEC), planes))
+        .as(Seq("__tbl", "__bkt")))
+    val slimB = indexed.select(col(ROW_ID),
+      posexplode(col(BUCKETS)).as(Seq("__tbl", "__bkt")))
+    val cands = probes.select(col(QID), col("__tbl"), col("__bkt"))
+      .join(slimB, Seq("__tbl", "__bkt"))
+      .select(col(QID), col(ROW_ID)).distinct()
+    val scored = cands
+      .join(broadcast(q.select(col(QID), col(QVEC))), QID)
+      .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
+      .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+    val w = Window.partitionBy(col(QID))
+      .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
+    scored
+      .withColumn(RANK, row_number().over(w))
+      .filter(col(RANK) <= topK)
+      .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
   /** Convenience overload mirroring the reference's `List[str]` query input
     * (faiss_searcher.py:161: `target: List[str]`): items become a one-column
     * DataFrame, query identity = list position. */
@@ -429,6 +492,13 @@ class SearcherModel private[search] (
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("centroid_id", "centroid")
         .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    lshPlanes.foreach { ps =>
+      val sp = spark
+      import sp.implicits._
+      (for (t <- ps.indices; b <- ps(t).indices)
+        yield (t, b, ps(t)(b).toSeq)).toDF("tbl", "bit", "plane")
+        .write.mode("overwrite").parquet(s"$path/lsh_planes")
     }
     // params as a 1-row JSON written by Spark's writer (real escaping — a
     // separator containing quotes/backslashes round-trips) with every

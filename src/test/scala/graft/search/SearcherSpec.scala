@@ -77,6 +77,32 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("LSH strategy: candidates re-ranked exactly, save/load round-trip") {
+    val items = sf("embeddings")
+    val model = new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH12")).fit(items)
+    val q = items.filter(col("vec_id") < 5)
+    val before = model.search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+      .map(_.toSeq).toSet
+    assert(before.nonEmpty)
+    // every query collides with itself → rank 0 must be the query, cos ≈ 1
+    val self = model.search(q, 1, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .collect()
+    self.foreach { r =>
+      assert(r.getAs[Long]("sim_item") === r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Float]("sim_val") - 1f) < 1e-5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    val after = loaded.search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+      .map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("save/load round-trip + invariant asserts (faiss_searcher.py:109-114)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val model = embModel()
