@@ -47,5 +47,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => VecL2Normalize(es.head))
     inject("simhash62", "62-bit SimHash of an array of tokens",
       es => SimHash62(es.head))
+
+    def intArg(e: Expression, what: String): Int = e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+    }
+    // corpus-curation kernels, pure-SQL callable
+    inject("char_shingles", "distinct character n-grams: char_shingles(text, n)",
+      es => graft.dedup.CharShinglesExpr(es(0), intArg(es(1), "n")))
+    inject("word_shingles", "distinct word w-grams: word_shingles(text, w)",
+      es => graft.dedup.WordShinglesExpr(es(0), intArg(es(1), "w")))
+    inject("minhash_signature",
+      "MinHash signature of a shingle array: minhash_signature(shingles, numHashes)",
+      es => {
+        val (a, b) = graft.dedup.Dedup.minHashCoefficients(intArg(es(1), "numHashes"))
+        graft.dedup.MinHashSignatureExpr(es(0), a, b)
+      })
+    inject("band_keys", "LSH band keys of a signature: band_keys(sig, bands, r)",
+      es => graft.dedup.BandKeysExpr(es(0), intArg(es(1), "bands"), intArg(es(2), "r")))
+    inject("sorted_hashes", "sorted 64-bit fingerprints of an array<string>",
+      es => graft.dedup.SortedHashesExpr(es.head))
+    inject2("sorted_intersect_size", "merge-scan |A∩B| of two sorted long arrays",
+      graft.dedup.SortedIntersectSize)
+    inject("hash_embed", "feature-hashing text embedding: hash_embed(text, dim)",
+      es => graft.encoders.HashEmbedExpr(es(0), intArg(es(1), "dim")))
+    inject("lang_id", "marker-profile language identification",
+      es => graft.text.LangIdExpr(es.head))
+    inject("quality_score", "composite document quality score in [0,1]",
+      es => graft.text.QualityExpr(es.head))
+    inject("text_stats",
+      "struct(n_tok_ws, n_tok_bpe, mean_tok_len, punct_ratio, stopword_ratio)",
+      es => graft.text.TextStatsExpr(es.head))
   }
 }

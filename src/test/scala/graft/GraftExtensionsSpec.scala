@@ -31,6 +31,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 72.0) < 1e-9)
     assert(r.getSeq[Float](3) === Seq(0.6f, 0.8f))
     assert(r.getLong(4) === r.getLong(4)) // deterministic value present
+    val r2 = spark.sql(
+      """SELECT char_shingles('abcd', 3) cs,
+        |       word_shingles('a b c d', 2) ws,
+        |       band_keys(minhash_signature(char_shingles('hello world', 5), 16), 4, 4) bk,
+        |       sorted_intersect_size(sorted_hashes(array('a','b','c')),
+        |                             sorted_hashes(array('b','c','d'))) ix,
+        |       hash_embed('spark native engine', 16) he,
+        |       lang_id('the cat is on the mat and it is the best') li,
+        |       quality_score('A reasonable english sentence with the usual words.') q,
+        |       text_stats('two tokens').n_tok_ws nt""".stripMargin).head()
+    assert(r2.getSeq[String](0) === Seq("abc", "bcd"))
+    assert(r2.getSeq[String](1) === Seq("a b", "b c", "c d"))
+    assert(r2.getSeq[Long](2).length === 4)
+    assert(r2.getInt(3) === 2)
+    assert(math.abs(r2.getSeq[Float](4).map(x => x * x).sum - 1f) < 1e-5)
+    assert(r2.getString(5) === "en")
+    assert(r2.getDouble(6) >= 0.0 && r2.getDouble(6) <= 1.0)
+    assert(r2.getInt(7) === 2)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p)
