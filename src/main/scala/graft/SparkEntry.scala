@@ -200,7 +200,7 @@ object SparkEntry {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-          measurement = "cos", indexParam = "LSH12"))
+          measurement = "cos", indexParam = "LSH12x8"))
         .fit(items)
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))

@@ -59,24 +59,27 @@ final case class SearcherParams(
 sealed trait IndexStrategy
 case object ExactFlat extends IndexStrategy
 final case class IvfFlat(nlist: Int) extends IndexStrategy
-final case class LshTables(numTables: Int, bits: Int) extends IndexStrategy
+final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
 
 object IndexStrategy {
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
-  private val Lsh = "LSH(\\d*)".r
+  private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
   /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
     * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
     * request to the IVF (cluster-pruned) strategy — same contract: approximate
-    * top-k, tunable recall. `LSH[n]` (faiss's binary-LSH factory string) maps
-    * to `n` sign-random-projection tables of 8 bits ([[SignLsh]]). */
+    * top-k, tunable recall. `LSH[t][xb]` (faiss's binary-LSH factory string,
+    * extended) maps to `t` sign-random-projection tables of `b` bits
+    * ([[SignLsh]]); with no explicit `b`, bits scale with corpus size at fit
+    * time (≈log2(n/16): bucket occupancy stays ~constant as n grows). */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(_)            => IvfFlat(64)
-    case Lsh(n)             => LshTables(if (n.isEmpty) 12 else n.toInt, 8)
+    case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
+      Option(b).filter(_.nonEmpty).map(_.toInt))
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHn)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb)")
   }
 }
 
@@ -167,11 +170,14 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         val d = dimOf(indexed)
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None)
-      case LshTables(numTables, bits) =>
+      case LshTables(numTables, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "LSH fit on empty/zero-dim vectors")
+        // auto bits: keep expected bucket occupancy ~16 rows as n grows
+        val bits = bitsOpt.getOrElse(math.max(8,
+          math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
         val planes = SignLsh.planes(numTables, bits, d)
         // store each row's per-table bucket keys; search is an equi-join on
         // (table, bucket) — candidates only, never the full corpus
