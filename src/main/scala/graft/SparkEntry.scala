@@ -444,10 +444,18 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val q = graft.streaming.StreamingOps.hourlyEventStats(stream)
-        .writeStream.outputMode("complete").format("memory")
-        .queryName("q_stream_hourly_sink")
-        .trigger(Trigger.AvailableNow()).start()
+      // state-store partition count is pinned at query start from the
+      // shuffle-partitions conf: 8 is plenty for ~3.4k windows, and each
+      // extra partition is per-micro-batch state-commit overhead
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamingOps.hourlyEventStats(stream)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName("q_stream_hourly_sink")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination(300000)
       q.stop()
       s.table("q_stream_hourly_sink")

@@ -77,6 +77,51 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("fit guards: non-integral idCol and reserved payload names fail fast") {
+    val sp = spark
+    import sp.implicits._
+    // string doc ids would cast to NULL row_ids and silently drop every
+    // payload-join hit (round-1 advice) — must fail fast instead
+    val strIds = Seq(("a", "doc-1", 1.0f), ("b", "doc-2", 2.0f))
+      .toDF("text", "sid", "x")
+      .withColumn("embedding", org.apache.spark.sql.functions.array(col("x")))
+    val searcher = new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("text"), idCol = Some("sid")))
+    val e = intercept[IllegalArgumentException](searcher.fit(strIds))
+    assert(e.getMessage.contains("integral"))
+    // a payload column named "item" collides with the saved-table schema
+    val itemPayload = Seq(("a", 1L, 1.0f)).toDF("text", "vid", "x")
+      .withColumn("embedding", org.apache.spark.sql.functions.array(col("x")))
+      .withColumn("item", col("text"))
+    val e2 = intercept[IllegalArgumentException](
+      new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("text"), idCol = Some("vid"))).fit(itemPayload))
+    assert(e2.getMessage.contains("item"))
+  }
+
+  test("save/load round-trips a separator containing JSON-special characters") {
+    val sp = spark
+    import sp.implicits._
+    val items = Seq(("alpha\"\\sep one", 0L, 1.0f, 2.0f), ("beta\"\\sep two", 1L, 2.0f, 1.0f))
+      .toDF("text", "vid", "x", "y")
+      .select(col("text"), col("vid"),
+        org.apache.spark.sql.functions.array(col("x"), col("y")).as("embedding"))
+    val model = new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("text"), idCol = Some("vid"),
+        docFeatureSep = Some("\"\\"), nprobe = 9, exactPath = "window"))
+      .fit(items)
+    val dir = java.nio.file.Files.createTempDirectory("graft-esc").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir,
+      new graft.encoders.PassthroughEncoder("embedding"))
+    assert(loaded.searcher.params.docFeatureSep === Some("\"\\"))
+    assert(loaded.searcher.params.nprobe === 9)
+    assert(loaded.searcher.params.exactPath === "window")
+    val res = loaded.search(items, 1, keepRankNo = false, queryIdCol = Some("vid"))
+    // sep-truncated matched item: everything before the first quote-backslash
+    assert(res.collect().forall(r => !r.getAs[String]("sim_item").contains("\"")))
+  }
+
   test("LSH strategy: candidates re-ranked exactly, save/load round-trip") {
     val items = sf("embeddings")
     val model = new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
