@@ -276,6 +276,19 @@ object SparkEntry {
       new SparkSearcher(new graft.encoders.HashEncoder(64), SearcherParams())
         .calSim(s, items2.head, items2)
     }),
+    // O19 cross-encoder surface: pair-interaction scoring of consecutive
+    // documents (embedding-encoder reduction: dot of the two embeddings)
+    "pair_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 40)
+      val pairs = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        .join(docs.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b"), col("text").as("text_b")), "id_a")
+      new graft.encoders.PairScorer(new graft.encoders.HashEncoder(64))
+        .score(pairs, "text_a", "text_b")
+        .select("id_a", "id_b", "score")
+        .orderBy("id_a")
+    }),
     // multimodal: binary ingestion → batched stub decode → per-modality
     // stats (deterministic code-point fake ⇒ full oracle)
     "multimodal_features" -> ((s, dir) => {
@@ -593,6 +606,14 @@ object SparkEntry {
          |q AS (SELECT v FROM fv WHERE doc_id = 0)
          |SELECT fv.text item, CAST(list_dot_product(fv.v, q.v) AS FLOAT) score
          |FROM fv CROSS JOIN q""".stripMargin.replace("\n", " "),
+    "pair_score" ->
+      s"""WITH d0 AS (SELECT doc_id, text, ${HashEmbedKernel.sqlRawVec("text", 64)} v0
+         |  FROM documents WHERE doc_id < 40),
+         |${HashEmbedKernel.normCtes("d0")}
+         |SELECT a.doc_id id_a, b.doc_id id_b,
+         |  CAST(list_dot_product(a.v, b.v) AS FLOAT) score
+         |FROM fv a JOIN fv b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin.replace("\n", " "),
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "multimodal_features" ->

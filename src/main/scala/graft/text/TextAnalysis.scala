@@ -128,8 +128,14 @@ object TextAnalysis {
 
   /** Polynomial rolling-hash fingerprint over the document's characters:
     * `h = (h·31 + codepoint) mod (10^9+7)` — order-sensitive, deterministic,
-    * exactly reproducible in DuckDB via list_reduce. */
+    * exactly reproducible in DuckDB via list_reduce. Single-pass codegen
+    * kernel; [[fingerprintColumns]] is the HOF cross-check. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(FingerprintExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
+  /** Column/HOF formulation of [[fingerprint]] (interpreted). */
+  def fingerprintColumns(text: Column): Column =
     aggregate(
       regexp_extract_all(text, lit("."), lit(0)),
       lit(0L),

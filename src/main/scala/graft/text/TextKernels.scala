@@ -133,6 +133,21 @@ object TextKernels {
       Array[Any](ntoks, bpe, mtl, pr, sw))
   }
 
+  /** Polynomial rolling-hash fingerprint `(acc·31 + cp) mod 10^9+7` over
+    * code points, '\n' skipped (the RE2-`.` convention of the oracle's
+    * regexp_extract_all). Same fold as the Column/HOF formulation. */
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp != '\n'.toInt) acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Composite quality score — same arithmetic tree as
     * [[TextAnalysis.qualityScore]] (and its oracle), one pass. */
   def quality(text: UTF8String): Double = {
@@ -182,6 +197,17 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.stats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "text_stats"
+}
+
+/** Codegen'd rolling-hash fingerprint (see [[TextKernels.fingerprint]]). */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.fingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.fingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "fingerprint"
 }
 
 /** Codegen'd language identification (see [[TextKernels.langId]]). */

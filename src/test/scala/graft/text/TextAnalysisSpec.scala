@@ -92,9 +92,11 @@ class TextAnalysisSpec extends SparkSpec {
         TextAnalysis.qualityScore(col("text")).as("k2"),
         TextAnalysis.qualityScoreColumns(col("text")).as("c2"),
         TextAnalysis.langId(col("zh")).as("k3"),
-        TextAnalysis.langIdColumns(col("zh")).as("c3"))
+        TextAnalysis.langIdColumns(col("zh")).as("c3"),
+        TextAnalysis.fingerprint(col("text")).as("k4"),
+        TextAnalysis.fingerprintColumns(col("text")).as("c4"))
       .filter(col("k1") =!= col("c1") || col("k2") =!= col("c2") ||
-        col("k3") =!= col("c3"))
+        col("k3") =!= col("c3") || col("k4") =!= col("c4"))
       .count()
     assert(diff === 0L)
   }
