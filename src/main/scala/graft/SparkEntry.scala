@@ -298,6 +298,23 @@ object SparkEntry {
       Multimodal.featureStats(Multimodal.decodeFeatures(media, dim = 16))
         .orderBy("modality")
     }),
+    // multimodal frame sampling: payload → 64-byte frames, every 2nd kept,
+    // per-frame stub features, per-media aggregate (DECIMAL-disciplined)
+    "multimodal_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.ingestFromText(
+        table(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", "video")
+      val frames = Multimodal.frameSample(media, frameBytes = 64, everyK = 2)
+      Multimodal.decodeFeatures(frames, dim = 16)
+        .select(col("media_id"),
+          aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("fs"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("fs").cast(DecimalType(28, 10))).cast("double").as("sum_feat"))
+        .orderBy("media_id")
+    }),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -629,6 +646,20 @@ object SparkEntry {
         |SELECT modality, count(*) n_media, CAST(sum(payload_bytes) AS BIGINT) total_bytes,
         |  CAST(sum(CAST(fs AS DECIMAL(28,10))) AS DOUBLE) sum_feat
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin.replace("\n", " "),
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id media_id, text FROM documents WHERE doc_id < 100),
+        |fr AS (SELECT media_id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) fno, text FROM m),
+        |fs AS (SELECT media_id, fno, substr(text, CAST(fno * 64 + 1 AS INT), 64) frame FROM fr WHERE fno % 2 = 0),
+        |h AS (SELECT media_id, fno,
+        |  list_transform(range(0, 16), i -> len(list_filter(
+        |    list_transform(regexp_extract_all(frame, '.'), ch -> ascii(ch) % 16), c -> c = i))) hist FROM fs),
+        |n0 AS (SELECT *, sqrt(list_sum(list_transform(hist, c -> (c * c)::DOUBLE))) nrm FROM h),
+        |f AS (SELECT media_id, CASE WHEN nrm = 0 THEN 0.0 ELSE
+        |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(hist, c -> ((c::DOUBLE / nrm)::FLOAT)::DOUBLE)),
+        |    (a, x) -> a + x) END fsum FROM n0)
+        |SELECT media_id, count(*) n_frames,
+        |  CAST(sum(CAST(fsum AS DECIMAL(28,10))) AS DOUBLE) sum_feat
+        |FROM f GROUP BY media_id ORDER BY media_id""".stripMargin.replace("\n", " "),
     "dedup_embedding_blocked_full" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 800),
         |p AS (SELECT a.vec_id id_a, b.vec_id id_b,

@@ -84,6 +84,42 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * Frame sampling over binary payloads — the video-pipeline shape: split
+   * each payload into consecutive `frameBytes`-sized frames and keep every
+   * `everyK`-th (a real codec would seek keyframes; the slicing, explode
+   * and per-frame schema are the actual Spark plumbing either way).
+   * Emits `[media_id, modality, frame_no, payload: binary]` — one row per
+   * sampled frame, ready for [[decodeFeatures]].
+   */
+  def frameSample(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes)
+      .cast("int")
+    media
+      .withColumn("__fno", explode(when(nFrames > 0,
+        sequence(lit(0), nFrames - 1)).otherwise(array().cast("array<int>"))))
+      .filter(col("__fno") % everyK === 0)
+      .select(col("media_id"), col("modality"), col("__fno").as("frame_no"),
+        col("payload").substr(col("__fno") * frameBytes + 1, lit(frameBytes))
+          .as("payload"))
+  }
+
+  /** Average-pool feature resize: `fromDim` buckets → `toDim` by mean over
+    * each contiguous group — the embedding-downsampling step of a media
+    * pipeline, a pure array op (no codec involved). */
+  def resizeFeatures(withFeatures: DataFrame, toDim: Int,
+      featCol: String = "features"): DataFrame = {
+    val f = col(featCol)
+    // ceil division in INT domain (Column `/` is double division)
+    val groupSize = ((size(f) + toDim - 1) / toDim).cast("int")
+    withFeatures.withColumn(featCol,
+      transform(sequence(lit(0), lit(toDim - 1)), i => {
+        val sliced = slice(f, i * groupSize + 1, groupSize)
+        (aggregate(sliced, lit(0.0), (acc, x) => acc + x) /
+          greatest(size(sliced), lit(1))).cast("float")
+      }))
+  }
+
   /** Per-modality feature statistics — the downstream-analytics shape.
     * The double feat_sum goes through DECIMAL before the cross-row sum so
     * the aggregate is independent of row order (oracle-exact). */

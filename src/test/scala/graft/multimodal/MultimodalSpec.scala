@@ -48,4 +48,37 @@ class MultimodalSpec extends SparkSpec {
     res.foreach(r => assert(r.getAs[Long]("media_id") === r.getAs[Long]("sim_item")))
     model.unpersist()
   }
+
+  test("frameSample: every k-th fixed-size frame, partial tail kept, short payloads covered") {
+    val media = Multimodal.ingestFromText(sf("documents"), "doc_id", "text", "video")
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyK = 2)
+    val byMedia = frames.groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.count(col("frame_no")).as("n"),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.octet_length(col("payload"))).as("maxb"))
+      .collect()
+    assert(byMedia.nonEmpty)
+    byMedia.foreach(r => assert(r.getAs[Int]("maxb") <= 64))
+    // cross-check one media item against the expected frame count
+    val one = sf("documents").select(col("doc_id"),
+      org.apache.spark.sql.functions.octet_length(col("text")).as("b"))
+      .head()
+    val expected = (math.ceil(one.getAs[Int]("b") / 64.0).toInt + 1) / 2
+    val got = frames.filter(col("media_id") === one.getAs[Long]("doc_id")).count()
+    assert(got === expected)
+  }
+
+  test("resizeFeatures: average-pool halves the dim, preserves total sum") {
+    val media = Multimodal.ingestFromText(sf("documents").limit(20), "doc_id", "text", "text")
+    val f16 = Multimodal.decodeFeatures(media, dim = 16)
+    val f4 = Multimodal.resizeFeatures(f16, toDim = 4)
+    val rows = f4.select(col("features")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Float](0).length === 4)
+    }
+    // mean-pool of groups of 4: sum(resized)*4 == sum(original) (all groups full)
+    val orig = f16.select(col("features")).collect().map(_.getSeq[Float](0).map(_.toDouble).sum)
+    val resized = rows.map(_.getSeq[Float](0).map(_.toDouble).sum * 4)
+    orig.zip(resized).foreach { case (o, rz) => assert(math.abs(o - rz) < 1e-4) }
+  }
 }
