@@ -566,6 +566,24 @@ object SparkEntry {
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(DecimalType(24, 4))).cast("double").as("revenue"))
       .orderBy("o_orderpriority")),
+    // sources/sinks end-to-end: parquet → CSV → JSON → aggregate; every
+    // hop re-reads with an explicit schema (no inference drift), and the
+    // final numbers must hash-match the straight-parquet oracle
+    "q_csv_json_roundtrip" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_returnflag", "l_quantity")
+      val li = table(s, dir, "lineitem").select(cols.map(col): _*)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
+      li.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      val fromCsv = s.read.schema(li.schema).option("header", "true")
+        .csv(s"$tmp/csv")
+      fromCsv.write.mode("overwrite").json(s"$tmp/json")
+      s.read.schema(li.schema).json(s"$tmp/json")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"),
+          sum(col("l_orderkey")).as("sum_key"))
+        .orderBy("l_returnflag")
+    }),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -809,6 +827,11 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin.replace("\n", " "),
+    "q_csv_json_roundtrip" ->
+      """SELECT l_returnflag, count(*) n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,
+        | CAST(sum(l_orderkey) AS BIGINT) sum_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n
