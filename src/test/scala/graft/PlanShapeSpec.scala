@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Plan-regression guards for the scale-critical physical shapes recorded in
+ * PLANS.md: filters reach the parquet scan, dimension tables broadcast, and
+ * the quadratic-prone pipelines never fall back to a cartesian product.
+ * These are the properties that keep the engine viable at 100 TB; a silent
+ * plan regression (e.g. a lost broadcast hint or a non-pushed filter) should
+ * fail CI, not a future benchmark.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("knn query: vec_id filter is pushed into the parquet scan") {
+    val plan = SparkEntry.queries("knn_cos_top10")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]")
+      || plan.contains("PushedFilters: [LessThan(vec_id,10)"))
+  }
+
+  test("q5 star join: all three dims broadcast, no shuffle join, no cartesian") {
+    val plan = physical(SparkEntry.queries("q5_star_join")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("exact jaccard: candidate generation is equi-joined, never cartesian") {
+    val plan = physical(SparkEntry.queries("dedup_jaccard_w3")(spark, "/root/testdata/sf0.001"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("minhash/simhash/LSH near-dup: banded equi-joins only") {
+    Seq("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh").foreach { q =>
+      val plan = physical(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(!plan.contains("CartesianProduct"), s"$q plan has a cartesian product")
+    }
+  }
+
+  test("q1 aggregation: partial (map-side) aggregate before the exchange") {
+    val plan = physical(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("HashAggregate"))
+    // partial + final pairs: the aggregate appears above and below the shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+    assert(plan.contains("l_shipdate")) // pushdown of the date filter
+  }
+
+  test("asof join: single shuffle on the key, window fill, no range join blowup") {
+    val plan = physical(SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
