@@ -541,6 +541,15 @@ object SparkEntry {
           col("event_type"), col("pv").as("last_purchase_value"))
         .orderBy("event_id")
     }),
+    // batch sessionization (gap > 30 min): lag + running sum, one shuffle —
+    // batch twin of the flatMapGroupsWithState streaming sessionizer
+    "q_sessionize" -> ((s, dir) => {
+      val ev = table(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      graft.operators.Relational.sessionizeBatch(
+          ev, "user_id", "ts_us", "value", gap = 1800000000L)
+        .orderBy("user_id", "session_no")
+    }),
     // exact discrete percentiles by rank selection (values, not
     // interpolations — bit-exact, order-independent)
     "q_percentiles" -> ((s, dir) => graft.operators.Relational.exactPercentiles(
@@ -862,6 +871,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts_us, e.event_type, p.pv last_purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts_us >= p.pts
         |ORDER BY e.event_id""".stripMargin.replace("\n", " "),
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) ts, value FROM events WHERE user_id < 100),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) pts FROM e),
+        |n AS (SELECT *, CASE WHEN pts IS NULL OR ts - pts > 1800000000 THEN 1 ELSE 0 END nw FROM l),
+        |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM n)
+        |SELECT user_id, CAST(sid AS BIGINT) session_no, min(ts) start_ts, max(ts) end_ts,
+        |  count(*) n_events, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
     "q_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice v,
         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,

@@ -75,6 +75,31 @@ object Relational {
       .as(s"p${(p * 100).round}")
 
   /**
+   * Batch sessionization: gap-based session assignment via lag + running
+   * sum — the batch twin of the streaming `flatMapGroupsWithState`
+   * sessionizer ([[graft.streaming.StreamingOps.sessionize]]). One shuffle
+   * on the key, two window passes over the same sort order (planned as a
+   * single Window exec). Returns one row per `(key, session)` with start,
+   * end, event count and value sum.
+   */
+  def sessionizeBatch(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gap: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col(tsCol) - col("__prev") > gap, 1)
+          .otherwise(0))
+      .withColumn("session_no", sum(col("__new")).over(run))
+      .groupBy(col(keyCol), col("session_no"))
+      .agg(min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+          .cast("double").as("sum_value"))
+  }
+
+  /**
    * Skew-resilient equi-join: salt the (big, skewed) probe side into
    * `saltBuckets` sub-keys and replicate the build side across every salt
    * — the classic hot-key mitigation when one join key carries a
