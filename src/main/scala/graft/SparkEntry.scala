@@ -493,6 +493,35 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("hour_us", "event_type")
     }),
+    // join variants: LEFT SEMI (has orders) / LEFT ANTI (never ordered)
+    "q_semi_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val o = table(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("tag", lit("has_orders"))
+        .union(c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .withColumn("tag", lit("no_orders")))
+        .orderBy("c_custkey", "tag")
+    }),
+    // range-frame window: per-user trailing-1-hour value sum over event time
+    "q_window_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      table(s, dir, "events").filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("value"))
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(20, 2))).over(w)
+            .cast("double").as("trailing_hour_value"))
+        .orderBy("user_id", "event_id")
+    }),
+    // distinct aggregate: exact per-type distinct users (expand + two-phase)
+    "q_distinct_agg" -> ((s, dir) => table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")),
     // set operations: INTERSECT / EXCEPT with distinct-set semantics
     "q_setops" -> ((s, dir) => {
       val building = table(s, dir, "customer")
@@ -822,6 +851,23 @@ object SparkEntry {
     // to BIGINT to match Spark's long sum
     "q_json_extract" ->
       """SELECT event_type, count(*) n, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
+    "q_semi_anti" ->
+      """SELECT c_custkey, 'has_orders' tag FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' tag FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, tag""".stripMargin.replace("\n", " "),
+    "q_window_range" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   trailing_hour_value
+        |FROM events WHERE user_id < 20
+        |ORDER BY user_id, event_id""".stripMargin.replace("\n", " "),
+    "q_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) n_users, count(*) n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
     "q_setops" ->
       """WITH b AS (SELECT c_custkey k FROM customer WHERE c_mktsegment = 'BUILDING'),
