@@ -62,10 +62,13 @@ object Relational {
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val wn = Window.partitionBy(groupCols.map(col): _*)
+    // group sizes via a tiny broadcast-joined aggregate, NOT a second
+    // unordered window over the full table (count(*) OVER (PARTITION BY g)
+    // is a separate whole-partition pass; the counts df is |groups| rows)
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
     val ranked = df
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wn))
+      .join(broadcast(counts), groupCols)
     ranked.groupBy(groupCols.map(col): _*)
       .agg(pctAgg(ps.head, valueCol), ps.tail.map(pctAgg(_, valueCol)): _*)
   }
