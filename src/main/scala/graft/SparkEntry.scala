@@ -493,6 +493,21 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("hour_us", "event_type")
     }),
+    // pure-SQL surface: engine kernels registered on the session and
+    // driven entirely from spark.sql — the cluster-SQL-user experience,
+    // gated against the same double-precision formulas in DuckDB
+    "q_sql_surface" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT a.vec_id id_a, b.vec_id id_b,
+          |  CAST(vec_cosine(a.embedding, b.embedding) AS FLOAT) cos,
+          |  CAST(vec_l1(a.embedding, b.embedding) AS FLOAT) l1,
+          |  CAST(vec_l2sq(a.embedding, b.embedding) AS FLOAT) l2sq
+          |FROM emb_v a JOIN emb_v b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 200
+          |ORDER BY id_a""".stripMargin)
+    }),
     // join variants: LEFT SEMI (has orders) / LEFT ANTI (never ordered)
     "q_semi_anti" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(col("c_custkey"))
@@ -852,6 +867,15 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type, count(*) n, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
+    "q_sql_surface" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.v va, b.v vb
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1 WHERE a.vec_id < 200)
+        |SELECT id_a, id_b,
+        |  CAST(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS FLOAT) cos,
+        |  CAST(list_sum(list_transform(list_zip(va, vb), p -> abs(p[1]-p[2]))) AS FLOAT) l1,
+        |  CAST(list_sum(list_transform(list_zip(va, vb), p -> (p[1]-p[2])*(p[1]-p[2]))) AS FLOAT) l2sq
+        |FROM p ORDER BY id_a""".stripMargin.replace("\n", " "),
     "q_semi_anti" ->
       """SELECT c_custkey, 'has_orders' tag FROM customer
         | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
