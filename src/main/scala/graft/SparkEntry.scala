@@ -193,6 +193,31 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // physical-path independence: the SAME query through the opt-in
+    // window/WindowGroupLimit plan must hash-match the heap-aggregate
+    // default (both share the brute-force cos oracle)
+    "knn_window_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", exactPath = "window"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // O3 + the reference's norm_vec trick (faiss_searcher.py:53): inner
+    // product over float32-normalized vectors ≡ cosine; vectors are
+    // MATERIALIZED normalized (float-rounded) so sim_vals differ from the
+    // cos kernel in the last ulps — the oracle normalizes identically
+    "knn_ip_norm" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "ip", normVec = true))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // O6 second ANN access path: LSH tables (faiss factory "LSH" analog).
     // Approximate, yet fully DETERMINISTIC (seeded planes) — so the entire
     // candidate-generation + re-rank pipeline is hash-match gated
@@ -662,6 +687,18 @@ object SparkEntry {
     "save_load_search" -> knnOracle("cos", 10),
     // IVF probing all cells ≡ exact ⇒ brute-force oracle applies
     "knn_ivf_cos" -> knnOracle("cos", 10),
+    "knn_window_cos" -> knnOracle("cos", 10),
+    "knn_ip_norm" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |n0 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) nrm FROM e),
+        |f AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(v, x -> (x::FLOAT)::DOUBLE)
+        |  ELSE list_transform(v, x -> ((x / nrm)::FLOAT)::DOUBLE) END v FROM n0),
+        |q AS (SELECT * FROM f WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label,
+        |  list_dot_product(q.v, x.v) c FROM q CROSS JOIN f x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY c DESC, sim_id) rn FROM s)
+        |SELECT source_id, CAST(rn - 1 AS INT) rank_no, sim_id, sim_label, CAST(c AS FLOAT) sim_val
+        |FROM r WHERE rn <= 5 ORDER BY source_id, rank_no""".stripMargin.replace("\n", " "),
     // LSH: same seeded planes embedded — candidates + re-rank reproduced
     "knn_lsh_cos" -> {
       val planes = graft.search.SignLsh.planes(numTables = 12, bits = 8, dim = 64, seed = 42L)
