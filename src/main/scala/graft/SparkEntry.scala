@@ -470,6 +470,13 @@ object SparkEntry {
           max(col("p_retailprice")).as("max_price"))
         .orderBy("p_brand")
     }),
+    // date functions: year/month truncation + extraction over ship dates
+    "q_ship_monthly" -> ((s, dir) => table(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
+      .orderBy("yr", "mo")),
     // window function: per-user running sum over event time
     "q_window_running" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -885,6 +892,10 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, c_name
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", " "),
+    "q_ship_monthly" ->
+      """SELECT CAST(year(l_shipdate) AS INT) yr, CAST(month(l_shipdate) AS INT) mo, count(*) n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
+        |FROM lineitem GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin.replace("\n", " "),
     "q_window_running" ->
       """SELECT user_id, event_id,
         | CAST(sum(CAST(value AS DECIMAL(20,2))) OVER (PARTITION BY user_id
