@@ -230,6 +230,19 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // O6 third ANN access path: product quantization (faiss "PQm") — byte
+    // codes (dim·4/m× memory compression) + per-partition ADC tables.
+    // Rows-only gate: the k-means codebooks aren't SQL-derivable; recall,
+    // compression, and save/load identity are asserted in PqSpec
+    "knn_pq_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // the 100 TB shape: scan only nprobe/nlist of the corpus per query
     // (approximate by design → rows-only gate; recall asserted in spec)
     "knn_ivf_pruned" -> ((s, dir) => {

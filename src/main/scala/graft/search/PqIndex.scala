@@ -1,0 +1,173 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftSql.{column, expression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType, DoubleType}
+
+/**
+ * Product quantization — the faiss `PQm` factory path
+ * (/root/reference/backend/faiss_searcher.py:100-107 accepts any
+ * index_factory string, PQ included). Vectors are split into `m`
+ * subspaces; each subspace gets a 256-centroid codebook (driver-side
+ * Lloyd on a bounded sample, like the IVF coarse quantizer); every vector
+ * is stored as `m` BYTES instead of `dim` floats — a dim·4/m× memory
+ * compression, which is what makes a 100 TB vector corpus cacheable.
+ *
+ * Search uses asymmetric distance computation (ADC): per query ONE
+ * `m × 256` table of exact subspace distances is built, then each stored
+ * code costs `m` table lookups. The per-partition table amortization is
+ * genuine imperative logic, so the scorer is a `mapPartitions` over the
+ * codes (the documented last-resort tier — nothing declarative can hoist
+ * per-query state across rows); everything around it (top-k merge,
+ * payload join) stays in the declarative plan.
+ *
+ * Approximate by construction (codes quantize), fully deterministic given
+ * the seeded sample — recall against exact search is spec-gated.
+ */
+object PqIndex {
+  private[search] val CODES = "__pq_codes"
+  val K = 256 // centroids per subspace = 1 byte per code
+
+  /** Per-subspace codebooks: `m × 256 × dsub`, Lloyd on a deterministic
+    * bounded sample (one collect, reused for every subspace). */
+  def fitCodebooks(df: DataFrame, vecCol: String, m: Int, dim: Int,
+      total: Long): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"PQ: dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val maxTrain = 100000L
+    val fraction = if (total <= maxTrain) 1.0 else maxTrain.toDouble / total
+    val sample = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      IvfIndex.lloyd(sub, math.min(K, sub.length), iters = 10)
+    }
+  }
+
+  /** Encode kernel: nearest codebook centroid per subspace → m bytes. */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    val m = codebooks.length
+    val out = new Array[Byte](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val dsub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val t = v.getFloat(off + i).toDouble - cent(i); d += t * t; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      off += dsub
+      s += 1
+    }
+    out
+  }
+
+  def encodeCol(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    column(PqEncodeExpr(expression(v), codebooks))
+
+  /** ADC top-k: broadcast the query batch, stream the code rows, amortize
+    * one distance table per query per partition, bounded heaps, then the
+    * same aggregate-merge tail as exact search. `higherIsCloser` selects
+    * dot tables (ip/cos-on-normalized) vs squared-L2 tables. */
+  def pqTopK(indexed: DataFrame, queries: DataFrame, topK: Int,
+      codebooks: Array[Array[Array[Float]]], higherIsCloser: Boolean): DataFrame = {
+    import SparkSearcher.{QID, QVEC, ROW_ID, DIST, RANK}
+    val spark = indexed.sparkSession
+    val qRows = queries.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qB = spark.sparkContext.broadcast(qRows)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val outSchema = StructType(Seq(
+      StructField(QID, LongType, nullable = false),
+      StructField(ROW_ID, LongType, nullable = false),
+      StructField(DIST, DoubleType, nullable = false)))
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val asc = !higherIsCloser
+    val k = topK
+    val partials = indexed.select(col(ROW_ID), col(CODES)).mapPartitions { it =>
+      val cbs = cbB.value
+      val m = cbs.length
+      val dsub = cbs(0)(0).length
+      val qs = qB.value
+      // per-query ADC tables: table(q)(s*256 + c) — built once per partition
+      val tables = qs.map { case (_, qv) =>
+        val t = new Array[Double](m * K)
+        var s = 0
+        while (s < m) {
+          val cb = cbs(s)
+          var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var acc = 0.0
+            var i = 0
+            if (higherIsCloser) {
+              while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
+            } else {
+              while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
+            }
+            t(s * K + c) = acc
+            c += 1
+          }
+          s += 1
+        }
+        t
+      }
+      val heaps = qs.map(_ => new TopKBuffer(k, asc))
+      it.foreach { r =>
+        val rowId = r.getLong(0)
+        val codes = r.getAs[Array[Byte]](1)
+        var q = 0
+        while (q < qs.length) {
+          val t = tables(q)
+          var dist = 0.0
+          var s = 0
+          while (s < codes.length) { dist += t(s * K + (codes(s) & 0xff)); s += 1 }
+          heaps(q).insert(dist, rowId)
+          q += 1
+        }
+      }
+      qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
+      }
+    }(enc)
+    // final merge: k per partition per query → global k (same heap aggregate)
+    val hits = partials
+      .groupBy(col(QID))
+      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+    hits
+  }
+}
+
+/** Codegen'd PQ encoder: array<float> → binary(m); codebooks ride as a
+  * plan reference object. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    PqIndex.encode(v.asInstanceOf[ArrayData], codebooks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.search.PqIndex.encode($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}

@@ -60,11 +60,13 @@ sealed trait IndexStrategy
 case object ExactFlat extends IndexStrategy
 final case class IvfFlat(nlist: Int) extends IndexStrategy
 final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
+final case class PqFlat(m: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
+  private val Pq = "PQ(\\d+)".r
   /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
     * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
     * request to the IVF (cluster-pruned) strategy — same contract: approximate
@@ -78,8 +80,9 @@ object IndexStrategy {
     case Hnsw(_)            => IvfFlat(64)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
+    case Pq(m)              => PqFlat(m.toInt)
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm)")
   }
 }
 
@@ -156,7 +159,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
         val d = dimOf(indexed)
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None)
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None, None)
       case IvfFlat(nlist) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -169,7 +172,32 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         indexed.count()
         pre.unpersist()
         val d = dimOf(indexed)
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None)
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None, None)
+      case PqFlat(m) =>
+        require(Set("cos", "ip", "l2").contains(params.measurement),
+          s"PQ supports cos/ip/l2, got '${params.measurement}'")
+        // cos needs MATERIALIZED normalization (ADC computes raw dot
+        // tables; there is no full-vector cosine kernel over codes) — the
+        // reference's own norm_vec trick (faiss_searcher.py:53)
+        val pre0 =
+          if (params.measurement == "cos")
+            base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+          else base
+        val pre = pre0.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "PQ fit on empty/zero-dim vectors")
+        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n)
+        // store BYTE codes, drop the float vectors: dim·4/m× less memory —
+        // the property that lets a 100 TB corpus stay cached
+        val indexed = pre
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
+          .drop(VEC)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
+          Some(codebooks))
       case LshTables(numTables, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -186,7 +214,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, Some(planes))
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, Some(planes), None)
     }
   }
 
@@ -263,12 +291,27 @@ object SparkSearcher {
     val n = indexed.count()
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
-    val d = indexed.select(size(col(VEC))).head().getInt(0)
+    val searcher = new SparkSearcher(encoder, params)
+    val pq = searcher.strategy match {
+      case PqFlat(_) =>
+        val rows = spark.read.parquet(s"$path/pq_codebooks")
+          .orderBy("sub", "cid").collect()
+        Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
+          .map { case (_, rs) =>
+            rs.sortBy(_.getAs[Int]("cid"))
+              .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+          }.toArray)
+      case _ => None
+    }
+    // PQ stores codes only (no __vec): dim is re-derived from the codebooks
+    val d = pq match {
+      case Some(cbs) => cbs.length * cbs(0)(0).length
+      case None      => indexed.select(size(col(VEC))).head().getInt(0)
+    }
     require(d == lng("dim"),
       s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
     val payload = indexed.columns
-      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS)).toSeq
-    val searcher = new SparkSearcher(encoder, params)
+      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES)).toSeq
     val centroids = searcher.strategy match {
       case IvfFlat(_) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
@@ -288,7 +331,7 @@ object SparkSearcher {
       case _ => None
     }
     new SearcherModel(searcher,
-      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids, planes)
+      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids, planes, pq)
   }
 
   private[search] val ITEM = "__item"
@@ -308,7 +351,8 @@ class SearcherModel private[search] (
     val count: Long,
     val dim: Int,
     private[search] val centroids: Option[Array[Array[Float]]],
-    private[search] val lshPlanes: Option[Array[Array[Array[Float]]]]) {
+    private[search] val lshPlanes: Option[Array[Array[Array[Float]]]],
+    private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]]) {
 
   import SparkSearcher._
   private def params = searcher.params
@@ -344,8 +388,11 @@ class SearcherModel private[search] (
     }
     val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
+    val pqCos = searcher.strategy.isInstanceOf[PqFlat] && params.measurement == "cos"
     val qn =
-      if (params.normVec && params.measurement != "cos")
+      if ((params.normVec && params.measurement != "cos") || pqCos)
+        // PQ + cos: queries must be materialized-normalized like the fitted
+        // codes (ADC computes raw dot tables; see fit)
         q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
       else q
 
@@ -353,6 +400,7 @@ class SearcherModel private[search] (
       case ExactFlat      => exactTopK(qn, topK)
       case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, params.nprobe)
       case LshTables(_, _) => lshTopK(qn, topK)
+      case PqFlat(_)      => pqTopK(qn, topK)
     }
 
     // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
@@ -451,6 +499,17 @@ class SearcherModel private[search] (
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
+  /** PQ ADC search: delegate to [[PqIndex.pqTopK]] (per-partition distance
+    * tables over byte codes), then attach source items like the other
+    * paths. Approximate; deterministic given the seeded codebooks. */
+  private def pqTopK(q: DataFrame, topK: Int): DataFrame = {
+    val cbs = pqCodebooks.getOrElse(
+      throw new IllegalStateException("PQ search without fitted codebooks"))
+    PqIndex.pqTopK(indexed, q, topK, cbs, metric.higherIsCloser)
+      .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
   /** Convenience overload mirroring the reference's `List[str]` query input
     * (faiss_searcher.py:161: `target: List[str]`): items become a one-column
     * DataFrame, query identity = list position. */
@@ -505,6 +564,13 @@ class SearcherModel private[search] (
       (for (t <- ps.indices; b <- ps(t).indices)
         yield (t, b, ps(t)(b).toSeq)).toDF("tbl", "bit", "plane")
         .write.mode("overwrite").parquet(s"$path/lsh_planes")
+    }
+    pqCodebooks.foreach { cbs =>
+      val sp = spark
+      import sp.implicits._
+      (for (m <- cbs.indices; c <- cbs(m).indices)
+        yield (m, c, cbs(m)(c).toSeq)).toDF("sub", "cid", "centroid")
+        .write.mode("overwrite").parquet(s"$path/pq_codebooks")
     }
     // params as a 1-row JSON written by Spark's writer (real escaping — a
     // separator containing quotes/backslashes round-trips) with every

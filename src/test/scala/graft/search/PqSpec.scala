@@ -1,0 +1,60 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.encoders.PassthroughEncoder
+
+class PqSpec extends SparkSpec {
+
+  private def fitPq(measurement: String, m: Int = 8) =
+    new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = measurement, indexParam = s"PQ$m"))
+      .fit(sf("embeddings"))
+
+  test("PQ codes compress to m bytes; the float vectors are dropped") {
+    val model = fitPq("cos")
+    assert(!model.indexed.columns.contains("__vec"))
+    val lens = model.indexed
+      .select(octet_length(col(PqIndex.CODES)).as("len")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(8)) // dim 64 / m 8 = 8 bytes vs 256
+  }
+
+  test("PQ ADC search: self is rank 0, recall vs exact is high") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val model = fitPq("cos")
+    val pq = model.search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item").collect()
+    // quantization noise can displace self from rank 0 only if another
+    // vector shares its codes; require self in the top ranks
+    val selfRank = pq.filter(r => r.getAs[Long]("sim_item") == r.getAs[Long]("vec_id"))
+      .map(_.getAs[Int]("rank_no"))
+    assert(selfRank.length === 20, "each query must retrieve itself")
+    assert(selfRank.forall(_ <= 2))
+    val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+      .search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val got = pq.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"PQ top-10 recall vs exact was $recall")
+  }
+
+  test("PQ save/load round-trip: identical results from reloaded codes") {
+    val model = fitPq("l2")
+    val q = sf("embeddings").filter(col("vec_id") < 5)
+    val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+      .map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+      .map(_.toSeq).toSet
+    assert(after === before)
+  }
+}
