@@ -243,6 +243,17 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // the canonical 100 TB composition: IVF cells for pruning AND PQ byte
+    // codes for memory (faiss "IVFn,PQm"); rows-only, spec-gated
+    "knn_ivfpq_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF16,PQ8", nprobe = 6))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // the 100 TB shape: scan only nprobe/nlist of the corpus per query
     // (approximate by design → rows-only gate; recall asserted in spec)
     "knn_ivf_pruned" -> ((s, dir) => {

@@ -81,6 +81,34 @@ object PqIndex {
   def encodeCol(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
     column(PqEncodeExpr(expression(v), codebooks))
 
+  /** One query's ADC table: `m × 256` exact subspace distances (dot or
+    * squared-L2), laid out flat as `table(s·256 + c)`. */
+  def adcTable(qv: Array[Float], cbs: Array[Array[Array[Float]]],
+      higherIsCloser: Boolean): Array[Double] = {
+    val m = cbs.length
+    val dsub = cbs(0)(0).length
+    val t = new Array[Double](m * K)
+    var s = 0
+    while (s < m) {
+      val cb = cbs(s)
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        if (higherIsCloser) {
+          while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
+        } else {
+          while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
+        }
+        t(s * K + c) = acc
+        c += 1
+      }
+      s += 1
+    }
+    t
+  }
+
   /** ADC top-k: broadcast the query batch, stream the code rows, amortize
     * one distance table per query per partition, bounded heaps, then the
     * same aggregate-merge tail as exact search. `higherIsCloser` selects
@@ -102,32 +130,9 @@ object PqIndex {
     val k = topK
     val partials = indexed.select(col(ROW_ID), col(CODES)).mapPartitions { it =>
       val cbs = cbB.value
-      val m = cbs.length
-      val dsub = cbs(0)(0).length
       val qs = qB.value
-      // per-query ADC tables: table(q)(s*256 + c) — built once per partition
-      val tables = qs.map { case (_, qv) =>
-        val t = new Array[Double](m * K)
-        var s = 0
-        while (s < m) {
-          val cb = cbs(s)
-          var c = 0
-          while (c < cb.length) {
-            val cent = cb(c)
-            var acc = 0.0
-            var i = 0
-            if (higherIsCloser) {
-              while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
-            } else {
-              while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
-            }
-            t(s * K + c) = acc
-            c += 1
-          }
-          s += 1
-        }
-        t
-      }
+      // per-query ADC tables — built once per partition
+      val tables = qs.map { case (_, qv) => adcTable(qv, cbs, higherIsCloser) }
       val heaps = qs.map(_ => new TopKBuffer(k, asc))
       it.foreach { r =>
         val rowId = r.getLong(0)
@@ -154,6 +159,83 @@ object PqIndex {
       .select(col(QID), col("__hit.row_id").as(ROW_ID),
         col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
     hits
+  }
+}
+
+object IvfPqScorer {
+  import SparkSearcher.{QID, QVEC, ROW_ID, DIST, RANK}
+
+  /** IVF+PQ ADC search: like [[PqIndex.pqTopK]] but each row is scored
+    * only against the queries probing its cell — the composition that
+    * gives BOTH partition pruning (IVF) and 4·dim/m× memory compression
+    * (PQ), i.e. the canonical faiss `IVFn,PQm` shape for corpora where
+    * neither the full scan nor the float vectors fit. */
+  def topK(indexed: DataFrame, queries: DataFrame, topK: Int,
+      codebooks: Array[Array[Array[Float]]], centroids: Array[Array[Float]],
+      nprobe: Int, higherIsCloser: Boolean): DataFrame = {
+    val spark = indexed.sparkSession
+    val nlist = centroids.length
+    val qRows = queries
+      .select(col(QID).cast("long").as(QID), col(QVEC),
+        IvfIndex.nearestCentroidsCol(col(QVEC), centroids, math.min(nprobe, nlist))
+          .as("__probes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getSeq[Int](2).toArray))
+    val qB = spark.sparkContext.broadcast(qRows)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val outSchema = StructType(Seq(
+      StructField(QID, LongType, nullable = false),
+      StructField(ROW_ID, LongType, nullable = false),
+      StructField(DIST, DoubleType, nullable = false)))
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val asc = !higherIsCloser
+    val k = topK
+    val partials = indexed
+      .select(col(ROW_ID), col(IvfIndex.CID), col(PqIndex.CODES))
+      .mapPartitions { it =>
+        val cbs = cbB.value
+        val qs = qB.value
+        val tables = qs.map { case (_, qv, _) =>
+          PqIndex.adcTable(qv, cbs, higherIsCloser)
+        }
+        // cell → indices of the queries probing it (built once per partition)
+        val byCell = new java.util.HashMap[Int, Array[Int]]()
+        qs.zipWithIndex.foreach { case ((_, _, probes), qi) =>
+          probes.foreach { c =>
+            val prev = byCell.getOrDefault(c, Array.empty)
+            byCell.put(c, prev :+ qi)
+          }
+        }
+        val heaps = qs.map(_ => new TopKBuffer(k, asc))
+        it.foreach { r =>
+          val rowId = r.getLong(0)
+          val cell = r.getInt(1)
+          val qis = byCell.get(cell)
+          if (qis != null) {
+            val codes = r.getAs[Array[Byte]](2)
+            var j = 0
+            while (j < qis.length) {
+              val qi = qis(j)
+              val t = tables(qi)
+              var dist = 0.0
+              var s = 0
+              while (s < codes.length) { dist += t(s * PqIndex.K + (codes(s) & 0xff)); s += 1 }
+              heaps(qi).insert(dist, rowId)
+              j += 1
+            }
+          }
+        }
+        qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+          heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
+        }
+      }(enc)
+    partials
+      .groupBy(col(QID))
+      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
   }
 }
 

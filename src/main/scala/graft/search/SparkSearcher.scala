@@ -61,8 +61,10 @@ case object ExactFlat extends IndexStrategy
 final case class IvfFlat(nlist: Int) extends IndexStrategy
 final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
 final case class PqFlat(m: Int) extends IndexStrategy
+final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
 
 object IndexStrategy {
+  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)".r
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
@@ -76,6 +78,7 @@ object IndexStrategy {
     * time (≈log2(n/16): bucket occupancy stays ~constant as n grows). */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
+    case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(_)            => IvfFlat(64)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
@@ -198,6 +201,30 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
           Some(codebooks))
+      case IvfPq(nlist, m) =>
+        require(Set("cos", "ip", "l2").contains(params.measurement),
+          s"IVF,PQ supports cos/ip/l2, got '${params.measurement}'")
+        val pre0 =
+          if (params.measurement == "cos")
+            base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+          else base
+        val pre = pre0.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "IVF,PQ fit on empty/zero-dim vectors")
+        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n)
+        // cells for pruning AND byte codes for memory: the canonical
+        // faiss IVFn,PQm composition
+        val indexed = IvfIndex
+          .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
+          .drop(VEC)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
+          None, Some(codebooks))
       case LshTables(numTables, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -293,7 +320,7 @@ object SparkSearcher {
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
     val searcher = new SparkSearcher(encoder, params)
     val pq = searcher.strategy match {
-      case PqFlat(_) =>
+      case PqFlat(_) | IvfPq(_, _) =>
         val rows = spark.read.parquet(s"$path/pq_codebooks")
           .orderBy("sub", "cid").collect()
         Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
@@ -313,7 +340,7 @@ object SparkSearcher {
     val payload = indexed.columns
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES)).toSeq
     val centroids = searcher.strategy match {
-      case IvfFlat(_) => Some(spark.read.parquet(s"$path/centroids")
+      case IvfFlat(_) | IvfPq(_, _) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
@@ -388,7 +415,8 @@ class SearcherModel private[search] (
     }
     val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
-    val pqCos = searcher.strategy.isInstanceOf[PqFlat] && params.measurement == "cos"
+    val pqCos = (searcher.strategy.isInstanceOf[PqFlat] ||
+      searcher.strategy.isInstanceOf[IvfPq]) && params.measurement == "cos"
     val qn =
       if ((params.normVec && params.measurement != "cos") || pqCos)
         // PQ + cos: queries must be materialized-normalized like the fitted
@@ -401,6 +429,7 @@ class SearcherModel private[search] (
       case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, params.nprobe)
       case LshTables(_, _) => lshTopK(qn, topK)
       case PqFlat(_)      => pqTopK(qn, topK)
+      case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
     }
 
     // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
@@ -506,6 +535,18 @@ class SearcherModel private[search] (
     val cbs = pqCodebooks.getOrElse(
       throw new IllegalStateException("PQ search without fitted codebooks"))
     PqIndex.pqTopK(indexed, q, topK, cbs, metric.higherIsCloser)
+      .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
+  /** IVF+PQ: cell-pruned ADC — see [[IvfPqScorer.topK]]. */
+  private def ivfPqTopK(q: DataFrame, topK: Int, nlist: Int): DataFrame = {
+    val cbs = pqCodebooks.getOrElse(
+      throw new IllegalStateException("IVF,PQ search without fitted codebooks"))
+    val cents = centroids.getOrElse(
+      throw new IllegalStateException("IVF,PQ search without fitted centroids"))
+    IvfPqScorer.topK(indexed, q, topK, cbs, cents, params.nprobe,
+        metric.higherIsCloser)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }

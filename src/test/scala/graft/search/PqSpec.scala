@@ -43,6 +43,44 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ top-10 recall vs exact was $recall")
   }
 
+  test("IVF,PQ composition: full probe equals plain PQ; pruned probe recalls well") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    def results(param: String, nprobe: Int) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = param, nprobe = nprobe))
+        .fit(emb)
+        .search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect()
+        .map(_.toSeq).toSet
+    // probing ALL cells makes IVF pruning a no-op: identical to plain PQ
+    assert(results("IVF8,PQ8", nprobe = 8) === results("PQ8", nprobe = 4))
+    // pruned probing keeps a probe-fraction-consistent share of the PQ
+    // result set (the synthetic embeddings are near-uniform — no cluster
+    // structure — so recall tracks the scanned fraction; real corpora
+    // cluster and do far better)
+    val full = results("PQ8", nprobe = 4)
+    val pruned = results("IVF8,PQ8", nprobe = 6)
+    val recall = full.count(pruned.contains).toDouble / full.size
+    assert(recall >= 0.5, s"IVF,PQ nprobe=6/8 recall vs full PQ was $recall")
+  }
+
+  test("IVF,PQ save/load round-trip") {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l2", indexParam = "IVF8,PQ8", nprobe = 4)).fit(sf("embeddings"))
+    val q = sf("embeddings").filter(col("vec_id") < 5)
+    val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(after === before)
+  }
+
   test("PQ save/load round-trip: identical results from reloaded codes") {
     val model = fitPq("l2")
     val q = sf("embeddings").filter(col("vec_id") < 5)
