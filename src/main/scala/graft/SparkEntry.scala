@@ -348,11 +348,16 @@ object SparkEntry {
         .orderBy("modality")
     }),
     // multimodal frame sampling: payload → 64-byte frames, every 2nd kept,
-    // per-frame stub features, per-media aggregate (DECIMAL-disciplined)
+    // per-frame stub features, per-media aggregate (DECIMAL-disciplined).
+    // frameSample slices BYTES (the honest video-payload contract); DuckDB
+    // can only substr CHARACTERS — byte==char positions only for ASCII, so
+    // BOTH sides filter to ASCII docs (octet_length = char length), making
+    // the gate corpus-independent instead of silently assuming ASCII.
     "multimodal_frames" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Multimodal.ingestFromText(
-        table(s, dir, "documents").filter(col("doc_id") < 100),
+        table(s, dir, "documents").filter(col("doc_id") < 100)
+          .filter(octet_length(col("text")) === length(col("text"))),
         "doc_id", "text", "video")
       val frames = Multimodal.frameSample(media, frameBytes = 64, everyK = 2)
       Multimodal.decodeFeatures(frames, dim = 16)
@@ -786,8 +791,9 @@ object SparkEntry {
         |  CAST(sum(CAST(fs AS DECIMAL(28,10))) AS DOUBLE) sum_feat
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin.replace("\n", " "),
     "multimodal_frames" ->
-      """WITH m AS (SELECT doc_id media_id, text FROM documents WHERE doc_id < 100),
-        |fr AS (SELECT media_id, unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) fno, text FROM m),
+      """WITH m AS (SELECT doc_id media_id, text FROM documents
+        |  WHERE doc_id < 100 AND octet_length(encode(text)) = length(text)),
+        |fr AS (SELECT media_id, unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT))) fno, text FROM m),
         |fs AS (SELECT media_id, fno, substr(text, CAST(fno * 64 + 1 AS INT), 64) frame FROM fr WHERE fno % 2 = 0),
         |h AS (SELECT media_id, fno,
         |  list_transform(range(0, 16), i -> len(list_filter(

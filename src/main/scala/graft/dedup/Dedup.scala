@@ -70,6 +70,7 @@ object Dedup {
     // everything else); evicted by Spark's LRU when consumers finish
     val sh = df.select(col(idCol).as("id"), shingle.as("sh"))
       .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0) // empty shingle sets: no prefix, jaccard 0/0
       .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
@@ -140,8 +141,13 @@ object Dedup {
       n: Int = 5, numHashes: Int = 64, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // docs shorter than the shingle width have EMPTY shingle sets — their
+    // signatures are all-sentinel and would band-collide with every other
+    // short doc; they cannot be near-dups of anything, so drop them first
     val sig = df.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), n, numHashes).as("sig"))
+      charShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minHashSignatureBy(col("sh"), numHashes).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -158,11 +164,15 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // shingle once, reuse for signatures (banding self-join) and verify
+    // shingle once, reuse for signatures (banding self-join) and verify;
+    // drop empty-shingle docs (shorter than the shingle width): their
+    // all-sentinel signatures would band-collide with every other short doc
+    // and their jaccard is 0/0 — mirrors the oracle's WHERE len(s) > 0
     val texts = df.select(col(idCol).as("id"),
       charShingles(col(textCol), n).as("sh"))
-      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
       .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = texts.select(col("id"),
       minHashSignatureBy(col("sh"), numHashes).as("sig"))

@@ -26,31 +26,36 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // align schemas: left side carries null right-values, right side
+    // The right-row payload travels as ONE struct, not per-value columns:
+    // `last(..., ignoreNulls)` then selects the latest prior right ROW, so a
+    // matched row whose value column is NULL is still the match (DuckDB ASOF
+    // semantics) instead of being skipped in favor of an older non-null row.
+    val rvType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+    // align schemas: left side carries a null right-struct, right side
     // carries null left-payload; IS_LEFT orders right rows first at equal
     // times (inclusive <= semantics)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
       .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        lit(null).cast(rvType).as("__rv"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
       .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__rv_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__rv"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = l.unionByName(r)
       .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
-        leftCols.filterNot(keys.contains).map(col) ++
-        valueCols.map(c =>
-          last(col(s"__rv_$c"), ignoreNulls = true).over(w).as(c)): _*)
+        leftCols.filterNot(keys.contains).map(col) :+
+        last(col("__rv"), ignoreNulls = true).over(w).as("__rvf"): _*)
     filled.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"__rvf.$c").as(c)): _*)
   }
 
   /**
@@ -113,8 +118,14 @@ object Relational {
    */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int): DataFrame = {
+    // Salt MUST be deterministic per row: it is a shuffle/join key, and a
+    // nondeterministic source (monotonically_increasing_id, rand) re-assigns
+    // salts on fetch-failure recompute or speculative re-execution, silently
+    // duplicating/dropping rows vs the plain join. Hash the full row content
+    // instead — identical rows share a salt, which is harmless (they carry
+    // the same join key anyway), and recomputes are stable.
     val salted = big.withColumn("__salt",
-      pmod(hash(col(bigKey), monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
     salted.join(replicated,

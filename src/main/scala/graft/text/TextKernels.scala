@@ -19,6 +19,8 @@ object TextKernels {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  @inline private def isWsCp(cp: Int): Boolean = cp < 128 && isWs(cp.toChar)
+
   private val stopwords: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     TextAnalysis.Stopwords.foreach(s.add)
@@ -98,17 +100,20 @@ object TextKernels {
     var bpe = 0
     var prev = 0 // 0 = other/ws, 1 = letter run, 2 = digit run
     var i = 0
+    // iterate per CODEPOINT (codePointAt + charCount), not per UTF-16 char:
+    // a non-BMP punctuation codepoint must count once, like `len` above and
+    // the oracle's regexp_extract_all — else punct_ratio can exceed 1.0
     while (i < s.length) {
-      val c = s.charAt(i)
-      val letter = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
-      val digit = c >= '0' && c <= '9'
+      val cp = s.codePointAt(i)
+      val letter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val digit = cp >= '0' && cp <= '9'
       if (letter) { if (prev != 1) bpe += 1; prev = 1 }
       else if (digit) { if (prev != 2) bpe += 1; prev = 2 }
       else {
         prev = 0
-        if (!isWs(c)) { bpe += 1; punct += 1 }
+        if (!isWsCp(cp)) { bpe += 1; punct += 1 }
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     var ntoks = 0
     var sumLens = 0L
@@ -156,11 +161,12 @@ object TextKernels {
     val lower = s.toLowerCase(java.util.Locale.ROOT)
     var punct = 0
     var i = 0
+    // per codepoint, matching codePointCount-based `len` (see stats())
     while (i < s.length) {
-      val c = s.charAt(i)
-      val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-      if (!alnum && !isWs(c)) punct += 1
-      i += 1
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (!alnum && !isWsCp(cp)) punct += 1
+      i += Character.charCount(cp)
     }
     var ntoks = 0
     var sumLens = 0L
