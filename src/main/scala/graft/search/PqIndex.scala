@@ -109,49 +109,76 @@ object PqIndex {
     t
   }
 
-  /** ADC top-k: broadcast the query batch, stream the code rows, amortize
-    * one distance table per query per partition, bounded heaps, then the
-    * same aggregate-merge tail as exact search. `higherIsCloser` selects
-    * dot tables (ip/cos-on-normalized) vs squared-L2 tables. */
+  /** Queries per broadcast chunk: bounds DRIVER memory (one chunk of
+    * vectors collected at a time) and EXECUTOR table memory (chunk·m·256
+    * doubles of ADC tables per partition) regardless of query-batch size —
+    * a corpus self-search no longer OOMs the driver. Each chunk costs one
+    * pass over the (byte-code, cached) corpus, the standard batching trade. */
+  val DefaultQueryChunk = 4096
+
+  private[search] val hitSchema = StructType(Seq(
+    StructField(SparkSearcher.QID, LongType, nullable = false),
+    StructField(SparkSearcher.ROW_ID, LongType, nullable = false),
+    StructField(SparkSearcher.DIST, DoubleType, nullable = false)))
+
+  /** Deterministic chunk split of a query DataFrame: hash-bucket on qid —
+    * no collect of the full batch, each chunk collected separately. */
+  private[search] def queryChunks(queries: DataFrame, chunkSize: Int): Seq[DataFrame] = {
+    import SparkSearcher.QID
+    val nq = queries.count()
+    val nChunks = math.max(1, math.ceil(nq.toDouble / chunkSize).toInt)
+    if (nChunks == 1) Seq(queries)
+    else (0 until nChunks).map(ci =>
+      queries.filter(pmod(xxhash64(col(QID)), lit(nChunks)) === ci))
+  }
+
+  /** ADC top-k: broadcast the query batch in bounded CHUNKS, stream the
+    * code rows, amortize one distance table per query per partition,
+    * bounded heaps, then the same aggregate-merge tail as exact search.
+    * `higherIsCloser` selects dot tables (ip/cos-on-normalized) vs
+    * squared-L2 tables. */
   def pqTopK(indexed: DataFrame, queries: DataFrame, topK: Int,
-      codebooks: Array[Array[Array[Float]]], higherIsCloser: Boolean): DataFrame = {
+      codebooks: Array[Array[Array[Float]]], higherIsCloser: Boolean,
+      queryChunkSize: Int = DefaultQueryChunk): DataFrame = {
     import SparkSearcher.{QID, QVEC, ROW_ID, DIST, RANK}
     val spark = indexed.sparkSession
-    val qRows = queries.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val qB = spark.sparkContext.broadcast(qRows)
     val cbB = spark.sparkContext.broadcast(codebooks)
-    val outSchema = StructType(Seq(
-      StructField(QID, LongType, nullable = false),
-      StructField(ROW_ID, LongType, nullable = false),
-      StructField(DIST, DoubleType, nullable = false)))
-    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(hitSchema)
     val asc = !higherIsCloser
     val k = topK
-    val partials = indexed.select(col(ROW_ID), col(CODES)).mapPartitions { it =>
-      val cbs = cbB.value
-      val qs = qB.value
-      // per-query ADC tables — built once per partition
-      val tables = qs.map { case (_, qv) => adcTable(qv, cbs, higherIsCloser) }
-      val heaps = qs.map(_ => new TopKBuffer(k, asc))
-      it.foreach { r =>
-        val rowId = r.getLong(0)
-        val codes = r.getAs[Array[Byte]](1)
-        var q = 0
-        while (q < qs.length) {
-          val t = tables(q)
-          var dist = 0.0
-          var s = 0
-          while (s < codes.length) { dist += t(s * K + (codes(s) & 0xff)); s += 1 }
-          heaps(q).insert(dist, rowId)
-          q += 1
-        }
+    val chunkPartials = queryChunks(queries, queryChunkSize).flatMap { chunk =>
+      val qRows = chunk.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      if (qRows.isEmpty) None else Some {
+        val qB = spark.sparkContext.broadcast(qRows)
+        indexed.select(col(ROW_ID), col(CODES)).mapPartitions { it =>
+          val cbs = cbB.value
+          val qs = qB.value
+          // per-query ADC tables — built once per partition
+          val tables = qs.map { case (_, qv) => adcTable(qv, cbs, higherIsCloser) }
+          val heaps = qs.map(_ => new TopKBuffer(k, asc))
+          it.foreach { r =>
+            val rowId = r.getLong(0)
+            val codes = r.getAs[Array[Byte]](1)
+            var q = 0
+            while (q < qs.length) {
+              val t = tables(q)
+              var dist = 0.0
+              var s = 0
+              while (s < codes.length) { dist += t(s * K + (codes(s) & 0xff)); s += 1 }
+              heaps(q).insert(dist, rowId)
+              q += 1
+            }
+          }
+          qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+            heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
+          }
+        }(enc)
       }
-      qs.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
-        heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
-      }
-    }(enc)
-    // final merge: k per partition per query → global k (same heap aggregate)
+    }
+    // chunks are disjoint query sets, so union THEN one merge is exact:
+    // k per partition per query → global k (same heap aggregate)
+    val partials = chunkPartials.reduce(_ union _)
     val hits = partials
       .groupBy(col(QID))
       .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))
@@ -172,65 +199,68 @@ object IvfPqScorer {
     * neither the full scan nor the float vectors fit. */
   def topK(indexed: DataFrame, queries: DataFrame, topK: Int,
       codebooks: Array[Array[Array[Float]]], centroids: Array[Array[Float]],
-      nprobe: Int, higherIsCloser: Boolean): DataFrame = {
+      nprobe: Int, higherIsCloser: Boolean,
+      queryChunkSize: Int = PqIndex.DefaultQueryChunk): DataFrame = {
     val spark = indexed.sparkSession
     val nlist = centroids.length
-    val qRows = queries
-      .select(col(QID).cast("long").as(QID), col(QVEC),
-        IvfIndex.nearestCentroidsCol(col(QVEC), centroids, math.min(nprobe, nlist))
-          .as("__probes"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
-        r.getSeq[Int](2).toArray))
-    val qB = spark.sparkContext.broadcast(qRows)
     val cbB = spark.sparkContext.broadcast(codebooks)
-    val outSchema = StructType(Seq(
-      StructField(QID, LongType, nullable = false),
-      StructField(ROW_ID, LongType, nullable = false),
-      StructField(DIST, DoubleType, nullable = false)))
-    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(PqIndex.hitSchema)
     val asc = !higherIsCloser
     val k = topK
-    val partials = indexed
-      .select(col(ROW_ID), col(IvfIndex.CID), col(PqIndex.CODES))
-      .mapPartitions { it =>
-        val cbs = cbB.value
-        val qs = qB.value
-        val tables = qs.map { case (_, qv, _) =>
-          PqIndex.adcTable(qv, cbs, higherIsCloser)
-        }
-        // cell → indices of the queries probing it (built once per partition)
-        val byCell = new java.util.HashMap[Int, Array[Int]]()
-        qs.zipWithIndex.foreach { case ((_, _, probes), qi) =>
-          probes.foreach { c =>
-            val prev = byCell.getOrDefault(c, Array.empty)
-            byCell.put(c, prev :+ qi)
-          }
-        }
-        val heaps = qs.map(_ => new TopKBuffer(k, asc))
-        it.foreach { r =>
-          val rowId = r.getLong(0)
-          val cell = r.getInt(1)
-          val qis = byCell.get(cell)
-          if (qis != null) {
-            val codes = r.getAs[Array[Byte]](2)
-            var j = 0
-            while (j < qis.length) {
-              val qi = qis(j)
-              val t = tables(qi)
-              var dist = 0.0
-              var s = 0
-              while (s < codes.length) { dist += t(s * PqIndex.K + (codes(s) & 0xff)); s += 1 }
-              heaps(qi).insert(dist, rowId)
-              j += 1
+    // bounded chunks, same rationale as PqIndex.pqTopK: driver collects and
+    // executors table-up at most `queryChunkSize` queries at a time
+    val chunkPartials = PqIndex.queryChunks(queries, queryChunkSize).flatMap { chunk =>
+      val qRows = chunk
+        .select(col(QID).cast("long").as(QID), col(QVEC),
+          IvfIndex.nearestCentroidsCol(col(QVEC), centroids, math.min(nprobe, nlist))
+            .as("__probes"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+          r.getSeq[Int](2).toArray))
+      if (qRows.isEmpty) None else Some {
+        val qB = spark.sparkContext.broadcast(qRows)
+        indexed
+          .select(col(ROW_ID), col(IvfIndex.CID), col(PqIndex.CODES))
+          .mapPartitions { it =>
+            val cbs = cbB.value
+            val qs = qB.value
+            val tables = qs.map { case (_, qv, _) =>
+              PqIndex.adcTable(qv, cbs, higherIsCloser)
             }
-          }
-        }
-        qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
-          heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
-        }
-      }(enc)
-    partials
+            // cell → indices of the queries probing it (built once per partition)
+            val byCell = new java.util.HashMap[Int, Array[Int]]()
+            qs.zipWithIndex.foreach { case ((_, _, probes), qi) =>
+              probes.foreach { c =>
+                val prev = byCell.getOrDefault(c, Array.empty)
+                byCell.put(c, prev :+ qi)
+              }
+            }
+            val heaps = qs.map(_ => new TopKBuffer(k, asc))
+            it.foreach { r =>
+              val rowId = r.getLong(0)
+              val cell = r.getInt(1)
+              val qis = byCell.get(cell)
+              if (qis != null) {
+                val codes = r.getAs[Array[Byte]](2)
+                var j = 0
+                while (j < qis.length) {
+                  val qi = qis(j)
+                  val t = tables(qi)
+                  var dist = 0.0
+                  var s = 0
+                  while (s < codes.length) { dist += t(s * PqIndex.K + (codes(s) & 0xff)); s += 1 }
+                  heaps(qi).insert(dist, rowId)
+                  j += 1
+                }
+              }
+            }
+            qs.iterator.zipWithIndex.flatMap { case ((qid, _, _), qi) =>
+              heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
+            }
+          }(enc)
+      }
+    }
+    chunkPartials.reduce(_ union _)
       .groupBy(col(QID))
       .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))
       .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))

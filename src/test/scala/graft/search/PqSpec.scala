@@ -81,6 +81,30 @@ class PqSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("chunked query batches: chunk size ≪ batch gives identical results") {
+    // the scale path: a query batch far larger than the broadcast chunk is
+    // collected chunk-by-chunk (bounded driver memory), scored per chunk,
+    // and merged — results must be EXACTLY the single-broadcast results
+    val emb = sf("embeddings")
+    val model = fitPq("l2")
+    val q = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").cast("long").as(SparkSearcher.QID),
+        col("embedding").cast("array<float>").as(SparkSearcher.QVEC))
+    val cbs = model.pqCodebooks.get
+    def run(chunk: Int) = PqIndex
+      .pqTopK(model.indexed, q, 5, cbs, higherIsCloser = false, queryChunkSize = chunk)
+      .collect().map(_.toSeq).toSet
+    assert(run(7) === run(Int.MaxValue)) // 50 queries → 8 chunks vs 1
+    val ivfpq = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l2", indexParam = "IVF8,PQ8", nprobe = 4)).fit(emb)
+    def runIvf(chunk: Int) = IvfPqScorer
+      .topK(ivfpq.indexed, q, 5, ivfpq.pqCodebooks.get, ivfpq.centroids.get,
+        nprobe = 4, higherIsCloser = false, queryChunkSize = chunk)
+      .collect().map(_.toSeq).toSet
+    assert(runIvf(7) === runIvf(Int.MaxValue))
+  }
+
   test("PQ save/load round-trip: identical results from reloaded codes") {
     val model = fitPq("l2")
     val q = sf("embeddings").filter(col("vec_id") < 5)
