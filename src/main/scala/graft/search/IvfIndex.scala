@@ -163,7 +163,11 @@ object IvfIndex {
 
   /** Query-time probe: explode each query into its nprobe nearest cells,
     * equi-join on cell id (only those cells are scanned), then per-query
-    * top-k — same shape as the exact path but over a pruned corpus. */
+    * top-k via the bounded-heap aggregate ([[TopKByDistance]]) — O(n log k)
+    * with map-side partial aggregation, shuffling k rows per query per
+    * partition instead of sorting all nprobe·n/nlist candidates per query
+    * (the window `row_number` tail this replaced). A row lives in exactly
+    * one cell, so candidate (query, row) pairs are already distinct. */
   def ivfTopK(model: SearcherModel, q: DataFrame, topK: Int, nlist: Int,
       nprobe: Int): DataFrame = {
     import SparkSearcher._
@@ -175,11 +179,14 @@ object IvfIndex {
     val slim = model.indexed.select(col(ROW_ID), col(VEC), col(CID))
     val scored = probes.join(slim, CID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
-    val w = Window.partitionBy(col(QID))
-      .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
-    scored
-      .withColumn(RANK, row_number().over(w))
-      .filter(col(RANK) <= topK)
+    val hits = scored
+      .groupBy(col(QID))
+      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
+        asc = !metric.higherIsCloser).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+    hits.join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 }

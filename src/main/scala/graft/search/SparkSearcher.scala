@@ -519,11 +519,15 @@ class SearcherModel private[search] (
       .join(broadcast(q.select(col(QID), col(QVEC))), QID)
       .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
-    val w = Window.partitionBy(col(QID))
-      .orderBy(metric.closestFirst(col(DIST)), col(ROW_ID))
+    // bounded-heap top-k tail (same as the exact aggregate path): shuffles
+    // k rows per query per partition instead of sorting all candidates
     scored
-      .withColumn(RANK, row_number().over(w))
-      .filter(col(RANK) <= topK)
+      .groupBy(col(QID))
+      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
+        asc = !metric.higherIsCloser).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }

@@ -51,6 +51,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("l_shipdate")) // pushdown of the date filter
   }
 
+  test("IVF and LSH top-k tails: heap aggregate, no Sort/Window of candidates") {
+    // the approximate paths must share the exact path's O(n log k) tail:
+    // a window row_number tail would sort+shuffle every candidate per query
+    Seq("knn_ivf_cos", "knn_lsh_cos").foreach { q =>
+      val plan = physical(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(plan.contains("top_k_by_distance"), s"$q lost the heap-aggregate tail")
+      assert(!plan.contains("Window"), s"$q plan re-grew a Window tail")
+      // the gate query's final presentation orderBy sits ABOVE the aggregate
+      // (earlier in the printed tree); nothing below it may sort candidates
+      val below = plan.substring(plan.indexOf("top_k_by_distance"))
+      assert(!below.contains("Sort "), s"$q plan sorts candidates below the heap tail")
+    }
+  }
+
   test("asof join: single shuffle on the key, window fill, no range join blowup") {
     val plan = physical(SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
