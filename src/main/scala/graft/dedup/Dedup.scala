@@ -201,10 +201,13 @@ object Dedup {
    * the fingerprint. One codegen'd expression ([[SimHash62]]), single
    * pass, bit-exactly reproducible in DuckDB SQL.
    */
-  def simHash62(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    toCol(SimHash62(toExpr(toks)))
-  }
+  def simHash62(text: Column): Column =
+    // coalesce makes the expression NON-NULLABLE, so the join-key
+    // isnotnull constraint inferred downstream constant-folds instead of
+    // being pushed into the scan as a second full simhash evaluation per
+    // row (the round-2 regression: the pushed filter re-ran the whole
+    // interpreted tokenize+hash before the projection ran it again)
+    toCol(SimHash62Text(toExpr(coalesce(text, lit("")))))
 
   /** Chunk (offset, width) partition of the 62-bit space into `chunks`
     * contiguous pieces, widths as even as possible — shared with the
@@ -219,22 +222,37 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming`: band the 62-bit space into
     * `maxHamming+1` chunks (pigeonhole: a pair within the distance agrees
     * exactly on ≥1 chunk), equi-join per chunk, verify with bit_count(xor).
-    * Returns `[id_a, id_b, hamming]`. */
+    * Returns `[id_a, id_b, hamming]`.
+    *
+    * A near-dup pair collides on SEVERAL chunks (exact duplicates on all of
+    * them), so the join emits duplicates; instead of a `distinct()` shuffle
+    * over every candidate (the round-2 hotspot: 575k candidate rows for 2k
+    * result pairs on a dup-heavy corpus), each pair is kept only where the
+    * matched chunk is its FIRST agreeing chunk — a codegen filter on the
+    * two fingerprints already in hand, no extra shuffle. The hamming filter
+    * runs before anything else downstream sees the row. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
+    val chunkSpec = simHashChunks(chunks)
+    def chunkKey(c: Column, off: Int, width: Int): Column =
+      shiftright(c, off).bitwiseAND(lit((1L << width) - 1))
     val banded = sh.select(col("id"), col("sh"), posexplode(
-      array(simHashChunks(chunks).map { case (off, width) =>
-        shiftright(col("sh"), off)
-          .bitwiseAND(lit((1L << width) - 1))
-      }: _*)).as(Seq("chunk", "key")))
+      array(chunkSpec.map { case (off, width) => chunkKey(col("sh"), off, width) }: _*))
+      .as(Seq("chunk", "key")))
     val l = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // first-agreeing-chunk: every earlier chunk key must DIFFER
+    val firstMatch = chunkSpec.zipWithIndex.foldLeft(lit(true)) {
+      case (acc, ((off, width), ci)) =>
+        acc && (col("chunk") <= ci ||
+          chunkKey(col("sh_a"), off, width) =!= chunkKey(col("sh_b"), off, width))
+    }
     l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
