@@ -81,32 +81,117 @@ object PqIndex {
   def encodeCol(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
     column(PqEncodeExpr(expression(v), codebooks))
 
-  /** One query's ADC table: `m × 256` exact subspace distances (dot or
-    * squared-L2), laid out flat as `table(s·256 + c)`. */
-  def adcTable(qv: Array[Float], cbs: Array[Array[Array[Float]]],
-      higherIsCloser: Boolean): Array[Double] = {
+  /**
+   * One query's ADC scorer. Every reference metric decomposes over the `m`
+   * subspaces (faiss_searcher.py:77-86 resolves 8 metrics; faiss serves
+   * them all through any factory string, PQ included):
+   *
+   *  - additive (ip/cos-on-normalized dot, l2, l1, lp, canberra,
+   *    jensen_shannon): `dist = Σ_s table(s, code_s)`;
+   *  - max-combined (linf): `dist = max_s table(s, code_s)`;
+   *  - ratio of two sums (bray_curtis): numerator and denominator each get
+   *    a table, `dist = Σ num / Σ den` (0 when the denominator is 0,
+   *    matching [[graft.functions.VectorKernels.brayCurtis]]).
+   *
+   * Tables are `m × 256` exact subspace contributions against the
+   * codebook centroids, laid out flat as `table(s·256 + c)`; scoring a
+   * stored code is `m` lookups regardless of metric.
+   */
+  final class AdcScorer(t1: Array[Double], t2: Array[Double], isMax: Boolean) {
+    def score(codes: Array[Byte]): Double = {
+      val m = codes.length
+      var s = 0
+      if (isMax) {
+        var acc = 0.0
+        while (s < m) {
+          val v = t1(s * K + (codes(s) & 0xff)); if (v > acc) acc = v; s += 1
+        }
+        acc
+      } else if (t2 == null) {
+        var acc = 0.0
+        while (s < m) { acc += t1(s * K + (codes(s) & 0xff)); s += 1 }
+        acc
+      } else {
+        var num = 0.0
+        var den = 0.0
+        while (s < m) {
+          val o = s * K + (codes(s) & 0xff)
+          num += t1(o); den += t2(o); s += 1
+        }
+        if (den == 0.0) 0.0 else num / den
+      }
+    }
+  }
+
+  /** Build the ADC scorer for `metricName` (same names as
+    * [[graft.functions.VectorFunctions.metric]]); `metricArg` is the
+    * Minkowski p for `lp`. */
+  def adcScorer(qv: Array[Float], cbs: Array[Array[Array[Float]]],
+      metricName: String, metricArg: Double): AdcScorer = {
     val m = cbs.length
-    val dsub = cbs(0)(0).length
-    val t = new Array[Double](m * K)
+    val t1 = new Array[Double](m * K)
+    val isMax = metricName == "l_inf" || metricName == "linf"
+    val isRatio = metricName == "brayCurtis" || metricName == "bray_curtis"
+    val t2 = if (isRatio) new Array[Double](m * K) else null
     var s = 0
     while (s < m) {
       val cb = cbs(s)
+      val dsub = cb(0).length
       var c = 0
       while (c < cb.length) {
         val cent = cb(c)
         var acc = 0.0
+        var acc2 = 0.0
         var i = 0
-        if (higherIsCloser) {
-          while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
-        } else {
-          while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
+        metricName match {
+          case "ip" | "dot" | "cos" => // cos: vectors pre-normalized at fit
+            while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
+          case "l2" =>
+            while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
+          case "l1" =>
+            while (i < dsub) { acc += math.abs(qv(s * dsub + i).toDouble - cent(i)); i += 1 }
+          case "l_inf" | "linf" =>
+            while (i < dsub) {
+              val d = math.abs(qv(s * dsub + i).toDouble - cent(i))
+              if (d > acc) acc = d
+              i += 1
+            }
+          case "l_p" | "lp" =>
+            while (i < dsub) {
+              acc += math.pow(math.abs(qv(s * dsub + i).toDouble - cent(i)), metricArg); i += 1
+            }
+          case "canberra" =>
+            while (i < dsub) {
+              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              val den = math.abs(x) + math.abs(y)
+              if (den > 0.0) acc += math.abs(x - y) / den
+              i += 1
+            }
+          case "jensen_shannon" =>
+            while (i < dsub) {
+              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              val mid = 0.5 * (x + y)
+              val a1 = if (x > 0.0 && mid > 0.0) 0.5 * x * math.log(x / mid) else 0.0
+              val a2 = if (y > 0.0 && mid > 0.0) 0.5 * y * math.log(y / mid) else 0.0
+              acc += a1 + a2
+              i += 1
+            }
+          case "brayCurtis" | "bray_curtis" =>
+            while (i < dsub) {
+              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              acc += math.abs(x - y); acc2 += math.abs(x + y)
+              i += 1
+            }
+          case other => throw new IllegalArgumentException(
+            s"no ADC decomposition for metric '$other'")
         }
-        t(s * K + c) = acc
+        t1(s * K + c) = acc
+        if (t2 != null) t2(s * K + c) = acc2
         c += 1
       }
       s += 1
     }
-    t
+    new AdcScorer(t1, t2, isMax)
   }
 
   /** Queries per broadcast chunk: bounds DRIVER memory (one chunk of
@@ -133,18 +218,19 @@ object PqIndex {
   }
 
   /** ADC top-k: broadcast the query batch in bounded CHUNKS, stream the
-    * code rows, amortize one distance table per query per partition,
+    * code rows, amortize one [[AdcScorer]] per query per partition,
     * bounded heaps, then the same aggregate-merge tail as exact search.
-    * `higherIsCloser` selects dot tables (ip/cos-on-normalized) vs
-    * squared-L2 tables. */
+    * `metricName`/`metricArg` select the subspace decomposition — all 8
+    * reference metrics are served (see [[adcScorer]]). */
   def pqTopK(indexed: DataFrame, queries: DataFrame, topK: Int,
-      codebooks: Array[Array[Array[Float]]], higherIsCloser: Boolean,
+      codebooks: Array[Array[Array[Float]]], metricName: String,
+      metricArg: Double = 2.0,
       queryChunkSize: Int = DefaultQueryChunk): DataFrame = {
     import SparkSearcher.{QID, QVEC, ROW_ID, DIST, RANK}
     val spark = indexed.sparkSession
     val cbB = spark.sparkContext.broadcast(codebooks)
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(hitSchema)
-    val asc = !higherIsCloser
+    val asc = !Set("ip", "dot", "cos").contains(metricName)
     val k = topK
     val chunkPartials = queryChunks(queries, queryChunkSize).flatMap { chunk =>
       val qRows = chunk.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
@@ -154,19 +240,15 @@ object PqIndex {
         indexed.select(col(ROW_ID), col(CODES)).mapPartitions { it =>
           val cbs = cbB.value
           val qs = qB.value
-          // per-query ADC tables — built once per partition
-          val tables = qs.map { case (_, qv) => adcTable(qv, cbs, higherIsCloser) }
+          // per-query ADC scorers — built once per partition
+          val scorers = qs.map { case (_, qv) => adcScorer(qv, cbs, metricName, metricArg) }
           val heaps = qs.map(_ => new TopKBuffer(k, asc))
           it.foreach { r =>
             val rowId = r.getLong(0)
             val codes = r.getAs[Array[Byte]](1)
             var q = 0
             while (q < qs.length) {
-              val t = tables(q)
-              var dist = 0.0
-              var s = 0
-              while (s < codes.length) { dist += t(s * K + (codes(s) & 0xff)); s += 1 }
-              heaps(q).insert(dist, rowId)
+              heaps(q).insert(scorers(q).score(codes), rowId)
               q += 1
             }
           }
@@ -199,13 +281,13 @@ object IvfPqScorer {
     * neither the full scan nor the float vectors fit. */
   def topK(indexed: DataFrame, queries: DataFrame, topK: Int,
       codebooks: Array[Array[Array[Float]]], centroids: Array[Array[Float]],
-      nprobe: Int, higherIsCloser: Boolean,
+      nprobe: Int, metricName: String, metricArg: Double = 2.0,
       queryChunkSize: Int = PqIndex.DefaultQueryChunk): DataFrame = {
     val spark = indexed.sparkSession
     val nlist = centroids.length
     val cbB = spark.sparkContext.broadcast(codebooks)
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(PqIndex.hitSchema)
-    val asc = !higherIsCloser
+    val asc = !Set("ip", "dot", "cos").contains(metricName)
     val k = topK
     // bounded chunks, same rationale as PqIndex.pqTopK: driver collects and
     // executors table-up at most `queryChunkSize` queries at a time
@@ -224,8 +306,8 @@ object IvfPqScorer {
           .mapPartitions { it =>
             val cbs = cbB.value
             val qs = qB.value
-            val tables = qs.map { case (_, qv, _) =>
-              PqIndex.adcTable(qv, cbs, higherIsCloser)
+            val scorers = qs.map { case (_, qv, _) =>
+              PqIndex.adcScorer(qv, cbs, metricName, metricArg)
             }
             // cell → indices of the queries probing it (built once per partition)
             val byCell = new java.util.HashMap[Int, Array[Int]]()
@@ -245,11 +327,7 @@ object IvfPqScorer {
                 var j = 0
                 while (j < qis.length) {
                   val qi = qis(j)
-                  val t = tables(qi)
-                  var dist = 0.0
-                  var s = 0
-                  while (s < codes.length) { dist += t(s * PqIndex.K + (codes(s) & 0xff)); s += 1 }
-                  heaps(qi).insert(dist, rowId)
+                  heaps(qi).insert(scorers(qi).score(codes), rowId)
                   j += 1
                 }
               }

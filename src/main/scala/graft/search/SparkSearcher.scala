@@ -64,6 +64,7 @@ final case class PqFlat(m: Int) extends IndexStrategy
 final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
 
 object IndexStrategy {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
   private val IvfWithPq = "IVF(\\d+),PQ(\\d+)".r
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
@@ -80,7 +81,16 @@ object IndexStrategy {
     case null | "" | "Flat" => ExactFlat
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
-    case Hnsw(_)            => IvfFlat(64)
+    case Hnsw(_) =>
+      // honest translation, not a silent swap: the approximate-top-k
+      // contract is served, but by cluster pruning, whose recall/latency
+      // trade-offs differ from a graph ANN. Logged here and recorded as
+      // `effectiveIndex` in saved params (see SearcherModel.save).
+      log.warn(s"index_param '$param': HNSW graph ANN has no Spark-native " +
+        "analog; serving the approximate-top-k contract with IVF(64) " +
+        "cluster pruning instead — recall/latency characteristics differ " +
+        "from faiss HNSW")
+      IvfFlat(64)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m)              => PqFlat(m.toInt)
@@ -177,8 +187,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val d = dimOf(indexed)
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None, None)
       case PqFlat(m) =>
-        require(Set("cos", "ip", "l2").contains(params.measurement),
-          s"PQ supports cos/ip/l2, got '${params.measurement}'")
+        // every metric has a subspace ADC decomposition (PqIndex.adcScorer);
         // cos needs MATERIALIZED normalization (ADC computes raw dot
         // tables; there is no full-vector cosine kernel over codes) — the
         // reference's own norm_vec trick (faiss_searcher.py:53)
@@ -202,8 +211,6 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
           Some(codebooks))
       case IvfPq(nlist, m) =>
-        require(Set("cos", "ip", "l2").contains(params.measurement),
-          s"IVF,PQ supports cos/ip/l2, got '${params.measurement}'")
         val pre0 =
           if (params.measurement == "cos")
             base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
@@ -538,7 +545,7 @@ class SearcherModel private[search] (
   private def pqTopK(q: DataFrame, topK: Int): DataFrame = {
     val cbs = pqCodebooks.getOrElse(
       throw new IllegalStateException("PQ search without fitted codebooks"))
-    PqIndex.pqTopK(indexed, q, topK, cbs, metric.higherIsCloser)
+    PqIndex.pqTopK(indexed, q, topK, cbs, metric.name, searcher.params.metricArg)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
@@ -550,7 +557,7 @@ class SearcherModel private[search] (
     val cents = centroids.getOrElse(
       throw new IllegalStateException("IVF,PQ search without fitted centroids"))
     IvfPqScorer.topK(indexed, q, topK, cbs, cents, params.nprobe,
-        metric.higherIsCloser)
+        metric.name, searcher.params.metricArg)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
@@ -628,10 +635,15 @@ class SearcherModel private[search] (
     import sp.implicits._
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
-        p.nprobe, p.exactPath, p.broadcastThreshold, count, dim))
+        p.nprobe, p.exactPath, p.broadcastThreshold, count, dim,
+        // the strategy actually SERVING the factory string — differs from
+        // indexParam when a translation happened (e.g. HNSWn → IVF(64));
+        // a loader can detect the substitution instead of assuming faiss
+        // semantics survived
+        searcher.strategy.toString))
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "exactPath",
-        "broadcastThreshold", "count", "dim")
+        "broadcastThreshold", "count", "dim", "effectiveIndex")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

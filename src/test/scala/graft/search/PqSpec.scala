@@ -92,7 +92,7 @@ class PqSpec extends SparkSpec {
         col("embedding").cast("array<float>").as(SparkSearcher.QVEC))
     val cbs = model.pqCodebooks.get
     def run(chunk: Int) = PqIndex
-      .pqTopK(model.indexed, q, 5, cbs, higherIsCloser = false, queryChunkSize = chunk)
+      .pqTopK(model.indexed, q, 5, cbs, metricName = "l2", queryChunkSize = chunk)
       .collect().map(_.toSeq).toSet
     assert(run(7) === run(Int.MaxValue)) // 50 queries → 8 chunks vs 1
     val ivfpq = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -100,9 +100,41 @@ class PqSpec extends SparkSpec {
         measurement = "l2", indexParam = "IVF8,PQ8", nprobe = 4)).fit(emb)
     def runIvf(chunk: Int) = IvfPqScorer
       .topK(ivfpq.indexed, q, 5, ivfpq.pqCodebooks.get, ivfpq.centroids.get,
-        nprobe = 4, higherIsCloser = false, queryChunkSize = chunk)
+        nprobe = 4, metricName = "l2", queryChunkSize = chunk)
       .collect().map(_.toSeq).toSet
     assert(runIvf(7) === runIvf(Int.MaxValue))
+  }
+
+  test("ADC decomposition serves all 8 reference metrics: self-retrieval + recall") {
+    // PQ16 on dim-64 (4-dim subspaces) over near-uniform synthetic vectors;
+    // every metric must retrieve each query's own vector at a top rank and
+    // overlap substantially with the exact scan — the additive, max-combined
+    // (linf) and two-table ratio (bray_curtis) decompositions all at work
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 15)
+    for (m <- Seq("ip", "l1", "l2", "linf", "lp", "brayCurtis", "canberra", "jensen_shannon")) {
+      val pq = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = m, metricArg = 3.0, indexParam = "PQ16"))
+        .fit(emb)
+        .search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item").collect()
+      if (m != "ip") { // ip: self dot need not be maximal, no self guarantee
+        val selfRank = pq.filter(r => r.getAs[Long]("sim_item") == r.getAs[Long]("vec_id"))
+          .map(_.getAs[Int]("rank_no"))
+        assert(selfRank.length === 15, s"$m: each query must retrieve itself")
+        assert(selfRank.forall(_ <= 3), s"$m: self not in top ranks")
+      }
+      val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = m, metricArg = 3.0)).fit(emb)
+        .search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "sim_item").collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+      val got = pq.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+      val recall = exact.count(got.contains).toDouble / exact.size
+      assert(recall >= 0.4, s"$m: PQ top-10 recall vs exact was $recall")
+    }
   }
 
   test("PQ save/load round-trip: identical results from reloaded codes") {
