@@ -243,6 +243,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // PQ over a NON-dot metric: l1 decomposes per subspace like l2, so the
+    // same byte codes + per-query ADC tables serve it (all 8 reference
+    // metrics do — PqSpec asserts recall for each); rows-only, spec-gated
+    "knn_pq_l1" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "l1", indexParam = "PQ8"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // the canonical 100 TB composition: IVF cells for pruning AND PQ byte
     // codes for memory (faiss "IVFn,PQm"); rows-only, spec-gated
     "knn_ivfpq_cos" -> ((s, dir) => {
@@ -299,6 +311,39 @@ object SparkEntry {
       model.transform(emb, "embedding")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "w")))
         .orderBy("vec_id", "pos")
+    }),
+    // the whitening CONTRACT as an oracle-checkable aggregate: the
+    // transformed output must have per-component mean ≈ 0 and covariance
+    // ≈ I (that IS what whitening means). Spark computes the real moments
+    // of the real transform and compares against the spec tolerances; the
+    // oracle pins the expected verdicts + shape, so any kernel regression
+    // flips a flag and hash-mismatches. (The SVD itself is not
+    // SQL-expressible — this checks its defining invariants instead.)
+    "whitening_invariants" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val model = new VecsWhitening(16).fit(emb, "embedding")
+      val t = model.transform(emb, "embedding")
+        .select(col("vec_id"), col("embedding"))
+      val e1 = t.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "wi")))
+      val e2 = t.select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "wj")))
+      val mu = e1.groupBy(col("i")).agg(avg(col("wi")).as("mu"))
+      val cov = e1.join(e2, "vec_id")
+        .groupBy(col("i"), col("j")).agg(avg(col("wi") * col("wj")).as("m2"))
+        .join(mu.select(col("i"), col("mu").as("mu_i")), "i")
+        .join(mu.select(col("i").as("j"), col("mu").as("mu_j")), "j")
+        .withColumn("c", col("m2") - col("mu_i") * col("mu_j"))
+      val covStats = cov.agg(
+        max(when(col("i") === col("j"), abs(col("c") - 1.0))).as("max_diag_err"),
+        max(when(col("i") =!= col("j"), abs(col("c")))).as("max_offdiag"))
+      val muStats = e1.agg(countDistinct(col("vec_id")).as("n_rows"))
+        .crossJoin(mu.agg(max(abs(col("mu"))).as("max_mean")))
+      muStats.crossJoin(covStats)
+        .select(
+          (col("max_mean") < 1e-3).cast("int").as("mean_ok"),
+          (col("max_diag_err") < 0.05).cast("int").as("diag_ok"),
+          (col("max_offdiag") < 0.05).cast("int").as("offdiag_ok"),
+          lit(16).as("n_components"),
+          col("n_rows"))
     }),
     // O16/O17 encoder flow (README flow 1): feature-hash encoder over the
     // documents table, payload carried into results. Polynomial-hash
@@ -671,10 +716,12 @@ object SparkEntry {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")),
     // salted equi-join (hot-key mitigation): output must equal the plain
-    // join, which is exactly what the oracle checks
+    // join, which is exactly what the oracle checks. 4 buckets: enough to
+    // demonstrate/spread a hot key while halving the build-side
+    // replication premium of the 8-bucket round-2 demo
     "q_salted_join" -> ((s, dir) => graft.operators.Relational.saltedEquiJoin(
       table(s, dir, "lineitem"), table(s, dir, "orders"),
-      "l_orderkey", "o_orderkey", saltBuckets = 8)
+      "l_orderkey", "o_orderkey", saltBuckets = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -945,6 +992,13 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type, count(*) n, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", " "),
+    // whitening: the SVD kernel isn't SQL-expressible, but its CONTRACT is —
+    // the oracle pins the invariant verdicts (mean≈0, cov≈I at the spec
+    // tolerances) and the output shape the Spark side must compute from the
+    // real transform
+    "whitening_invariants" ->
+      """SELECT 1 mean_ok, 1 diag_ok, 1 offdiag_ok, 16 n_components,
+        |CAST(count(*) AS BIGINT) n_rows FROM embeddings""".stripMargin.replace("\n", " "),
     "q_sql_surface" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |p AS (SELECT a.vec_id id_a, b.vec_id id_b, a.v va, b.v vb

@@ -131,4 +131,26 @@ object StreamingOps {
       .withColumnRenamed("row_id", "match_row_id")
       .drop("__vec")
   }
+
+  /**
+   * Per-query TOP-K over a query stream — the streaming surface matching
+   * the batch `search` contract exactly. An unbounded per-group rank is
+   * unsupported on streams, but every micro-batch IS a bounded query set,
+   * so `foreachBatch` runs the full batch search (same heap-aggregate
+   * top-k, same payload gather, same result schema) per trigger and hands
+   * the ranked result to `sink`. Stream-side state: none — the index is
+   * the static side, so this scales with the index exactly like batch
+   * search does.
+   *
+   * Returns the configured writer; callers pick trigger/checkpoint and
+   * call `.start()`.
+   */
+  def searchStream(stream: DataFrame, model: SearcherModel, topK: Int,
+      queryIdCol: String, keepRankNo: Boolean = true)(
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(model.search(batch, topK, keepRankNo = keepRankNo,
+        queryIdCol = Some(queryIdCol)), batchId)
+    }
 }

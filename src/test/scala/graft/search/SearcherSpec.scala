@@ -180,6 +180,25 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
 
+  test("HNSW factory string: IVF translation is explicit in saved params") {
+    // HNSW has no Spark-native graph-ANN analog; the IVF substitution must
+    // be visible (parse warns, saved params carry effectiveIndex) so a user
+    // pinning HNSW characteristics can detect the different algorithm
+    assert(IndexStrategy.parse("HNSW32") === IvfFlat(64))
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        indexParam = "HNSW32")).fit(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    model.save(dir)
+    val saved = spark.read.json(s"$dir/params.json").head()
+    assert(saved.getAs[String]("indexParam") === "HNSW32") // user's request kept
+    assert(saved.getAs[String]("effectiveIndex") === "IvfFlat(64)") // what ran
+    // and the loaded model keeps serving the approximate-top-k contract
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.searcher.strategy === IvfFlat(64))
+    model.unpersist()
+  }
+
   test("calSim: dot scores, descending (faiss_searcher.py:192-198, intended semantics)") {
     val model = new SparkSearcher(new HashEncoder(32), SearcherParams()).fit(
       sf("documents").select("text", "doc_id"))

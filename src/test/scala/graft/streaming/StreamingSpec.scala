@@ -75,6 +75,34 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("searchStream: per-trigger top-k equals the batch search contract") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
+      .fit(emb)
+    val queries = emb.filter(col("vec_id") < 10)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = StreamingOps.searchStream(
+        stream.filter(col("vec_id") < 10), model, 5, queryIdCol = "vec_id") {
+        (ranked, _) =>
+          results ++= ranked
+            .select("vec_id", "rank_no", "sim_item", "sim_val")
+            .collect().map(_.toSeq)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = model.search(queries, 5, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val")
+      .collect().map(_.toSeq)
+    assert(results.toSet === batch.toSet)
+    assert(results.size === batch.length)
+    model.unpersist()
+  }
+
   test("scoreStream: streamed vectors match themselves against the index") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
