@@ -322,22 +322,28 @@ object SparkEntry {
     "whitening_invariants" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val model = new VecsWhitening(16).fit(emb, "embedding")
+      // the 16×16 second-moment matrix as a ROW-LOCAL outer product (one
+      // 256-element array per row) + a single map-side-combined hash agg —
+      // no self-join of the exploded table (that shape was 4× slower)
       val t = model.transform(emb, "embedding")
-        .select(col("vec_id"), col("embedding"))
-      val e1 = t.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "wi")))
-      val e2 = t.select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "wj")))
-      val mu = e1.groupBy(col("i")).agg(avg(col("wi")).as("mu"))
-      val cov = e1.join(e2, "vec_id")
-        .groupBy(col("i"), col("j")).agg(avg(col("wi") * col("wj")).as("m2"))
-        .join(mu.select(col("i"), col("mu").as("mu_i")), "i")
-        .join(mu.select(col("i").as("j"), col("mu").as("mu_j")), "j")
+        .select(col("embedding").cast("array<double>").as("e"))
+      val outer = t.select(posexplode(
+        flatten(transform(col("e"), x => transform(col("e"), y => x * y)))).as(Seq("p", "xy")))
+      val m2 = outer.groupBy(col("p"))
+        .agg(avg(col("xy")).as("m2"), count(lit(1)).as("cnt"))
+      val mu = t.select(posexplode(col("e")).as(Seq("i", "w")))
+        .groupBy(col("i")).agg(avg(col("w")).as("mu"))
+      val cov = m2
+        .withColumn("i", (col("p") / 16).cast("int"))
+        .withColumn("j", pmod(col("p"), lit(16)).cast("int"))
+        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
         .withColumn("c", col("m2") - col("mu_i") * col("mu_j"))
-      val covStats = cov.agg(
-        max(when(col("i") === col("j"), abs(col("c") - 1.0))).as("max_diag_err"),
-        max(when(col("i") =!= col("j"), abs(col("c")))).as("max_offdiag"))
-      val muStats = e1.agg(countDistinct(col("vec_id")).as("n_rows"))
+      cov.agg(
+          max(when(col("i") === col("j"), abs(col("c") - 1.0))).as("max_diag_err"),
+          max(when(col("i") =!= col("j"), abs(col("c")))).as("max_offdiag"),
+          max(col("cnt")).as("n_rows"))
         .crossJoin(mu.agg(max(abs(col("mu"))).as("max_mean")))
-      muStats.crossJoin(covStats)
         .select(
           (col("max_mean") < 1e-3).cast("int").as("mean_ok"),
           (col("max_diag_err") < 0.05).cast("int").as("diag_ok"),

@@ -80,14 +80,24 @@ object Dedup {
     val prefix = ex.join(freq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "s")
-    // candidates: share a prefix shingle + size-compatible (t·max ≤ min)
-    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
-    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+      .select("id", "sz", "s", "rk")
+    // candidates: share a prefix shingle + size-compatible (t·max ≤ min) +
+    // PPJoin POSITIONAL filter: matching at ranks (rk_a, rk_b) bounds the
+    // intersection by 1 + min(remaining tokens on each side), which must
+    // reach the J ≥ t overlap minimum α = t·(|A|+|B|)/(1+t). Valid on the
+    // first common token in the global rarity order — and whenever a pair
+    // shares ANY prefix token, that first common token is itself in both
+    // prefixes (prefixes are order-downward-closed), so keeping a pair when
+    // any of its matches passes loses nothing and prunes most of the
+    // verify load (measured: 310k → far fewer candidate pairs for 256 true)
+    val a = prefix.select(col("id").as("id_a"), col("sz").as("sz_a"), col("rk").as("rk_a"), col("s"))
+    val b = prefix.select(col("id").as("id_b"), col("sz").as("sz_b"), col("rk").as("rk_b"), col("s"))
     val cands = a.join(b, Seq("s"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
+        col("sz_b") >= col("sz_a") * threshold &&
+        lit(1) + least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) >=
+          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold)))
       .select("id_a", "id_b").distinct()
     // verify candidates on the full sets, via sorted-hash merge scans
     // (64-bit fingerprints: collision-free in practice, no per-pair string
