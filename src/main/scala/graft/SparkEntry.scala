@@ -322,34 +322,29 @@ object SparkEntry {
     "whitening_invariants" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val model = new VecsWhitening(16).fit(emb, "embedding")
-      // the 16×16 second-moment matrix as a ROW-LOCAL outer product (one
-      // 256-element array per row) + a single map-side-combined hash agg —
-      // no self-join of the exploded table (that shape was 4× slower)
-      val t = model.transform(emb, "embedding")
-        .select(col("embedding").cast("array<double>").as("e"))
-      val outer = t.select(posexplode(
-        flatten(transform(col("e"), x => transform(col("e"), y => x * y)))).as(Seq("p", "xy")))
-      val m2 = outer.groupBy(col("p"))
-        .agg(avg(col("xy")).as("m2"), count(lit(1)).as("cnt"))
-      val mu = t.select(posexplode(col("e")).as(Seq("i", "w")))
-        .groupBy(col("i")).agg(avg(col("w")).as("mu"))
-      val cov = m2
-        .withColumn("i", (col("p") / 16).cast("int"))
-        .withColumn("j", pmod(col("p"), lit(16)).cast("int"))
-        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
-        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
-        .withColumn("c", col("m2") - col("mu_i") * col("mu_j"))
-      cov.agg(
-          max(when(col("i") === col("j"), abs(col("c") - 1.0))).as("max_diag_err"),
-          max(when(col("i") =!= col("j"), abs(col("c")))).as("max_offdiag"),
-          max(col("cnt")).as("n_rows"))
-        .crossJoin(mu.agg(max(abs(col("mu"))).as("max_mean")))
-        .select(
-          (col("max_mean") < 1e-3).cast("int").as("mean_ok"),
-          (col("max_diag_err") < 0.05).cast("int").as("diag_ok"),
-          (col("max_offdiag") < 0.05).cast("int").as("offdiag_ok"),
-          lit(16).as("n_components"),
-          col("n_rows"))
+      // moments of the TRANSFORMED output via the same one-pass
+      // treeAggregate the fit uses (O(d²) state, map-side combined) — no
+      // exploded-pair shuffle; the d×d verdict arithmetic is driver-local
+      val (n, sum, outer) = VecsWhitening.moments(
+        model.transform(emb, "embedding"), "embedding")
+      val d = 16
+      val mu = sum.map(_ / n)
+      var maxMean = 0.0
+      var maxDiagErr = 0.0
+      var maxOffdiag = 0.0
+      for (i <- 0 until d) {
+        maxMean = math.max(maxMean, math.abs(mu(i)))
+        for (j <- 0 until d) {
+          val c = outer(i * d + j) / n - mu(i) * mu(j)
+          if (i == j) maxDiagErr = math.max(maxDiagErr, math.abs(c - 1.0))
+          else maxOffdiag = math.max(maxOffdiag, math.abs(c))
+        }
+      }
+      val sp = s
+      import sp.implicits._
+      Seq((if (maxMean < 1e-3) 1 else 0, if (maxDiagErr < 0.05) 1 else 0,
+        if (maxOffdiag < 0.05) 1 else 0, d, n))
+        .toDF("mean_ok", "diag_ok", "offdiag_ok", "n_components", "n_rows")
     }),
     // O16/O17 encoder flow (README flow 1): feature-hash encoder over the
     // documents table, payload carried into results. Polynomial-hash

@@ -77,10 +77,14 @@ object Dedup {
     // one global rarity order: corpus-wide shingle document-frequency
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    // persisted: BOTH candidate-join sides consume it, and Catalyst does
+    // not reuse the window subtree across the self-join (measured: the
+    // explode+freq-join+window pass ran twice without this)
     val prefix = ex.join(freq, "s")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "sz", "s", "rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates: share a prefix shingle + size-compatible (t·max ≤ min) +
     // PPJoin POSITIONAL filter: matching at ranks (rk_a, rk_b) bounds the
     // intersection by 1 + min(remaining tokens on each side), which must
@@ -186,8 +190,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = texts.select(col("id"),
       minHashSignatureBy(col("sh"), numHashes).as("sig"))
+    // persisted: both self-join sides consume it, and without this the
+    // signature kernel (numHashes mins over every shingle) runs twice
     val banded = sig.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
     val cands = left.join(right, Seq("band", "bh"))

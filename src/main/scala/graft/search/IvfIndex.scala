@@ -118,27 +118,44 @@ object IvfIndex {
       }
       cents(c) = xs(far).clone(); c += 1
     }
-    val assign = new Array[Int](n)
+    // assignment + partial sums parallelized over FIXED chunks (count not
+    // tied to thread scheduling), partials merged in chunk order — so the
+    // result is bit-deterministic run to run while the O(n·k·d) inner loop
+    // (the whole cost of a driver-side fit) uses every core
+    val nChunks = math.min(32, n)
+    val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * n / nChunks).toInt)
     var it = 0
     while (it < iters) {
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue; var j = 0
-        while (j < k) {
-          val dd = d2(xs(i), cents(j))
-          if (dd < bestD) { bestD = dd; best = j }
-          j += 1
+      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj { c =>
+          val sums = Array.ofDim[Double](k, d)
+          val counts = new Array[Int](k)
+          var i = bounds(c)
+          while (i < bounds(c + 1)) {
+            var best = 0; var bestD = Double.MaxValue; var j = 0
+            while (j < k) {
+              val dd = d2(xs(i), cents(j))
+              if (dd < bestD) { bestD = dd; best = j }
+              j += 1
+            }
+            counts(best) += 1
+            val x = xs(i); var f = 0
+            while (f < d) { sums(best)(f) += x(f); f += 1 }
+            i += 1
+          }
+          (sums, counts)
         }
-        assign(i) = best; i += 1
-      }
+        .toArray(new Array[(Array[Array[Double]], Array[Int])](_))
       val sums = Array.ofDim[Double](k, d)
       val counts = new Array[Int](k)
-      i = 0
-      while (i < n) {
-        val a = assign(i); counts(a) += 1
-        val x = xs(i); var f = 0
-        while (f < d) { sums(a)(f) += x(f); f += 1 }
-        i += 1
+      partials.foreach { case (ps, pc) =>
+        var j = 0
+        while (j < k) {
+          counts(j) += pc(j)
+          var f = 0
+          while (f < d) { sums(j)(f) += ps(j)(f); f += 1 }
+          j += 1
+        }
       }
       var j = 0
       while (j < k) {

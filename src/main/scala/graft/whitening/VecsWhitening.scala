@@ -66,11 +66,44 @@ class VecsWhitening(val nComponents: Int) {
     * rows > dim (bert_encoder.py:172-175) and nComponents ≤ dim
     * (vecs_whitening.py:39-41). */
   def fit(df: DataFrame, vecCol: String): VecsWhiteningModel = {
+    val (n, sum, outer) = VecsWhitening.moments(df, vecCol)
+    require(n > 0, "whitening fit on empty input")
+    val d = sum.length
+    require(n > d, s"whitening fit needs > $d rows, got $n (bert_encoder.py:172-175)")
+    require(nComponents <= d, s"n_components $nComponents > dim $d (vecs_whitening.py:39-41)")
+
+    val mean = DenseVector(sum) / n.toDouble
+    // np.cov ddof=1 (vecs_whitening.py:31): (Σxxᵀ − n·μμᵀ)/(n−1)
+    val cov = DenseMatrix.create(d, d, outer) // row-major data, symmetric so layout moot
+    val covM = (cov - (mean * mean.t) * n.toDouble) / (n - 1).toDouble
+    val svd.SVD(u, s, _) = svd(covM)
+    val kernel = DenseMatrix.zeros[Double](d, nComponents)
+    var j = 0
+    while (j < nComponents) {
+      val scale = 1.0 / math.sqrt(s(j))
+      var i = 0
+      while (i < d) { kernel(i, j) = u(i, j) * scale; i += 1 }
+      j += 1
+    }
+    val k = Array.tabulate(d, nComponents)((i, jj) => kernel(i, jj))
+    val b = (-mean).toArray
+    new VecsWhiteningModel(k, b, nComponents, d)
+  }
+
+  def fitTransform(df: DataFrame, vecCol: String): DataFrame =
+    fit(df, vecCol).transform(df, vecCol)
+}
+
+object VecsWhitening {
+  /** One distributed pass over `df(vecCol)`: `(n, Σx, Σxxᵀ)` — map-side
+    * combined via treeAggregate, O(d²) state per partition. Shared by
+    * [[VecsWhitening.fit]] and the whitening-invariant gate (which checks
+    * the moments of the TRANSFORMED output against mean≈0 / cov≈I). */
+  private[graft] def moments(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Double]) = {
     val rows = df.select(col(vecCol).cast(ArrayType(FloatType))).rdd
       .map(_.getSeq[Float](0))
-    // one pass: (n, Σx, Σxxᵀ) — map-side combined, O(d²) state
     val zero: (Long, Array[Double], Array[Double]) = (0L, null, null)
-    val (n, sum, outer) = rows.treeAggregate(zero)(
+    rows.treeAggregate(zero)(
       seqOp = { case ((c, s0, o0), v) =>
         val d = v.length
         val s = if (s0 == null) new Array[Double](d) else s0
@@ -97,31 +130,7 @@ class VecsWhitening(val nComponents: Int) {
             (c1 + c2, s1, o1)
           }
       })
-    require(n > 0, "whitening fit on empty input")
-    val d = sum.length
-    require(n > d, s"whitening fit needs > $d rows, got $n (bert_encoder.py:172-175)")
-    require(nComponents <= d, s"n_components $nComponents > dim $d (vecs_whitening.py:39-41)")
-
-    val mean = DenseVector(sum) / n.toDouble
-    // np.cov ddof=1 (vecs_whitening.py:31): (Σxxᵀ − n·μμᵀ)/(n−1)
-    val cov = DenseMatrix.create(d, d, outer) // row-major data, symmetric so layout moot
-    val covM = (cov - (mean * mean.t) * n.toDouble) / (n - 1).toDouble
-    val svd.SVD(u, s, _) = svd(covM)
-    val kernel = DenseMatrix.zeros[Double](d, nComponents)
-    var j = 0
-    while (j < nComponents) {
-      val scale = 1.0 / math.sqrt(s(j))
-      var i = 0
-      while (i < d) { kernel(i, j) = u(i, j) * scale; i += 1 }
-      j += 1
-    }
-    val k = Array.tabulate(d, nComponents)((i, jj) => kernel(i, jj))
-    val b = (-mean).toArray
-    new VecsWhiteningModel(k, b, nComponents, d)
   }
-
-  def fitTransform(df: DataFrame, vecCol: String): DataFrame =
-    fit(df, vecCol).transform(df, vecCol)
 }
 
 /** Fitted whitening model (kernel d×d', bias 1×d). */
