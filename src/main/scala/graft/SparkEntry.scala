@@ -168,6 +168,64 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** Language-id CTE chain (t/h/b/w) over `from`; terminal CASE picks the
+    * strict-argmax winner. Shared by the text_langid oracle and the
+    * composed pipeline_curation oracle. */
+  private def langidCtesSql(from: String): String = {
+    val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
+    }
+    val hitCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+      // CJK profiles match by substring containment, token languages by
+      // token equality — same rule as TextAnalysis.markerHits
+      if (TextAnalysis.SubstringLangs(lang))
+        ms.map(m => s"(CASE WHEN contains(lower(text), '$m') THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", s") h_$lang")
+      else {
+        val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
+        s"len(list_filter(toks, t -> t IN $inList)) h_$lang"
+      }
+    }.mkString(", ")
+    val best = markers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
+    val winners = markers.map { case (lang, _) =>
+      s"(CASE WHEN h_$lang = best AND best > 0 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, text,
+       | list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks
+       | FROM $from),
+       |h AS (SELECT doc_id, $hitCols FROM t),
+       |b AS (SELECT *, $best best FROM h),
+       |w AS (SELECT *, $winners winners FROM b)""".stripMargin
+  }
+
+  private def langidCaseSql: String =
+    TextAnalysis.LangMarkers.map { case (lang, _) =>
+      s"WHEN winners = 1 AND h_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+
+  /** Quality-score CTE chain (tq/cq/q) over `from`, yielding
+    * `q(doc_id, text, quality)` — same arithmetic tree as the
+    * text_quality oracle / [[graft.text.TextKernels.quality]]. */
+  private def qualityCtesSql(from: String): String =
+    s"""tq AS (SELECT doc_id, text,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) toks,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) ltoks
+       | FROM $from),
+       |cq AS (SELECT doc_id, text,
+       |  least(len(text)::DOUBLE / 400.0, 1.0) ls,
+       |  CASE WHEN len(toks) = 0 THEN 0.0
+       |    ELSE list_sum(list_transform(toks, x -> len(x)::BIGINT))::DOUBLE / len(toks) END mtl,
+       |  CASE WHEN len(ltoks) = 0 THEN 0.0
+       |    ELSE len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it')))::DOUBLE / len(ltoks) END sw,
+       |  CASE WHEN len(text) = 0 THEN 0.0
+       |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / len(text) END pr
+       | FROM tq),
+       |q AS (SELECT doc_id, text,
+       |  ls * 0.25 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25
+       |  + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END) * 0.25
+       |  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.0) END) * 0.25 quality
+       | FROM cq)""".stripMargin
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O8+O11: top-K similarity join, per metric (O5)
@@ -746,6 +804,39 @@ object SparkEntry {
           sum(col("l_orderkey")).as("sum_key"))
         .orderBy("l_returnflag")
     }),
+    // columnar sink beyond parquet: ORC round-trip (explicit schema on
+    // re-read), numbers must hash-match the straight-parquet oracle
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val p = table(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString
+      p.write.mode("overwrite").orc(s"$tmp/orc")
+      s.read.schema(p.schema).orc(s"$tmp/orc")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_retailprice").cast(DecimalType(20, 2))).cast("double").as("sum_price"),
+          sum(col("p_partkey")).as("sum_key"))
+        .orderBy("p_brand")
+    }),
+    // the COMPOSED curation pipeline a training-data run would execute:
+    // quality-score filter → language gate → exact dedup (survivor = min
+    // doc_id) → corpus stats; every stage is an engine kernel and the whole
+    // chain still hash-matches one DuckDB query
+    "pipeline_curation" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang"))
+        .filter(col("quality") >= 0.5 && col("lang") === "en")
+      val deduped = scored.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          min(col("quality")).as("quality")) // constant per text group
+      deduped.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep_id")).as("sum_keep_id"),
+        sum(col("n_copies")).as("n_before_dedup"),
+        sum(col("quality").cast(DecimalType(20, 10))).cast("double").as("sum_quality"))
+    }),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -926,37 +1017,10 @@ object SparkEntry {
         |  + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END) * 0.25
         |  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.0) END) * 0.25 quality
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    "text_langid" -> {
-      val markers = TextAnalysis.LangMarkers.map { case (lang, ms) =>
-        lang -> ms.map(m => s"'$m'").mkString("(", ",", ")")
-      }
-      val hitCols = TextAnalysis.LangMarkers.map { case (lang, ms) =>
-        // CJK profiles match by substring containment, token languages by
-        // token equality — same rule as TextAnalysis.markerHits
-        if (TextAnalysis.SubstringLangs(lang))
-          ms.map(m => s"(CASE WHEN contains(lower(text), '$m') THEN 1 ELSE 0 END)")
-            .mkString("(", " + ", s") h_$lang")
-        else {
-          val inList = ms.map(m => s"'$m'").mkString("(", ",", ")")
-          s"len(list_filter(toks, t -> t IN $inList)) h_$lang"
-        }
-      }.mkString(", ")
-      val best = markers.map(m => s"h_${m._1}").mkString("greatest(", ", ", ")")
-      val winners = markers.map { case (lang, _) =>
-        s"(CASE WHEN h_$lang = best AND best > 0 THEN 1 ELSE 0 END)"
-      }.mkString(" + ")
-      val cases = markers.map { case (lang, _) =>
-        s"WHEN winners = 1 AND h_$lang = best AND best > 0 THEN '$lang'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, text,
-         | list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks
-         | FROM documents),
-         |h AS (SELECT doc_id, $hitCols FROM t),
-         |b AS (SELECT *, $best best FROM h),
-         |w AS (SELECT *, $winners winners FROM b)
-         |SELECT doc_id, CASE $cases ELSE 'und' END lang_pred
-         |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " ")
-    },
+    "text_langid" ->
+      s"""${langidCtesSql("documents")}
+         |SELECT doc_id, CASE ${langidCaseSql} ELSE 'und' END lang_pred
+         |FROM w ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
         | list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
@@ -1044,6 +1108,24 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,
         | CAST(sum(l_orderkey) AS BIGINT) sum_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, count(*) n,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(20,2))) AS DOUBLE) sum_price,
+        | CAST(sum(p_partkey) AS BIGINT) sum_key
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
+    "pipeline_curation" ->
+      s"""${langidCtesSql("documents")},
+         |${qualityCtesSql("documents")},
+         |f AS (SELECT q.doc_id, q.text, q.quality FROM q
+         |  JOIN (SELECT doc_id, CASE ${langidCaseSql} ELSE 'und' END lang_pred FROM w) l
+         |  ON q.doc_id = l.doc_id
+         |  WHERE q.quality >= 0.5 AND l.lang_pred = 'en'),
+         |d AS (SELECT text, min(doc_id) keep_id, count(*) n_copies, min(quality) quality
+         |  FROM f GROUP BY text)
+         |SELECT count(*) n_docs, CAST(sum(keep_id) AS BIGINT) sum_keep_id,
+         |  CAST(sum(n_copies) AS BIGINT) n_before_dedup,
+         |  CAST(sum(CAST(quality AS DECIMAL(20,10))) AS DOUBLE) sum_quality
+         |FROM d""".stripMargin.replace("\n", " "),
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n

@@ -113,6 +113,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /**
+   * Streaming NEAR-dup guard: dedup by the 62-bit SimHash fingerprint of
+   * the text (identical and near-identical docs collide on it) within the
+   * watermark horizon — the streaming front-door of the batch simhash
+   * pipeline ([[graft.dedup.Dedup.simHashNearDups]]): one codegen
+   * fingerprint per doc, state O(1) per distinct fingerprint in horizon,
+   * no joins. Docs whose fingerprint was already admitted are dropped.
+   */
+  def nearDupDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("event_time", nsToTimestamp(col(tsCol)))
+      .withColumn("__fp", graft.dedup.Dedup.simHash62(col(textCol)))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq("__fp"))
+      .drop("__fp")
+
+  /**
    * Continuous similarity scoring: each arriving vector is scored against
    * the fitted index (stream-static broadcast join, no state) and rows
    * within `threshold` of some indexed item are emitted with the match.

@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("nearDupDedupStream: one survivor per simhash fingerprint") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // synthetic arrival times, offset a day past the epoch: a row AT the
+      // initial (epoch) watermark would be dropped as late
+      .withColumn("ts", (col("doc_id") + 86400L) * 1000000000L)
+    val q = StreamingOps.nearDupDedupStream(stream, "text", "ts")
+      .writeStream.outputMode("append").format("memory").queryName("neardup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("neardup")
+    val batchFps = batchDocs
+      .select(graft.dedup.Dedup.simHash62(col("text")).as("fp"))
+      .distinct().count()
+    assert(got.count() === batchFps) // exactly one survivor per fingerprint
+    assert(got.count() < batchDocs.count()) // the corpus does contain dups
+  }
+
   test("searchStream: per-trigger top-k equals the batch search contract") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
