@@ -51,6 +51,9 @@ object GraftFunctions {
       (es: Seq[Expression]) => VecL2Normalize(es.head)),
     ("simhash62", "62-bit SimHash of an array of tokens",
       (es: Seq[Expression]) => SimHash62(es.head)),
+    ("simhash62_text",
+      "62-bit SimHash straight from raw text (in-kernel lowercase + tokenize)",
+      (es: Seq[Expression]) => graft.dedup.SimHash62Text(es.head)),
     // corpus-curation kernels
     ("char_shingles", "distinct character n-grams: char_shingles(text, n)",
       (es: Seq[Expression]) => graft.dedup.CharShinglesExpr(es(0), intArg(es(1), "n"))),

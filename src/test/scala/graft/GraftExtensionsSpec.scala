@@ -25,12 +25,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       vec_l1(array(1.0F, 0.0F), array(3.0F, 4.0F)) l1,
         |       vec_lp(array(1.0F, 0.0F), array(3.0F, 4.0F), 3.0) lp,
         |       vec_l2_normalize(array(3.0F, 4.0F)) nv,
-        |       simhash62(array('a', 'b')) sh""".stripMargin).head()
+        |       simhash62(array('a', 'b')) sh,
+        |       simhash62_text('A  b') sht""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) === 6.0)
     assert(math.abs(r.getDouble(2) - 72.0) < 1e-9)
     assert(r.getSeq[Float](3) === Seq(0.6f, 0.8f))
     assert(r.getLong(4) === r.getLong(4)) // deterministic value present
+    assert(r.getLong(5) === r.getLong(4)) // in-kernel tokenize ≡ array form
     val r2 = spark.sql(
       """SELECT char_shingles('abcd', 3) cs,
         |       word_shingles('a b c d', 2) ws,
