@@ -67,13 +67,15 @@ object Relational {
   def exactPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[Double]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    // group sizes via a tiny broadcast-joined aggregate, NOT a second
-    // unordered window over the full table (count(*) OVER (PARTITION BY g)
-    // is a separate whole-partition pass; the counts df is |groups| rows)
-    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    // group sizes via an unordered window over the SAME partitioning: both
+    // window specs share one exchange+sort, so the source is scanned and
+    // shuffled ONCE (the earlier broadcast-joined counts aggregate cost a
+    // full second scan of the fact table — 2× IO at scale), and the final
+    // groupBy reuses the window's hash partitioning (no further exchange)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
     val ranked = df
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), groupCols)
+      .withColumn("__n", count(lit(1)).over(wAll))
     ranked.groupBy(groupCols.map(col): _*)
       .agg(pctAgg(ps.head, valueCol), ps.tail.map(pctAgg(_, valueCol)): _*)
   }
