@@ -61,6 +61,25 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getLong(0) === rows(1).getLong(0))
   }
 
+  test("fuzz: in-kernel text simhash ≡ array formulation (ASCII fast path + unicode fallback)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{filter => afilter, split, lower, length}
+    val rnd = new scala.util.Random(11)
+    val alphabets = Seq(
+      "abc XYZ 019 \t\n\r.,!", // ASCII incl. every ws class and case
+      "abc déjà vu über 北京 \t") // multi-byte → the non-ASCII fallback
+    val strs = (for (a <- alphabets; _ <- 0 until 50) yield
+      (0 until rnd.nextInt(40)).map(_ => a(rnd.nextInt(a.length))).mkString) :+
+      "" :+ "   " :+ "single"
+    val ref = org.apache.spark.sql.graftshim.GraftSql.column(
+      graft.dedup.SimHash62(org.apache.spark.sql.graftshim.GraftSql.expression(
+        afilter(split(lower(col("t")), "\\s+"), x => length(x) > 0))))
+    val df = strs.toDF("t")
+      .select(Dedup.simHash62(col("t")).as("fast"), ref.as("ref"))
+    assert(df.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("cell-blocked embedding near-dups: high recall vs brute force") {
     val emb = sf("embeddings")
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)

@@ -105,6 +105,43 @@ class PqSpec extends SparkSpec {
     assert(runIvf(7) === runIvf(Int.MaxValue))
   }
 
+  test("ADC tables reproduce the exact metric kernels bit-for-bit") {
+    // when the codebook centroid IS the stored vector, ADC(q, code(x)) must
+    // equal metric(q, x) exactly — the decomposition (additive, max, ratio)
+    // is then checked against VectorKernels with zero quantization noise
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import graft.functions.VectorKernels
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val m = 4
+    val dsub = dim / m
+    for (trial <- 0 until 20) {
+      val q = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+      val x = Array.fill(dim)(math.abs(rnd.nextFloat())) // non-neg for js
+      // one-centroid-per-subspace codebooks holding exactly x's slices
+      val cbs = Array.tabulate(m)(s =>
+        Array(java.util.Arrays.copyOfRange(x, s * dsub, (s + 1) * dsub)))
+      val codes = Array.fill(m)(0.toByte)
+      val qa = UnsafeArrayData.fromPrimitiveArray(q)
+      val xa = UnsafeArrayData.fromPrimitiveArray(x)
+      def adc(metric: String, arg: Double = 2.0): Double =
+        PqIndex.adcScorer(q, cbs, metric, arg).score(codes)
+      // last-ulp tolerance: ADC adds per-subspace partials, the kernels one
+      // running sum — double addition is not associative
+      def close(a: Double, b: Double, what: String): Unit =
+        assert(math.abs(a - b) <= 1e-12 * math.max(1.0, math.abs(b)),
+          s"$what trial $trial: adc=$a kernel=$b")
+      close(adc("ip"), VectorKernels.dot(qa, xa), "ip")
+      close(adc("l2"), VectorKernels.l2(qa, xa), "l2")
+      close(adc("l1"), VectorKernels.l1(qa, xa), "l1")
+      assert(adc("linf") === VectorKernels.lInf(qa, xa), s"linf trial $trial") // max: exact
+      close(adc("lp", 3.0), VectorKernels.lp(qa, xa, 3.0), "lp")
+      close(adc("canberra"), VectorKernels.canberra(qa, xa), "canberra")
+      close(adc("jensen_shannon"), VectorKernels.jensenShannon(qa, xa), "js")
+      close(adc("brayCurtis"), VectorKernels.brayCurtis(qa, xa), "bc")
+    }
+  }
+
   test("ADC decomposition serves all 8 reference metrics: self-retrieval + recall") {
     // PQ16 on dim-64 (4-dim subspaces) over near-uniform synthetic vectors;
     // every metric must retrieve each query's own vector at a top rank and
