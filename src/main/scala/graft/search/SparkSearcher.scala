@@ -601,8 +601,19 @@ class SearcherModel private[search] (
     * faiss_searcher.py:189-190, 200-203): items table as parquet + params
     * JSON (+ IVF centroids), Spark-ML style — no object serialization. */
   def save(path: String): Unit = {
-    indexed.withColumnRenamed(ITEM, ITEM_SAVED)
-      .write.mode("overwrite").parquet(s"$path/items")
+    val itemsOut = indexed.withColumnRenamed(ITEM, ITEM_SAVED)
+    searcher.strategy match {
+      // IVF-family indexes persist PARTITIONED BY CELL: on disk the cells
+      // are directories, so any cell-filtered read of a saved 100 TB index
+      // prunes at the storage layer (PartitionFilters) and touches only
+      // the probed nprobe/nlist fraction — the at-rest analog of the
+      // in-memory repartition(cell) co-location
+      case IvfFlat(_) | IvfPq(_, _) =>
+        itemsOut.write.mode("overwrite").partitionBy(IvfIndex.CID)
+          .parquet(s"$path/items")
+      case _ =>
+        itemsOut.write.mode("overwrite").parquet(s"$path/items")
+    }
     centroids.foreach { cs =>
       val sp = spark
       import sp.implicits._

@@ -180,6 +180,33 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
 
+  test("saved IVF index is cell-partitioned: reads prune at the storage layer") {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        indexParam = "IVF8", nprobe = 8)).fit(sf("embeddings"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
+    model.save(dir)
+    // cells are directories on disk...
+    val cellDirs = new java.io.File(s"$dir/items").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${IvfIndex.CID}="))
+    assert(cellDirs.nonEmpty, "expected __cell= partition directories")
+    // ...so a cell filter becomes a PartitionFilter (no data-file IO for
+    // other cells) — the at-rest pruning a 100 TB saved index relies on
+    val pruned = spark.read.parquet(s"$dir/items").filter(col(IvfIndex.CID) === 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"PartitionFilters: [isnotnull(${IvfIndex.CID}"),
+      s"cell filter must appear as a PartitionFilter: $plan")
+    // and the reloaded model still answers searches identically
+    val q = sf("embeddings").filter(col("vec_id") < 5)
+    val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val after = SparkSearcher.load(spark, dir)
+      .search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(after === before)
+    model.unpersist()
+  }
+
   test("HNSW factory string: IVF translation is explicit in saved params") {
     // HNSW has no Spark-native graph-ANN analog; the IVF substitution must
     // be visible (parse warns, saved params carry effectiveIndex) so a user
