@@ -258,6 +258,11 @@ object PqIndex {
         }(enc)
       }
     }
+    // empty query batch: no chunks produced rows — return the empty hit
+    // shape (the exact path's crossJoin degrades the same way)
+    if (chunkPartials.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], hitSchema)
+        .withColumn(RANK, lit(1).cast("int"))
     // chunks are disjoint query sets, so union THEN one merge is exact:
     // k per partition per query → global k (same heap aggregate)
     val partials = chunkPartials.reduce(_ union _)
@@ -338,6 +343,9 @@ object IvfPqScorer {
           }(enc)
       }
     }
+    if (chunkPartials.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], PqIndex.hitSchema)
+        .withColumn(RANK, lit(1).cast("int"))
     chunkPartials.reduce(_ union _)
       .groupBy(col(QID))
       .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))

@@ -174,6 +174,19 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("empty query batch returns empty results, no crash (all index paths)") {
+    val emb = sf("embeddings")
+    val none = emb.filter(col("vec_id") < 0)
+    for (param <- Seq("Flat", "IVF8", "LSH4x6", "PQ8", "IVF8,PQ8")) {
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "l2", indexParam = param, nprobe = 4)).fit(emb)
+      assert(model.search(none, 5, keepRankNo = true,
+        queryIdCol = Some("vec_id")).count() === 0, s"param $param")
+      model.unpersist()
+    }
+  }
+
   test("PQ save/load round-trip: identical results from reloaded codes") {
     val model = fitPq("l2")
     val q = sf("embeddings").filter(col("vec_id") < 5)
