@@ -473,6 +473,12 @@ object SparkEntry {
           sum(col("fs").cast(DecimalType(28, 10))).cast("double").as("sum_feat"))
         .orderBy("media_id")
     }),
+    // semantic-pipeline clustering: k-means cluster assignment over the
+    // embedding corpus (rows-only: centroids are not SQL-derivable;
+    // nearest-assignment + determinism spec-gated in DedupSpec)
+    "cluster_assign" -> ((s, dir) => Dedup.embeddingClusters(
+      table(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+      .orderBy("vec_id")),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -552,6 +558,15 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // corpus vocabulary: token frequencies, top 100 — the vocab-building
+    // step of a tokenizer pipeline; partial (map-side) counts then one
+    // shuffle on token, top-n via TakeOrderedAndProject, ties on token
+    "text_vocab_top100" -> ((s, dir) => table(s, dir, "documents")
+      .select(explode(filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)),
     // relational spine: scan → filter → group → aggregate (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => table(s, dir, "lineitem")
       .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
@@ -1026,6 +1041,11 @@ object SparkEntry {
         | list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
         | (acc, c) -> (acc * 31 + c) % 1000000007) fp
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    "text_vocab_top100" ->
+      """SELECT tok, count(*) n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> len(t) > 0)) tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin.replace("\n", " "),
     "q3_join_topn" ->
       """SELECT o_orderkey, c_name,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue

@@ -329,6 +329,25 @@ object Dedup {
   }
 
   /**
+   * Embedding k-means cluster assignment — the corpus-partitioning step of
+   * semantic-dedup / data-curriculum pipelines (cluster first, then
+   * near-dup or score WITHIN clusters — [[embeddingNearDupsBlocked]] is
+   * exactly that composition). Centroids come from the bounded-sample
+   * chunk-parallel driver Lloyd ([[graft.search.IvfIndex.fitCentroids]],
+   * deterministic); assignment is the codegen nearest-centroid kernel —
+   * one scan, zero shuffles. Returns `[<idCol>, cluster]`.
+   */
+  def embeddingClusters(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import graft.search.IvfIndex
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<float>").as("__v"))
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "__v", math.min(k, total.toInt max 1), total)
+    vecs.select(col(idCol),
+      IvfIndex.nearestCentroidsCol(col("__v"), cents, 1).getItem(0).as("cluster"))
+  }
+
+  /**
    * Cell-blocked embedding near-dup (the 100 TB path): k-means the vectors
    * into `nlist` cells (same coarse quantizer as the IVF index), assign
    * each vector its `nprobe` nearest cells, and compare only pairs sharing

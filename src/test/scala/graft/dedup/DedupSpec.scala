@@ -80,6 +80,20 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("embeddingClusters: deterministic nearest-centroid assignment, ≤ k clusters") {
+    val emb = sf("embeddings")
+    val a = Dedup.embeddingClusters(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = Dedup.embeddingClusters(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b) // deterministic fit + assignment
+    assert(a.size === emb.count())
+    val nClusters = a.values.toSet.size
+    assert(nClusters > 1 && nClusters <= 16)
+    // non-degenerate: no cluster swallows the whole corpus
+    assert(a.values.groupBy(identity).values.map(_.size).max < a.size)
+  }
+
   test("cell-blocked embedding near-dups: high recall vs brute force") {
     val emb = sf("embeddings")
     val brute = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4)
