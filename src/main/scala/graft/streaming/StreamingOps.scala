@@ -149,6 +149,52 @@ object StreamingOps {
       .drop("__vec")
   }
 
+  /** State/output rows for standing-query top-k. */
+  case class ScoredHit(query_id: Long, row_id: Long, dist: Double)
+  case class TopKState(ids: Array[Long], dists: Array[Double])
+  case class StandingTopK(query_id: Long, rank_no: Int, row_id: Long, dist: Double)
+
+  /**
+   * STANDING-QUERY top-k: the corpus STREAMS IN (continuous ingest) while
+   * the query set stands; each query's running top-k updates as rows
+   * arrive — the alerting/monitoring inversion of `searchStream`. Arriving
+   * rows are scored against the broadcast standing queries (stream-static,
+   * stateless), then `mapGroupsWithState` keyed by query id folds them
+   * into a bounded [[graft.search.TopKBuffer]] — state is O(k) per
+   * standing query FOREVER, independent of stream length, and each
+   * micro-batch emits every updated query's current top-k (update mode).
+   * After any prefix of the stream, a query's state equals the batch
+   * search over the rows ingested so far (spec-gated).
+   */
+  def standingQueryTopK(corpusStream: DataFrame, queries: DataFrame,
+      vecCol: String, queryIdCol: String, queryVecCol: String, topK: Int,
+      metric: graft.functions.VectorFunctions.Metric): Dataset[StandingTopK] = {
+    import corpusStream.sparkSession.implicits._
+    val scored = corpusStream
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol).cast("long").as("query_id"), col(queryVecCol).as("__qv"))))
+      .select(col("query_id"), col("row_id").cast("long").as("row_id"),
+        metric.dist(col(vecCol), col("__qv")).as("dist"))
+      .as[ScoredHit]
+    val asc = !metric.higherIsCloser
+    val k = topK
+    scored.groupByKey(_.query_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (qid: Long, rows: Iterator[ScoredHit], state: GroupState[TopKState]) => {
+          val buf = new graft.search.TopKBuffer(k, asc)
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.ids.length) { buf.insert(s.dists(i), s.ids(i)); i += 1 }
+          }
+          rows.foreach(h => buf.insert(h.dist, h.row_id))
+          val best = buf.sorted
+          state.update(TopKState(best.map(_._1), best.map(_._2)))
+          best.zipWithIndex.toSeq
+            .map { case ((id, d), rk) => StandingTopK(qid, rk, id, d) }
+        })
+      .flatMap(identity)
+  }
+
   /**
    * Per-query TOP-K over a query stream — the streaming surface matching
    * the batch `search` contract exactly. An unbounded per-group rank is

@@ -123,6 +123,54 @@ class StreamingSpec extends SparkSpec {
     model.unpersist()
   }
 
+  test("standingQueryTopK: state after N batches equals batch search over ingested rows") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = sp.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(col("vec_id").as("row_id"),
+        col("embedding").cast("array<float>").as("vec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val metric = graft.functions.VectorFunctions.metric("cos")
+    val input = MemoryStream[(Long, Array[Float])]
+    val emissions = scala.collection.mutable.Map.empty[Long, Array[Seq[Any]]]
+    val q = StreamingOps.standingQueryTopK(
+        input.toDF().toDF("row_id", "vec"), queries,
+        "vec", "vec_id", "embedding", topK = 5, metric)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.StandingTopK], id: Long) =>
+        emissions(id) = batch.collect()
+          .map(h => Seq[Any](h.query_id, h.rank_no, h.row_id, h.dist))
+      }
+      .start()
+    // ingest the corpus in two arbitrary slices
+    val (first, rest) = rows.splitAt(rows.length / 3)
+    input.addData(first.toSeq)
+    q.processAllAvailable()
+    input.addData(rest.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val lastBatch = emissions(emissions.keys.max)
+      // float-round the double dist exactly like the batch result schema
+      .map(s => (s(0).asInstanceOf[Long], s(1).asInstanceOf[Int], s(2).asInstanceOf[Long],
+        f"${s(3).asInstanceOf[Double].toFloat.toDouble}%.6f")).toSet
+    // batch truth: exact search over the fully-ingested corpus
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+    val batchTruth = model.search(emb.filter(col("vec_id") < 5), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select(col("vec_id"), col("rank_no"), col("sim_item"), col("sim_val"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        f"${r.getFloat(3).toDouble}%.6f")).toSet
+    assert(lastBatch === batchTruth)
+    model.unpersist()
+  }
+
   test("scoreStream: streamed vectors match themselves against the index") {
     val dir = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
