@@ -401,6 +401,64 @@ class SearcherModel private[search] (
     sep.fold(c)(s => substring_index(c.cast("string"), s, 1))
 
   /**
+   * Incremental add — faiss `index.add` semantics: append newly-encoded
+   * items WITHOUT refitting quantizers. IVF cells, LSH buckets and PQ
+   * codes for the new rows are assigned under the EXISTING centroids /
+   * planes / codebooks, exactly like faiss `add()` after `train()` (the
+   * quantizer represents the training distribution; recall for rows far
+   * outside it degrades the same way faiss's does — refit if the
+   * distribution moved). Positional row ids continue from `count`
+   * (faiss ntotal); with `idCol` set, id uniqueness is the caller's
+   * contract as in `fit`. Returns the grown model; the old cached index
+   * is unpersisted once the union is materialized.
+   */
+  def add(items: DataFrame): SearcherModel = {
+    val itemCol = params.itemCol.getOrElse(items.columns.head)
+    require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
+    val encoded0 = searcher.encoder.encode(items, itemCol, VEC)
+    val pqCos = (searcher.strategy.isInstanceOf[PqFlat] ||
+      searcher.strategy.isInstanceOf[IvfPq]) && params.measurement == "cos"
+    val encoded =
+      if ((params.normVec && params.measurement != "cos") || pqCos)
+        encoded0.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+      else encoded0
+    val withId = params.idCol match {
+      case Some(c) => encoded.withColumn(ROW_ID, col(c).cast(LongType))
+      case None    => zipWithRowId(encoded)
+        .withColumn(ROW_ID, col(ROW_ID) + count) // continue from ntotal
+    }
+    val newPayload = items.columns.filter(c =>
+      c != itemCol && !params.idCol.contains(c) &&
+        !searcher.encoder.sourceCols.contains(c)).toSeq
+    require(newPayload == payloadCols,
+      s"add: payload columns $newPayload must match the fitted $payloadCols")
+    val base = withId.select((col(ROW_ID) +: col(itemCol).as(ITEM) +: col(VEC) +:
+      payloadCols.map(col)): _*)
+    val newPart = searcher.strategy match {
+      case ExactFlat => base
+      case IvfFlat(_) =>
+        IvfIndex.assignCells(base, VEC, centroids.get,
+          spark.sparkContext.defaultParallelism)
+      case LshTables(_, _) =>
+        base.withColumn(BUCKETS, SignLsh.bucketsCol(col(VEC), lshPlanes.get))
+      case PqFlat(_) =>
+        base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+          .drop(VEC)
+      case IvfPq(_, _) =>
+        IvfIndex.assignCells(base, VEC, centroids.get,
+          spark.sparkContext.defaultParallelism)
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+          .drop(VEC)
+    }
+    val combined = indexed.unionByName(newPart)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = combined.count()
+    indexed.unpersist()
+    new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
+      lshPlanes, pqCodebooks)
+  }
+
+  /**
    * Top-K similarity search (reference `search` + `search_items`,
    * faiss_searcher.py:127-169). Queries is any DataFrame whose `queryIdCol`
    * uniquely identifies rows (assigned via zipWithIndex when absent) and

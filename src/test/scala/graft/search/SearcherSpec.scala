@@ -180,6 +180,31 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
 
+  test("incremental add: fit(A).add(B) ≡ fit(A∪B) on exact and LSH; IVF full-probe exact") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val q = emb.filter(col("vec_id") < 10)
+    def results(m: SearcherModel) = m.search(q, 5, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    def fitP(df: org.apache.spark.sql.DataFrame, param: String) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = param, nprobe = 8)).fit(df)
+    // exact: add is indistinguishable from fitting the union
+    assert(results(fitP(a, "Flat").add(b)) === results(fitP(emb, "Flat")))
+    // LSH: planes depend only on (tables, bits, dim, seed) — pin bits so
+    // fit(A) and fit(A∪B) share them, then add ≡ union-fit exactly
+    assert(results(fitP(a, "LSH12x8").add(b)) === results(fitP(emb, "LSH12x8")))
+    // IVF: quantizer stays the one trained on A (faiss add semantics) —
+    // cells differ from fit(A∪B), but probing ALL cells is exact search,
+    // so the grown index must match exact over the union
+    assert(results(fitP(a, "IVF8").add(b)) === results(fitP(emb, "Flat")))
+    // grown count is faiss ntotal
+    assert(fitP(a, "Flat").add(b).count === emb.count())
+  }
+
   test("saved IVF index is cell-partitioned: reads prune at the storage layer") {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
