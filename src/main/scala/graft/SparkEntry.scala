@@ -473,6 +473,18 @@ object SparkEntry {
           sum(col("fs").cast(DecimalType(28, 10))).cast("double").as("sum_feat"))
         .orderBy("media_id")
     }),
+    // faiss range_search analog: ALL neighbors within the similarity
+    // threshold (no top-k bound) — exact scan, fully SQL-expressible,
+    // hash-match gated
+    "knn_range_cos" -> ((s, dir) => {
+      val model = embSearcher(s, dir, "cos")
+      val queries = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+      model.searchRange(queries, threshold = 0.35, queryIdCol = Some("vec_id"))
+        .select(col("vec_id").as("source_id"),
+          col("sim_item").cast("long").as("sim_id"),
+          col("label").as("sim_label"), col("sim_val"))
+        .orderBy("source_id", "sim_id")
+    }),
     // semantic-pipeline clustering: k-means cluster assignment over the
     // embedding corpus (rows-only: centroids are not SQL-derivable;
     // nearest-assignment + determinism spec-gated in DedupSpec)
@@ -1041,6 +1053,16 @@ object SparkEntry {
         | list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
         | (acc, c) -> (acc * 31 + c) % 1000000007) fp
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // range search: threshold applied to the DOUBLE distance on both
+    // sides (float cast only at output), so the row set is bit-identical
+    "knn_range_cos" ->
+      """WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label,
+        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) c
+        |  FROM q CROSS JOIN x)
+        |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
+        |FROM s WHERE c >= 0.35 ORDER BY source_id, sim_id""".stripMargin.replace("\n", " "),
     "text_vocab_top100" ->
       """SELECT tok, count(*) n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

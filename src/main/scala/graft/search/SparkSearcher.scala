@@ -459,6 +459,59 @@ class SearcherModel private[search] (
   }
 
   /**
+   * Remove rows by id — faiss `remove_ids` semantics: the rows stop
+   * matching immediately; quantizers (IVF centroids, PQ codebooks, LSH
+   * planes) are untouched, exactly like faiss. Anti-join on row_id, so
+   * removal scales with the index, not the id list.
+   */
+  def remove(ids: DataFrame, idCol: String): SearcherModel = {
+    val combined = indexed
+      .join(ids.select(col(idCol).cast(LongType).as(ROW_ID)), Seq(ROW_ID), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = combined.count()
+    indexed.unpersist()
+    new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
+      lshPlanes, pqCodebooks)
+  }
+
+  /**
+   * Range search — faiss `range_search`: ALL items within `threshold` of
+   * each query (≥ for similarity metrics, ≤ for distances), not a top-k.
+   * Exact scan shape (broadcast queries × streamed index, codegen
+   * distance); result is unbounded by design, so no rank column —
+   * `[<queryIdCol>, source_item, sim_val, sim_item, payload…]`.
+   */
+  def searchRange(queries: DataFrame, threshold: Double,
+      queryIdCol: Option[String] = None): DataFrame = {
+    require(count > 0, "search before fit (faiss_searcher.py:187)")
+    require(indexed.columns.contains(VEC),
+      "range search needs stored vectors (Flat/IVF/LSH; PQ keeps codes only)")
+    val qItemCol = params.itemCol
+      .filter(queries.columns.contains).getOrElse(queries.columns.head)
+    val withId = queryIdCol match {
+      case Some(c) => queries.withColumn(QID, col(c))
+      case None    => zipWithRowId(queries, QID)
+    }
+    val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
+    val qn =
+      if (params.normVec && params.measurement != "cos")
+        q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
+      else q
+    val slim = indexed.select(
+      (col(ROW_ID) +: col(ITEM) +: col(VEC) +: payloadCols.map(col)): _*)
+    val dist = metric.dist(col(QVEC), col(VEC))
+    val keep = if (metric.higherIsCloser) dist >= threshold else dist <= threshold
+    slim.crossJoin(broadcast(qn))
+      .filter(keep)
+      .select((col(QID).as(queryIdCol.getOrElse("query_id")) +:
+        sepSplit(col(SourceItem), params.queryFeatureSep).as(SourceItem) +:
+        dist.cast(FloatType).as(SimVal) +:
+        sepSplit(col(ITEM), params.docFeatureSep).as(SimItem) +:
+        payloadCols.map(col)): _*)
+  }
+
+  /**
    * Top-K similarity search (reference `search` + `search_items`,
    * faiss_searcher.py:127-169). Queries is any DataFrame whose `queryIdCol`
    * uniquely identifies rows (assigned via zipWithIndex when absent) and

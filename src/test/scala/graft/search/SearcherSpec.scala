@@ -205,6 +205,40 @@ class SearcherSpec extends SparkSpec {
     assert(fitP(a, "Flat").add(b).count === emb.count())
   }
 
+  test("remove: dropped ids stop matching; remainder searches like a fresh fit") {
+    val sp = spark
+    import sp.implicits._
+    val emb = sf("embeddings")
+    val model = embModel()
+    val dropped = emb.filter(col("vec_id") >= 400)
+    val pruned = model.remove(dropped.select("vec_id"), "vec_id")
+    assert(pruned.count === 400)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = pruned.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(!got.exists(_(2).asInstanceOf[Long] >= 400)) // removed ids never match
+    val fresh = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id")))
+      .fit(emb.filter(col("vec_id") < 400))
+      .search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(got === fresh)
+    pruned.unpersist()
+  }
+
+  test("searchRange: faiss range_search semantics — every hit within threshold, nothing else") {
+    val emb = sf("embeddings")
+    val model = embModel()
+    val q = emb.filter(col("vec_id") < 5)
+    val hits = model.searchRange(q, threshold = 0.35, queryIdCol = Some("vec_id"))
+    assert(hits.filter(col("sim_val") < 0.35f).count() === 0)
+    // self-similarity is 1.0 ≥ threshold: every query finds itself
+    assert(hits.filter(col("vec_id") === col("sim_item").cast("long")).count() === 5)
+    // unbounded: at this threshold there are more hits than any small k
+    assert(hits.count() > 5)
+    model.unpersist()
+  }
+
   test("saved IVF index is cell-partitioned: reads prune at the storage layer") {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
