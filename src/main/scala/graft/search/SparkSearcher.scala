@@ -424,8 +424,12 @@ class SearcherModel private[search] (
       else encoded0
     val withId = params.idCol match {
       case Some(c) => encoded.withColumn(ROW_ID, col(c).cast(LongType))
-      case None    => zipWithRowId(encoded)
-        .withColumn(ROW_ID, col(ROW_ID) + count) // continue from ntotal
+      case None =>
+        // continue past the HIGHEST existing id, not ntotal: a model fitted
+        // (or loaded) with sparse explicit ids must never hand out a
+        // colliding positional id
+        val nextId = indexed.agg(max(col(ROW_ID))).head().getLong(0) + 1
+        zipWithRowId(encoded).withColumn(ROW_ID, col(ROW_ID) + nextId)
     }
     val newPayload = items.columns.filter(c =>
       c != itemCol && !params.idCol.contains(c) &&
