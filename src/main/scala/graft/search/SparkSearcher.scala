@@ -502,11 +502,27 @@ class SearcherModel private[search] (
       if (params.normVec && params.measurement != "cos")
         q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
       else q
-    val slim = indexed.select(
-      (col(ROW_ID) +: col(ITEM) +: col(VEC) +: payloadCols.map(col)): _*)
     val dist = metric.dist(col(QVEC), col(VEC))
     val keep = if (metric.higherIsCloser) dist >= threshold else dist <= threshold
-    slim.crossJoin(broadcast(qn))
+    // IVF models prune: each query scans only its nprobe cells (a row
+    // lives in exactly one cell, so hits stay distinct); full probe ≡ the
+    // exact scan (spec-gated). Other strategies scan exactly.
+    val scored = searcher.strategy match {
+      case IvfFlat(nlist) =>
+        val cents = centroids.getOrElse(
+          throw new IllegalStateException("IVF search without fitted centroids"))
+        val probes = qn.withColumn(IvfIndex.CID,
+          explode(IvfIndex.nearestCentroidsCol(col(QVEC), cents,
+            math.min(params.nprobe, nlist))))
+        indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+            col(IvfIndex.CID) +: payloadCols.map(col)): _*)
+          .join(probes, IvfIndex.CID)
+      case _ =>
+        indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+            payloadCols.map(col)): _*)
+          .crossJoin(broadcast(qn))
+    }
+    scored
       .filter(keep)
       .select((col(QID).as(queryIdCol.getOrElse("query_id")) +:
         sepSplit(col(SourceItem), params.queryFeatureSep).as(SourceItem) +:

@@ -236,6 +236,16 @@ class SearcherSpec extends SparkSpec {
     assert(hits.filter(col("vec_id") === col("sim_item").cast("long")).count() === 5)
     // unbounded: at this threshold there are more hits than any small k
     assert(hits.count() > 5)
+    // IVF full probe ≡ exact scan (pruning is a no-op at nprobe = nlist)
+    val ivf = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        indexParam = "IVF8", nprobe = 8)).fit(emb)
+    val ivfHits = ivf.searchRange(q, threshold = 0.35, queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val exactHits = hits.select("vec_id", "sim_item", "sim_val")
+      .collect().map(_.toSeq).toSet
+    assert(ivfHits === exactHits)
+    ivf.unpersist()
     model.unpersist()
   }
 
