@@ -517,6 +517,22 @@ class SearcherModel private[search] (
         indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)
+      case LshTables(_, _) =>
+        // bucket-collision candidates then threshold verify — approximate
+        // with LSH's usual recall semantics (a true hit that collides in
+        // no table is missed), same contract as the LSH top-k path
+        val planes = lshPlanes.getOrElse(
+          throw new IllegalStateException("LSH search without fitted planes"))
+        val probes = qn.select(col(QID), col(QVEC), col(SourceItem),
+          posexplode(SignLsh.bucketsCol(col(QVEC), planes)).as(Seq("__tbl", "__bkt")))
+        val slimB = indexed.select(col(ROW_ID),
+          posexplode(col(BUCKETS)).as(Seq("__tbl", "__bkt")))
+        probes.select(col(QID), col("__tbl"), col("__bkt"))
+          .join(slimB, Seq("__tbl", "__bkt"))
+          .select(col(QID), col(ROW_ID)).distinct()
+          .join(broadcast(qn), QID)
+          .join(indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+            payloadCols.map(col)): _*), ROW_ID)
       case _ =>
         indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*)

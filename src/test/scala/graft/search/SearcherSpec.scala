@@ -246,6 +246,17 @@ class SearcherSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(ivfHits === exactHits)
     ivf.unpersist()
+    // LSH range: candidates from bucket collisions, threshold-verified —
+    // a subset of the exact hits (approximate recall), self always found
+    val lsh = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        indexParam = "LSH12x6")).fit(emb)
+    val lshHits = lsh.searchRange(q, threshold = 0.35, queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(lshHits.subsetOf(exactHits))
+    assert(lsh.searchRange(q, 0.35, Some("vec_id"))
+      .filter(col("vec_id") === col("sim_item").cast("long")).count() === 5)
+    lsh.unpersist()
     model.unpersist()
   }
 
