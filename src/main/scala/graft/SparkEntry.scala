@@ -864,6 +864,33 @@ object SparkEntry {
         sum(col("n_copies")).as("n_before_dedup"),
         sum(col("quality").cast(DecimalType(20, 10))).cast("double").as("sum_quality"))
     }),
+    // bucketed tables: both join sides bucketed+sorted on the key, so the
+    // sort-merge join runs with NO shuffle of either side — the persistent
+    // co-location that kills the dominant exchange on a 100 TB fact-fact
+    // join (PlanShapeSpec asserts the exchange-free shape)
+    "q_bucketed_join" -> ((s, dir) => {
+      // a previous SESSION's managed-table location survives in the
+      // warehouse dir while the new in-memory catalog has never heard of
+      // the table — drop both the catalog entry and the orphan directory
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("li_bucketed", "ord_bucketed").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
+      table(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+      s.table("li_bucketed").hint("merge")
+        .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -1150,6 +1177,11 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,
         | CAST(sum(l_orderkey) AS BIGINT) sum_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
     "q_orc_roundtrip" ->
       """SELECT p_brand, count(*) n,
         | CAST(sum(CAST(p_retailprice AS DECIMAL(20,2))) AS DOUBLE) sum_price,

@@ -65,6 +65,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bucketed join: sort-merge with NO exchange on either side") {
+    val plan = physical(SparkEntry.queries("q_bucketed_join")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join: $plan")
+    assert(plan.contains("Bucketed: true"), s"scans must be bucketed: $plan")
+    // the ONLY hash exchange allowed is the aggregation's (group key differs
+    // from the join key); the join itself must read co-located buckets
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join sides must not shuffle: $plan")
+  }
+
   test("asof join: single shuffle on the key, window fill, no range join blowup") {
     val plan = physical(SparkEntry.queries("q_asof_join")(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("RunningWindowFunction") || plan.contains("Window"))
