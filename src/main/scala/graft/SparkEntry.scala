@@ -891,6 +891,26 @@ object SparkEntry {
           sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"))
         .orderBy("o_orderpriority")
     }),
+    // sketches: HLL++ cardinality and GK quantile estimates — the
+    // fixed-memory substitutes for exact distinct/percentile at 100 TB.
+    // Gate shape mirrors whitening_invariants: Spark checks the sketch
+    // against its own exact computation, the oracle pins the verdicts and
+    // the EXACT cardinality (which DuckDB recomputes exactly)
+    "q_sketch_bounds" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      ev.agg(
+          approx_count_distinct(col("user_id")).as("acd"),
+          countDistinct(col("user_id")).as("ncd"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50a"),
+          expr("percentile(value, 0.5)").as("p50"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .select(
+          // default rsd 5% → 3σ bound 15%
+          (abs(col("acd") - col("ncd")) <= col("ncd") * 0.15).cast("int").as("acd_ok"),
+          ((abs(col("p50a") - col("p50")) <= (col("vmax") - col("vmin")) * 0.05) &&
+            col("p50a").between(col("vmin"), col("vmax"))).cast("int").as("p50_ok"),
+          col("ncd").as("n_users"))
+    }),
     // semi-structured: JSON extraction + aggregation over events.props
     "q_json_extract" -> ((s, dir) => table(s, dir, "events")
       .select(col("event_type"),
@@ -1177,6 +1197,9 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty,
         | CAST(sum(l_orderkey) AS BIGINT) sum_key
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
+    "q_sketch_bounds" ->
+      """SELECT 1 acd_ok, 1 p50_ok, CAST(count(DISTINCT user_id) AS BIGINT) n_users
+        |FROM events""".stripMargin.replace("\n", " "),
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
