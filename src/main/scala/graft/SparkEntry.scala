@@ -570,6 +570,14 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // lexical relevance: BM25 top-20 for a mixed rare/common term query —
+    // the keyword-search complement to vector search; integer-input double
+    // math + fixed-order term sum ⇒ full hash-match oracle
+    "text_bm25" -> ((s, dir) => graft.text.Relevance.bm25TopK(
+      table(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("vector", "spark", "dup"), k = 20)
+      .select(col("doc_id"), col("score").cast("float").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))),
     // corpus vocabulary: token frequencies, top 100 — the vocab-building
     // step of a tokenizer pipeline; partial (map-side) counts then one
     // shuffle on token, top-n via TakeOrderedAndProject, ties on token
@@ -1110,6 +1118,26 @@ object SparkEntry {
         |  FROM q CROSS JOIN x)
         |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
         |FROM s WHERE c >= 0.35 ORDER BY source_id, sim_id""".stripMargin.replace("\n", " "),
+    "text_bm25" ->
+      """WITH t1 AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) dl,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) toks FROM documents),
+        |st AS (SELECT count(*) n_docs, sum(dl)::DOUBLE / count(*) avgdl FROM t1),
+        |tf AS (SELECT doc_id, dl, tok, count(*) tf FROM
+        |  (SELECT doc_id, dl, unnest(toks) tok FROM t1)
+        |  WHERE tok IN ('vector','spark','dup') GROUP BY 1, 2, 3),
+        |nt AS (SELECT tok, count(*) nt FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, tok,
+        |  ln((n_docs - nt + 0.5) / (nt + 0.5) + 1.0) * (tf * 2.2)
+        |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) s
+        |  FROM tf JOIN nt USING (tok) CROSS JOIN st),
+        |pv AS (SELECT doc_id,
+        |  coalesce(max(CASE WHEN tok = 'vector' THEN s END), 0.0) sv,
+        |  coalesce(max(CASE WHEN tok = 'spark' THEN s END), 0.0) ss,
+        |  coalesce(max(CASE WHEN tok = 'dup' THEN s END), 0.0) sd
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, CAST(sv + ss + sd AS FLOAT) score FROM pv
+        |ORDER BY sv + ss + sd DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
     "text_vocab_top100" ->
       """SELECT tok, count(*) n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -82,6 +82,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("bm25: rare terms outscore common, tf saturates, absent terms score 0") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "rare rare rare common filler filler"),
+      (4L, "filler filler filler filler filler filler"),
+      (5L, "common common common common filler filler")).toDF("doc_id", "text")
+    val scores = Relevance.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 4 has neither term: no row at all
+    assert(!scores.contains(4L))
+    // 'rare' appears in 2/5 docs, 'common' in 4/5: idf(rare) > idf(common),
+    // so the rare-term doc beats the common-only doc at equal tf
+    assert(scores(1L) > scores(2L))
+    // more rare occurrences (saturating) still rank doc 3 above doc 1
+    assert(scores(3L) > scores(1L))
+    // tf saturation: 4× common (doc 5) scores < 4× the 1× common doc 2
+    assert(scores(5L) < 4 * scores(2L))
+    // top-k surface: rank order with id tie-break, bounded size
+    val top = Relevance.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"), 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(3L, 1L))
+  }
+
   test("kernel formulations match the Column/HOF cross-checks on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("zh", org.apache.spark.sql.functions.concat(col("text"),
