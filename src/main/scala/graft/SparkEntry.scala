@@ -872,6 +872,31 @@ object SparkEntry {
         sum(col("n_copies")).as("n_before_dedup"),
         sum(col("quality").cast(DecimalType(20, 10))).cast("double").as("sum_quality"))
     }),
+    // outer joins: LEFT JOIN against a filtered dim forces unmatched rows;
+    // the null-group aggregate proves null-preserving join + agg semantics
+    "q_outer_join" -> ((s, dir) => {
+      val richCust = table(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000).select("c_custkey", "c_mktsegment")
+      table(s, dir, "orders")
+        .join(richCust, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("NO_RICH_CUSTOMER")).as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double").as("sum_price"))
+        .orderBy("segment")
+    }),
+    // GROUPING SETS: the generalized multi-granularity aggregate
+    // (rollup/cube's explicit form), driven through the SQL surface
+    "q_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') rf,
+               coalesce(l_linestatus, 'ALL') ls,
+               count(*) n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        ORDER BY rf, ls""")
+    }),
     // bucketed tables: both join sides bucketed+sorted on the key, so the
     // sort-merge join runs with NO shuffle of either side — the persistent
     // co-location that kills the dominant exchange on a 100 TB fact-fact
@@ -1228,6 +1253,19 @@ object SparkEntry {
     "q_sketch_bounds" ->
       """SELECT 1 acd_ok, 1 p50_ok, CAST(count(DISTINCT user_id) AS BIGINT) n_users
         |FROM events""".stripMargin.replace("\n", " "),
+    "q_outer_join" ->
+      """SELECT coalesce(c_mktsegment, 'NO_RICH_CUSTOMER') segment, count(*) n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) sum_price
+        |FROM orders LEFT JOIN
+        | (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) rc
+        | ON o_custkey = rc.c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " "),
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
+        | count(*) n, CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY rf, ls""".stripMargin.replace("\n", " "),
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
