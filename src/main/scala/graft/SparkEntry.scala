@@ -911,7 +911,7 @@ object SparkEntry {
         val loc = new java.io.File(wh, t)
         if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       }
-      table(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
+      table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
       table(s, dir, "orders").select("o_orderkey", "o_orderpriority")

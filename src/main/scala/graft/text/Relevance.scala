@@ -37,10 +37,13 @@ object Relevance {
     val stats = tokenized.agg(
       count(lit(1)).as("__n_docs"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-    // term frequencies per (doc, term), query terms only — the one shuffle
+    // term frequencies per (doc, term), query terms only — filter INSIDE
+    // the array before exploding, so only query-term occurrences ever
+    // become rows (the full-token explode was the pipeline's widest point)
+    val termSet = terms.toSet
     val tf = tokenized
-      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+      .select(col(idCol), col("__dl"),
+        explode(filter(col("__toks"), t => t.isInCollection(termSet))).as("__t"))
       .groupBy(col(idCol), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
     // document frequency per term: broadcast |terms| rows
