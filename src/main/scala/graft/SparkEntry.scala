@@ -491,6 +491,16 @@ object SparkEntry {
     "cluster_assign" -> ((s, dir) => Dedup.embeddingClusters(
       table(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
       .orderBy("vec_id")),
+    // decontamination: cross-corpus exact w-gram overlap — "benchmark"
+    // docs (doc_id < 50) leaked into the "training corpus" (the rest);
+    // bipartite prefix-filtered set-similarity join, hash-match oracle
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50),
+        "doc_id", "text", w = 3, threshold = 0.5)
+        .orderBy("left_id", "right_id")
+    }),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -1084,6 +1094,19 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, c::DOUBLE / (sz_a + sz_b - c) jaccard FROM j
         |WHERE c::DOUBLE / (sz_a + sz_b - c) >= 0.5 ORDER BY id_a, id_b""".stripMargin.replace("\n", " "),
+    "decontam_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 2, 0) + 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) s FROM t),
+        |ex AS (SELECT doc_id, len(s) sz, unnest(s) sg FROM sh WHERE len(s) > 0),
+        |j AS (SELECT a.doc_id left_id, b.doc_id right_id, a.sz sz_a, b.sz sz_b, count(*) c
+        |  FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < 50 AND b.doc_id >= 50
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT left_id, right_id, c::DOUBLE / (sz_a + sz_b - c) jaccard FROM j
+        |WHERE c::DOUBLE / (sz_a + sz_b - c) >= 0.5 ORDER BY left_id, right_id""".stripMargin.replace("\n", " "),
     "dedup_embedding_cos" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |p AS (SELECT a.vec_id id_a, b.vec_id id_b,

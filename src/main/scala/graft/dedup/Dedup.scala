@@ -119,6 +119,59 @@ object Dedup {
   }
 
   /**
+   * CROSS-corpus exact Jaccard overlap — the decontamination operator: find
+   * benchmark documents whose w-gram overlap with any training document
+   * reaches `threshold` (test-set leakage detection). Bipartite variant of
+   * [[jaccardPairsBy]]: shingle document frequencies are computed over BOTH
+   * corpora (one shared rarity order), each side contributes only its
+   * prefix shingles, candidates come from prefix×prefix equi-joins with the
+   * same size and positional bounds (valid here too — prefixes are
+   * downward-closed in the shared order), and candidates verify exactly.
+   * Returns `[left_id, right_id, jaccard]`.
+   */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, w: Int, threshold: Double): DataFrame = {
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), w).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shL = shingled(left)
+    val shR = shingled(right)
+    val exL = shL.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val exR = shR.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    // ONE rarity order across both corpora (each side ranking by its own
+    // frequencies would break the shared-prefix guarantee)
+    val freq = exL.select(col("s")).unionAll(exR.select(col("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wnd = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    def prefixOf(ex: DataFrame) = ex.join(freq, "s")
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "s", "rk")
+    val a = prefixOf(exL).select(col("id").as("left_id"), col("sz").as("sz_a"),
+      col("rk").as("rk_a"), col("s"))
+    val b = prefixOf(exR).select(col("id").as("right_id"), col("sz").as("sz_b"),
+      col("rk").as("rk_b"), col("s"))
+    val cands = a.join(b, Seq("s"))
+      .filter(col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold &&
+        lit(1) + least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) >=
+          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold)))
+      .select("left_id", "right_id").distinct()
+    cands
+      .join(shL.select(col("id").as("left_id"), col("hs").as("hs_a"), col("sz").as("sz_a")), "left_id")
+      .join(shR.select(col("id").as("right_id"), col("hs").as("hs_b"), col("sz").as("sz_b")), "right_id")
+      .withColumn("common",
+        toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /**
    * MinHash signature: `numHashes` permutation-hashes over the shingle
    * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
    * deterministic seeded coefficients — one narrow projection, no shuffle.

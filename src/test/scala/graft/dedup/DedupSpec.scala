@@ -80,6 +80,20 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("crossJaccardPairs ≡ self-join pairs restricted to the corpus boundary") {
+    val left = docs.filter(col("doc_id") < 50)
+    val right = docs.filter(col("doc_id") >= 50)
+    val cross = Dedup.crossJaccardPairs(left, right, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the full self-join, keeping only pairs that straddle
+    // the boundary (id order in the self-join puts the benchmark id first)
+    val all = Dedup.jaccardPairsWords(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 50 && b >= 50 }.toSet
+    assert(cross === all)
+    assert(cross.forall(_._3 >= 0.5))
+  }
+
   test("embeddingClusters: deterministic nearest-centroid assignment, ≤ k clusters") {
     val emb = sf("embeddings")
     val a = Dedup.embeddingClusters(emb, "vec_id", "embedding", k = 16)
