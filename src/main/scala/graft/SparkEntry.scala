@@ -580,6 +580,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // content-addressed train/heldout split: bucket = fingerprint mod 100,
+    // train < 80 — stable across runs/engines/partitionings (duplicates
+    // always co-located in one split), no RNG; full hash-match oracle
+    "q_split_hash" -> ((s, dir) => table(s, dir, "documents")
+      .withColumn("bucket", TextAnalysis.contentSplitBucket(col("text"), 100))
+      .withColumn("split", when(col("bucket") < 80, "train").otherwise("heldout"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("split")),
     // lexical relevance: BM25 top-20 for a mixed rare/common term query —
     // the keyword-search complement to vector search; integer-input double
     // math + fixed-order term sum ⇒ full hash-match oracle
@@ -1166,6 +1176,16 @@ object SparkEntry {
         |  FROM q CROSS JOIN x)
         |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
         |FROM s WHERE c >= 0.35 ORDER BY source_id, sim_id""".stripMargin.replace("\n", " "),
+    "q_split_hash" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) % 100 bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' ELSE 'heldout' END split,
+        |  count(*) n, CAST(sum(doc_id) AS BIGINT) sum_id,
+        |  CAST(sum(n_chars) AS BIGINT) sum_chars
+        |FROM f GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", " "),
     "text_bm25" ->
       """WITH t1 AS (SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) dl,

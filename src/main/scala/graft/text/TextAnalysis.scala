@@ -140,4 +140,13 @@ object TextAnalysis {
       regexp_extract_all(text, lit("."), lit(0)),
       lit(0L),
       (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L)))
+
+  /** CONTENT-ADDRESSED split bucket in `[0, buckets)`: the fingerprint mod
+    * bucket count. The train/heldout assignment a data pipeline needs to
+    * be stable across runs, engines, partitionings and corpus growth — a
+    * document's split follows its CONTENT, never an RNG or row position
+    * (so exact duplicates always land in the same split, and re-ingesting
+    * a doc can't migrate it). Deterministic ⇒ oracle-checkable. */
+  def contentSplitBucket(text: Column, buckets: Int): Column =
+    pmod(fingerprint(text), lit(buckets.toLong))
 }
