@@ -580,6 +580,26 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // stratified sampling (data-mixing ratios): sampleBy with per-language
+    // fractions; the gate checks each stratum's draw against its binomial
+    // 5σ bound and the oracle pins the verdicts + exact stratum totals
+    "q_stratified_sample" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25,
+        "fr" -> 0.25, "zh" -> 0.25)
+      val sampled = docs.stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("total"))
+        .join(sampled, Seq("lang"), "left")
+        .withColumn("__f", element_at(
+          map(fractions.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col("lang")))
+        .select(col("lang"), col("total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)) - col("__f") * col("total")) <=
+            lit(5.0) * sqrt(col("__f") * (lit(1.0) - col("__f")) * col("total")) + 1.0)
+            .cast("int").as("in_bounds"))
+        .orderBy("lang")
+    }),
     // content-addressed train/heldout split: bucket = fingerprint mod 100,
     // train < 80 — stable across runs/engines/partitionings (duplicates
     // always co-located in one split), no RNG; full hash-match oracle
@@ -1176,6 +1196,9 @@ object SparkEntry {
         |  FROM q CROSS JOIN x)
         |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
         |FROM s WHERE c >= 0.35 ORDER BY source_id, sim_id""".stripMargin.replace("\n", " "),
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) total, 1 in_bounds
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
     "q_split_hash" ->
       """WITH f AS (SELECT doc_id, n_chars,
         |  list_reduce(list_prepend(0::BIGINT,
