@@ -28,9 +28,12 @@ object Relevance {
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** `[<idCol>, score]` for every document containing ≥1 query term. */
-  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms0: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = terms0.distinct // a duplicate term must not double its score
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(!terms.contains(idCol),
+      s"query term '$idCol' collides with the id column (pivot names columns by term)")
     val tokenized = df.select(col(idCol), toks(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
     // corpus stats: one broadcast row (N, avgdl)
