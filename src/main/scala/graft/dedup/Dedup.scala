@@ -395,7 +395,10 @@ object Dedup {
     import graft.search.IvfIndex
     val vecs = df.select(col(idCol), col(vecCol).cast("array<float>").as("__v"))
     val total = vecs.count()
-    val cents = IvfIndex.fitCentroids(vecs, "__v", math.min(k, total.toInt max 1), total)
+    // min in LONG domain: total.toInt overflows negative past 2^31 rows
+    // and would silently collapse the fit to one centroid
+    val cents = IvfIndex.fitCentroids(vecs, "__v",
+      math.min(k.toLong, total max 1L).toInt, total)
     vecs.select(col(idCol),
       IvfIndex.nearestCentroidsCol(col("__v"), cents, 1).getItem(0).as("cluster"))
   }
@@ -415,7 +418,8 @@ object Dedup {
       col(vecCol).cast("array<float>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = vecs.count()
-    val cents = IvfIndex.fitCentroids(vecs, "v", math.min(nlist, total.toInt max 1), total)
+    val cents = IvfIndex.fitCentroids(vecs, "v",
+      math.min(nlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
     val celled = vecs
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .withColumn("cell",
