@@ -1,51 +1,54 @@
 package graft.functions
 
-import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
 
+/** Fuzz the polynomial hash — the shared primitive under MinHash, LSH
+  * bands, SimHash, hash-embed and the content split. Two invariants: the
+  * ASCII byte fast path must equal the codepoint path bit-for-bit, and
+  * every output must stay in [0, P) (a range excursion would corrupt the
+  * DuckDB-mirrored arithmetic everywhere at once). */
 class PolyHashSpec extends AnyFunSuite {
 
-  private val rnd = new scala.util.Random(7)
-  private def asciiStrings(n: Int): Seq[String] =
-    Seq.fill(n)(Seq.fill(rnd.nextInt(40))((32 + rnd.nextInt(95)).toChar).mkString)
-  private def unicodeStrings(n: Int): Seq[String] =
-    Seq.fill(n)(Seq.fill(rnd.nextInt(20))(
-      Character.toChars(32 + rnd.nextInt(0x2FDF)).mkString).mkString)
-
-  test("hash range is [0, P) and deterministic") {
-    asciiStrings(200).foreach { s =>
-      val h = PolyHash.hash(s, PolyHash.B1)
-      assert(h >= 0L && h < PolyHash.P)
-      assert(h === PolyHash.hash(s, PolyHash.B1))
+  test("fuzz: UTF8String ASCII fast path ≡ String codepoint path") {
+    val rnd = new scala.util.Random(13)
+    val ascii = (' ' to '~').mkString + "\t\n"
+    for (trial <- 1 to 500) {
+      val s = (0 until rnd.nextInt(50)).map(_ => ascii(rnd.nextInt(ascii.length))).mkString
+      for (mult <- Seq(PolyHash.B1, PolyHash.B2)) {
+        val fast = PolyHash.hash(UTF8String.fromString(s), mult)
+        val slow = PolyHash.hash(s, mult)
+        assert(fast === slow, s"trial $trial mult=$mult s=${s.take(20)}…")
+        assert(fast >= 0 && fast < PolyHash.P)
+      }
     }
   }
 
-  test("UTF8String byte fast path equals the code-point path on ASCII") {
-    asciiStrings(200).foreach { s =>
-      assert(PolyHash.hash(UTF8String.fromString(s), PolyHash.B1) ===
-        PolyHash.hash(s, PolyHash.B1))
-      assert(PolyHash.hash(UTF8String.fromString(s), PolyHash.B2) ===
-        PolyHash.hash(s, PolyHash.B2))
+  test("fuzz: non-ASCII input routes to the codepoint path, same range") {
+    val rnd = new scala.util.Random(17)
+    val pool = "aé北 \n🙂" // 1-, 2-, 3-byte and surrogate-pair codepoints
+    val cps = pool.codePoints().toArray
+    for (trial <- 1 to 300) {
+      val s = new String(
+        (0 until rnd.nextInt(30)).flatMap(_ =>
+          Character.toChars(cps(rnd.nextInt(cps.length)))).toArray)
+      for (mult <- Seq(PolyHash.B1, PolyHash.B2)) {
+        val h = PolyHash.hash(UTF8String.fromString(s), mult)
+        assert(h === PolyHash.hash(s, mult))
+        assert(h >= 0 && h < PolyHash.P)
+      }
     }
   }
 
-  test("UTF8String fallback equals the code-point path on arbitrary unicode") {
-    unicodeStrings(200).foreach { s =>
-      assert(PolyHash.hash(UTF8String.fromString(s), PolyHash.B1) ===
-        PolyHash.hash(s, PolyHash.B1))
-    }
-  }
-
-  test("newlines are skipped (RE2 `.` convention)") {
-    assert(PolyHash.hash("ab\ncd", PolyHash.B1) === PolyHash.hash("abcd", PolyHash.B1))
-  }
-
-  test("the fold matches a reference big-integer computation") {
-    asciiStrings(100).foreach { s =>
-      val expected = s.codePoints().toArray.filter(_ != '\n'.toInt)
-        .foldLeft(BigInt(0))((acc, cp) =>
-          (acc * PolyHash.B1 + cp) mod BigInt(PolyHash.P))
-      assert(BigInt(PolyHash.hash(s, PolyHash.B1)) === expected)
+  test("fuzz: sorted-merge intersect size ≡ Set intersection on random long arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(19)
+    for (trial <- 1 to 300) {
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      val got = graft.dedup.IntersectKernels.intersectSize(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      assert(got === a.toSet.intersect(b.toSet).size, s"trial $trial")
     }
   }
 }
