@@ -180,6 +180,37 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
 
+  test("multi-K invariant holds on the approximate strategies too") {
+    // res(k) ≡ res(maxK).filter(rank < k) is implemented once above the
+    // strategy dispatch — assert it survives the IVF and PQ paths
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    for (param <- Seq("IVF8", "PQ8")) {
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "l2", indexParam = param, nprobe = 4)).fit(emb)
+      val byK = model.searchMulti(q, Seq(2, 5), keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      val k5 = byK(5).select("vec_id", "rank_no", "sim_item").collect().map(_.toSeq).toSet
+      val k2 = byK(2).select("vec_id", "rank_no", "sim_item").collect().map(_.toSeq).toSet
+      assert(k2 === k5.filter(_(1).asInstanceOf[Int] < 2), s"param $param")
+      model.unpersist()
+    }
+  }
+
+  test("remove then add round-trip restores the exact search surface") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val slice = emb.filter(col("vec_id") >= 600)
+    val model = embModel()
+    val roundTripped = model.remove(slice.select("vec_id"), "vec_id").add(slice)
+    def res(m: SearcherModel) = m.search(q, 5, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(res(roundTripped) === res(embModel()))
+    roundTripped.unpersist()
+  }
+
   test("incremental add: fit(A).add(B) ≡ fit(A∪B) on exact and LSH; IVF full-probe exact") {
     val emb = sf("embeddings")
     val a = emb.filter(col("vec_id") < 400)
