@@ -74,6 +74,8 @@ object GraftFunctions {
       two(graft.dedup.SortedIntersectSize)),
     ("hash_embed", "feature-hashing text embedding: hash_embed(text, dim)",
       (es: Seq[Expression]) => graft.encoders.HashEmbedExpr(es(0), intArg(es(1), "dim"))),
+    ("text_normalize", "canonical normalization: NFC + \\s+ collapse + trim",
+      (es: Seq[Expression]) => graft.text.NormalizeExpr(es.head)),
     ("lang_id", "marker-profile language identification",
       (es: Seq[Expression]) => graft.text.LangIdExpr(es.head)),
     ("quality_score", "composite document quality score in [0,1]",

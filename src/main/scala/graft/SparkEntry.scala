@@ -600,6 +600,16 @@ object SparkEntry {
             .cast("int").as("in_bounds"))
         .orderBy("lang")
     }),
+    // canonical normalization: NFC + whitespace collapse + trim, proven
+    // byte-exact by fingerprinting the normalized text against the SQL
+    // mirror (trim + regexp_replace) — the preprocessing step every
+    // hash/dedup/tokenize pass assumes
+    "text_normalize" -> ((s, dir) => table(s, dir, "documents")
+      .withColumn("norm", TextAnalysis.normalize(concat(
+        lit("  "), col("text"), lit("\t\t x  y\n")))) // inject edge ws
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("norm")).as("fp"),
+        length(col("norm")).as("n_chars"))
+      .orderBy("doc_id")),
     // content-addressed train/heldout split: bucket = fingerprint mod 100,
     // train < 80 — stable across runs/engines/partitionings (duplicates
     // always co-located in one split), no RNG; full hash-match oracle
@@ -1199,6 +1209,15 @@ object SparkEntry {
     "q_stratified_sample" ->
       """SELECT lang, count(*) total, 1 in_bounds
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),
+    "text_normalize" ->
+      """WITH n0 AS (SELECT doc_id,
+        |  trim(regexp_replace('  ' || text || chr(9) || chr(9) || ' x  y' || chr(10), '\s+', ' ', 'g')) norm
+        |  FROM documents)
+        |SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |  list_transform(regexp_extract_all(norm, '.'), ch -> ascii(ch)::BIGINT)),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) fp,
+        |  length(norm) n_chars
+        |FROM n0 ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_split_hash" ->
       """WITH f AS (SELECT doc_id, n_chars,
         |  list_reduce(list_prepend(0::BIGINT,

@@ -141,6 +141,12 @@ object TextAnalysis {
       lit(0L),
       (acc, ch) => pmod(acc * 31L + ascii(ch), lit(1000000007L)))
 
+  /** Canonical normalization (NFC + `\s+`-collapse + trim) — single-pass
+    * codegen kernel; see [[TextKernels.normalize]]. */
+  def normalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(NormalizeExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
   /** CONTENT-ADDRESSED split bucket in `[0, buckets)`: the fingerprint mod
     * bucket count. The train/heldout assignment a data pipeline needs to
     * be stable across runs, engines, partitionings and corpus growth — a

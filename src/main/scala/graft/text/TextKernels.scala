@@ -138,6 +138,30 @@ object TextKernels {
       Array[Any](ntoks, bpe, mtl, pr, sw))
   }
 
+  /** Canonical text normalization — the preprocessing step ahead of
+    * hashing/dedup/tokenizing: Unicode NFC (composed forms, identity on
+    * ASCII), every `\s+` run collapsed to one space, leading/trailing
+    * whitespace dropped. Byte-equal to SQL
+    * `trim(regexp_replace(text, '\s+', ' ', 'g'))` on ASCII (Java and RE2
+    * agree on the \s class), single pass after the NFC call. */
+  def normalize(text: UTF8String): UTF8String = {
+    val s0 = text.toString
+    val s = java.text.Normalizer.normalize(s0, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (sb.length > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Polynomial rolling-hash fingerprint `(acc·31 + cp) mod 10^9+7` over
     * code points, '\n' skipped (the RE2-`.` convention of the oracle's
     * regexp_extract_all). Same fold as the Column/HOF formulation. */
@@ -203,6 +227,17 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.stats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "text_stats"
+}
+
+/** Codegen'd canonical normalization (see [[TextKernels.normalize]]). */
+case class NormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.normalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.normalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_normalize"
 }
 
 /** Codegen'd rolling-hash fingerprint (see [[TextKernels.fingerprint]]). */

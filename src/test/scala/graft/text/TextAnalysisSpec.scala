@@ -82,6 +82,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("normalize: NFC composition, whitespace collapse, trim") {
+    val sp = spark
+    import sp.implicits._
+    val decomposed = "état" // e + combining acute → NFC 'état'
+    val rows = Seq(
+      ("  a \t b\n\nc  ", "a b c"),
+      (decomposed, "état"),
+      ("", ""),
+      (" \t\n ", ""),
+      ("already clean", "already clean")).toDF("in", "expect")
+      .select(TextAnalysis.normalize(col("in")).as("got"), col("expect"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("bm25: rare terms outscore common, tf saturates, absent terms score 0") {
     val sp = spark
     import sp.implicits._
