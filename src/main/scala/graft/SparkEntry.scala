@@ -580,6 +580,20 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")),
+    // Gopher-style repetition signals (machine-text / boilerplate filter):
+    // distinct-token ratio, top token/bigram mass, duplicate-bigram
+    // fraction — integer counts + one double division, bit-exact oracle
+    "text_repetition" -> ((s, dir) => {
+      val rep = TextAnalysis.repetitionSignals(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          rep.getField("n_tok").as("n_tok"),
+          rep.getField("distinct_ratio").as("distinct_ratio"),
+          rep.getField("top_token_frac").as("top_token_frac"),
+          rep.getField("top_bigram_frac").as("top_bigram_frac"),
+          rep.getField("dup_bigram_frac").as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
     // stratified sampling (data-mixing ratios): sampleBy with per-language
     // fractions; the gate checks each stratum's draw against its binomial
     // 5σ bound and the oracle pins the verdicts + exact stratum totals
@@ -1196,6 +1210,30 @@ object SparkEntry {
         | list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
         | (acc, c) -> (acc * 31 + c) % 1000000007) fp
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // repetition signals: per-doc token/bigram multiplicity via list
+    // functions (quadratic per doc is fine in an oracle; the engine side
+    // is a one-pass hash-map kernel)
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) toks FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) n_tok,
+        |  list_transform(range(1, len(toks)), i -> list_extract(toks, i) || ' ' || list_extract(toks, i + 1)) bgs FROM t),
+        |m AS (SELECT doc_id, n_tok,
+        |  len(list_distinct(toks)) n_distinct,
+        |  CASE WHEN n_tok = 0 THEN 0 ELSE
+        |    list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) END top_tok,
+        |  len(bgs) nbg,
+        |  CASE WHEN len(bgs) = 0 THEN 0 ELSE
+        |    list_max(list_transform(list_distinct(bgs), x -> len(list_filter(bgs, y -> y = x)))) END top_bg,
+        |  CASE WHEN len(bgs) = 0 THEN 0 ELSE
+        |    len(list_filter(bgs, x -> len(list_filter(bgs, y -> y = x)) > 1)) END dup_bg
+        |  FROM c)
+        |SELECT doc_id, n_tok,
+        |  CASE WHEN n_tok = 0 THEN 0.0 ELSE n_distinct::DOUBLE / n_tok END distinct_ratio,
+        |  CASE WHEN n_tok = 0 THEN 0.0 ELSE top_tok::DOUBLE / n_tok END top_token_frac,
+        |  CASE WHEN nbg = 0 THEN 0.0 ELSE top_bg::DOUBLE / nbg END top_bigram_frac,
+        |  CASE WHEN nbg = 0 THEN 0.0 ELSE dup_bg::DOUBLE / nbg END dup_bigram_frac
+        |FROM m ORDER BY doc_id""".stripMargin.replace("\n", " "),
     // range search: threshold applied to the DOUBLE distance on both
     // sides (float cast only at output), so the row set is bit-identical
     "knn_range_cos" ->

@@ -147,6 +147,14 @@ object TextAnalysis {
     org.apache.spark.sql.graftshim.GraftSql.column(NormalizeExpr(
       org.apache.spark.sql.graftshim.GraftSql.expression(text)))
 
+  /** Gopher-style repetition signals as one struct from a single-pass
+    * kernel ([[TextKernels.repetition]]): `n_tok`, `distinct_ratio`,
+    * `top_token_frac`, `top_bigram_frac`, `dup_bigram_frac` — the
+    * repetitiveness filters of corpus curation. */
+  def repetitionSignals(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(RepetitionExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
   /** CONTENT-ADDRESSED split bucket in `[0, buckets)`: the fingerprint mod
     * bucket count. The train/heldout assignment a data pipeline needs to
     * be stable across runs, engines, partitionings and corpus growth — a

@@ -177,6 +177,67 @@ object TextKernels {
     acc
   }
 
+  val repetitionType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("distinct_ratio", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_token_frac", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("top_bigram_frac", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_bigram_frac", DoubleType, nullable = false)))
+
+  /** Gopher-style repetition signals over lowercase whitespace tokens —
+    * the repetitiveness axis of corpus quality filtering (machine-generated
+    * and boilerplate text shows high top-n-gram mass and duplicate-n-gram
+    * fractions): distinct-token ratio, most-frequent-token fraction,
+    * most-frequent-bigram fraction, and the fraction of bigram occurrences
+    * whose bigram appears more than once. One tokenize + two hash maps per
+    * row; integer counts with a final double division, so the DuckDB
+    * list-function oracle is bit-exact. */
+  def repetition(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lower = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && isWs(lower.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lower.charAt(i))) i += 1
+      if (i > start) toks.add(lower.substring(start, i))
+    }
+    val nTok = toks.size
+    val tokCounts = new java.util.HashMap[String, Int]()
+    var t = 0
+    while (t < nTok) {
+      tokCounts.merge(toks.get(t), 1, (a, b) => a + b)
+      t += 1
+    }
+    var topTok = 0
+    val it = tokCounts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > topTok) topTok = c }
+    val nBg = math.max(nTok - 1, 0)
+    val bgCounts = new java.util.HashMap[String, Int]()
+    t = 0
+    while (t < nBg) {
+      // tokens contain no whitespace, so ' ' is an unambiguous joiner
+      bgCounts.merge(toks.get(t) + " " + toks.get(t + 1), 1, (a, b) => a + b)
+      t += 1
+    }
+    var topBg = 0
+    var dupBgOcc = 0
+    val bit = bgCounts.values().iterator()
+    while (bit.hasNext) {
+      val c = bit.next()
+      if (c > topBg) topBg = c
+      if (c > 1) dupBgOcc += c
+    }
+    val distinctRatio = if (nTok == 0) 0.0 else tokCounts.size.toDouble / nTok
+    val topTokFrac = if (nTok == 0) 0.0 else topTok.toDouble / nTok
+    val topBgFrac = if (nBg == 0) 0.0 else topBg.toDouble / nBg
+    val dupBgFrac = if (nBg == 0) 0.0 else dupBgOcc.toDouble / nBg
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTok, distinctRatio, topTokFrac, topBgFrac, dupBgFrac))
+  }
+
   /** Composite quality score — same arithmetic tree as
     * [[TextAnalysis.qualityScore]] (and its oracle), one pass. */
   def quality(text: UTF8String): Double = {
@@ -227,6 +288,17 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.stats($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "text_stats"
+}
+
+/** Codegen'd one-pass repetition signals (see [[TextKernels.repetition]]). */
+case class RepetitionExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.repetitionType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repetition(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.repetition($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_repetition"
 }
 
 /** Codegen'd canonical normalization (see [[TextKernels.normalize]]). */

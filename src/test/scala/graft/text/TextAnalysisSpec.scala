@@ -123,6 +123,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top === Seq(3L, 1L))
   }
 
+  test("repetition signals: hand-computed fractions, guards on empty/1-token docs") {
+    val rep = TextAnalysis.repetitionSignals(col("text"))
+    val sel = Seq("n_tok", "distinct_ratio", "top_token_frac",
+      "top_bigram_frac", "dup_bigram_frac").map(f => rep.getField(f).as(f))
+    // "a b a b a": toks = 5, distinct = 2, top tok "a" ×3;
+    // bigrams: "a b"×2, "b a"×2 of 4 → top 2/4, all 4 occurrences dup'd
+    val r = oneRow("a b A B a").select(sel: _*).head()
+    assert(r.getInt(0) === 5)
+    assert(r.getDouble(1) === 2.0 / 5)
+    assert(r.getDouble(2) === 3.0 / 5)
+    assert(r.getDouble(3) === 2.0 / 4)
+    assert(r.getDouble(4) === 4.0 / 4)
+    // unique tokens: ratios 1.0 / (1/n) / (1/(n-1)) / 0
+    val u = oneRow("x y z w").select(sel: _*).head()
+    assert(u.getDouble(1) === 1.0 && u.getDouble(2) === 1.0 / 4)
+    assert(u.getDouble(3) === 1.0 / 3 && u.getDouble(4) === 0.0)
+    // degenerate docs: no NaN/divide-by-zero
+    val z = oneRow("").select(sel: _*).head()
+    assert(z.getInt(0) === 0 && z.getDouble(1) === 0.0 && z.getDouble(3) === 0.0)
+    val one = oneRow("solo").select(sel: _*).head()
+    assert(one.getInt(0) === 1 && one.getDouble(2) === 1.0 && one.getDouble(3) === 0.0)
+  }
+
   test("kernel formulations match the Column/HOF cross-checks on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("zh", org.apache.spark.sql.functions.concat(col("text"),
