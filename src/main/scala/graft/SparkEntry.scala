@@ -120,13 +120,16 @@ object SparkEntry {
     * signature + band-key arithmetic of [[Dedup.minHashSignatureBy]] /
     * BandKeysExpr (same coefficients, embedded), candidates from band
     * collisions, verified by true shingle-set Jaccard. */
-  private def minhashOracle(n: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  /** Shared CTE chain for the minhash-LSH pipeline, terminating in
+    * `mp(id_a, id_b, jaccard)` — consumed by the pair oracle and the
+    * connected-components cluster oracle. */
+  private def minhashPairCtes(n: Int, numHashes: Int, bands: Int, threshold: Double): String = {
     val r = numHashes / bands
     val (coefA, coefB) = Dedup.minHashCoefficients(numHashes)
     val sigTerms = (0 until numHashes).map(j =>
       s"list_min(list_transform(h, x -> (${coefA(j)} * x + ${coefB(j)}) % ${PolyHash.P}))")
       .mkString("[", ", ", "]")
-    s"""WITH b0 AS (SELECT doc_id id, text FROM documents),
+    s"""b0 AS (SELECT doc_id id, text FROM documents),
        |sh AS (SELECT id, CASE WHEN length(text) >= $n THEN
        |  list_distinct(list_transform(range(1, length(text) - ${n - 2}), i -> substr(text, i, $n)))
        |  ELSE [] END s FROM b0),
@@ -139,10 +142,27 @@ object SparkEntry {
        |cd AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bk a JOIN bk b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
        |vr AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) c, len(sa.s) za, len(sb.s) zb
-       |  FROM cd JOIN sh sa ON sa.id = cd.id_a JOIN sh sb ON sb.id = cd.id_b)
-       |SELECT id_a, id_b, c::DOUBLE / (za + zb - c) jaccard FROM vr
-       |WHERE c::DOUBLE / (za + zb - c) >= $threshold ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+       |  FROM cd JOIN sh sa ON sa.id = cd.id_a JOIN sh sb ON sb.id = cd.id_b),
+       |mp AS (SELECT id_a, id_b, c::DOUBLE / (za + zb - c) jaccard FROM vr
+       |  WHERE c::DOUBLE / (za + zb - c) >= $threshold)""".stripMargin
   }
+
+  private def minhashOracle(n: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashPairCtes(n, numHashes, bands, threshold)}
+       |SELECT id_a, id_b, jaccard FROM mp ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
+  /** Recursive-CTE reachability over the minhash pair graph: component =
+    * smallest reachable id — the fixpoint [[Dedup.connectedComponents]]
+    * converges to, independent of iteration schedule. */
+  private def minhashClusterOracle(n: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(n, numHashes, bands, threshold)},
+       |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
+       |reach(id, comp) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+       |  UNION
+       |  SELECT ed.u, reach.comp FROM ed JOIN reach ON ed.v = reach.id)
+       |SELECT id, min(comp) component, (min(comp) = id) is_canonical
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
 
   /** DuckDB oracle for simhash near-dups: 62-bit two-polynomial fingerprint
     * (bit votes over token multisets), pigeonhole chunk join, hamming ≤ max. */
@@ -517,6 +537,14 @@ object SparkEntry {
       table(s, dir, "documents"), "doc_id", "text",
       n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")),
+    // dedup: near-dup CLUSTERS — minhash pairs → connected components
+    // (keep-one-per-cluster is the step after pair generation in a real
+    // dedup pipeline); iterative min-label propagation, recursive-CTE oracle
+    "dedup_cluster" -> ((s, dir) => Dedup.connectedComponents(
+      Dedup.minHashNearDups(table(s, dir, "documents"), "doc_id", "text",
+        n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+      "id_a", "id_b")
+      .orderBy("id")),
     // dedup: SimHash hamming-band pairs (no SQL oracle: xxhash64)
     "dedup_simhash" -> ((s, dir) => Dedup.simHashNearDups(
       table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -1086,6 +1114,7 @@ object SparkEntry {
          |FROM fv a JOIN fv b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin.replace("\n", " "),
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+    "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     "multimodal_features" ->
       """WITH m AS (SELECT doc_id media_id, 'text' modality,

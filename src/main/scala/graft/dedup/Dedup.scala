@@ -327,6 +327,63 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-duplicate pair list — the CLUSTERING
+   * step of a dedup pipeline: pair generators ([[minHashNearDups]],
+   * [[simHashNearDups]], [[jaccardPairsBy]], the embedding variants) emit
+   * edges; transitively-connected docs form one duplicate cluster, and the
+   * pipeline keeps one representative per cluster. Labels are propagated by
+   * iterative min-label broadcast: every node adopts the smallest label
+   * among itself and its neighbors, repeated until a fixpoint — each round
+   * is one equi-join plus one min-aggregation (both shuffles on id, no
+   * driver-side graph), and the converged labeling (component = smallest
+   * reachable id) is ITERATION-ORDER INDEPENDENT, hence deterministic and
+   * oracle-checkable via a recursive-CTE reachability query.
+   *
+   * Rounds needed = component diameter. Near-dup components are dense,
+   * shallow clusters (near-cliques around a template), so a handful of
+   * rounds converges; `maxIters` bounds pathological chains (for those the
+   * large-star/small-star O(log n) variant would be the upgrade). Lineage
+   * is truncated every round (localCheckpoint) so the plan does not grow
+   * with iterations. Returns `[id, component, is_canonical]` for every id
+   * in `pairs`, `component` = min id of the cluster, `is_canonical` marking
+   * the survivor a keep-one policy retains.
+   */
+  private lazy val ccLog = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
+
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // neighbor labels: for edge (u,v), u sees v's current component
+      val viaNeighbor = sym
+        .join(labels.select(col("id").as("v"), col("comp")), "v")
+        .select(col("u").as("id"), col("comp"))
+      val next = viaNeighbor.unionAll(labels)
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true) // truncate lineage: plans stay O(1) per round
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    if (!converged)
+      ccLog.warn(s"connectedComponents: not converged after $maxIters rounds " +
+        "(component diameter exceeds maxIters); labels are an upper bound")
+    sym.unpersist()
+    labels.select(col("id"), col("comp").as("component"),
+      (col("comp") === col("id")).as("is_canonical"))
+  }
+
+  /**
    * Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
    * Brute version is a broadcast self-join (verification / small corpora);
    * at scale route through [[graft.search.IvfIndex]] cells first.

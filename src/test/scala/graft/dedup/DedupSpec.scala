@@ -46,6 +46,31 @@ class DedupSpec extends SparkSpec {
     assert(mh === exact) // high-sim pairs: banding should not lose any
   }
 
+  test("connected components: chains merge transitively, min-id labels, canonical flags") {
+    val sp = spark
+    import sp.implicits._
+    // two components: {1,2,3,4} via a chain (diameter 3 — forces several
+    // propagation rounds) and {10,11}; 7–7 self-loop stays a singleton
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (7L, 7L, true), (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("connected components: long path converges within maxIters via min propagation") {
+    val sp = spark
+    import sp.implicits._
+    // a 12-node path 0-1-2-...-11: worst-case diameter for propagation
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(labels.length === 12)
+    assert(labels.forall(_.getLong(1) === 0L))
+    assert(labels.count(_.getBoolean(2)) === 1)
+  }
+
   test("simhash: identical texts hamming 0; near-dups close; fingerprint deterministic") {
     val sp = spark
     import sp.implicits._
