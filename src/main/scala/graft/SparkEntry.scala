@@ -622,6 +622,16 @@ object SparkEntry {
           rep.getField("dup_bigram_frac").as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),
+    // sequence packing: docs → contiguous fixed-token-budget shards via a
+    // DISTRIBUTED exclusive prefix sum (range-partition + per-partition
+    // offsets — no single-partition global window); window-sum oracle
+    "q_pack_tokens" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.textStats(col("text")).getField("n_tok_ws").as("n_tok"))
+      operators.Relational.packByBudget(docs, "doc_id", "n_tok", budget = 1000L)
+        .select(col("doc_id"), col("n_tok"), col("cum_before"), col("shard"))
+        .orderBy("doc_id")
+    }),
     // stratified sampling (data-mixing ratios): sampleBy with per-language
     // fractions; the gate checks each stratum's draw against its binomial
     // 5σ bound and the oracle pins the verdicts + exact stratum totals
@@ -1273,6 +1283,16 @@ object SparkEntry {
         |  FROM q CROSS JOIN x)
         |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
         |FROM s WHERE c >= 0.35 ORDER BY source_id, sim_id""".stripMargin.replace("\n", " "),
+    // the oracle MAY use the single-partition window formulation — DuckDB
+    // runs single-node anyway; the engine side must not
+    "q_pack_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  coalesce(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tok, cum_before, cum_before // 1000 shard
+        |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_stratified_sample" ->
       """SELECT lang, count(*) total, 1 in_bounds
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", " "),

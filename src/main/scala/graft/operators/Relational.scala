@@ -118,6 +118,83 @@ object Relational {
    * follows). Output is EXACTLY the plain join's output, so the oracle is
    * the unsalted SQL join.
    */
+  /**
+   * Distributed EXCLUSIVE prefix sum over a global ordering: appends
+   * `cum_before` = sum of `weightCol` over all rows strictly before this
+   * row in `orderCol` order (`orderCol` must be unique — ties across rows
+   * would make the running sum order-dependent).
+   *
+   * The naive formulation — `sum over (ORDER BY orderCol)` with no
+   * PARTITION BY — collapses the whole dataset into ONE window partition:
+   * a single-task stage that is the textbook scale-killer at 100 TB. This
+   * is the two-pass scan algorithm instead: range-repartition on the order
+   * column and sort within partitions; job 1 aggregates one total PER
+   * PARTITION (a few hundred longs to the driver, bounded by partition
+   * count, not data size); exclusive per-partition offsets are broadcast
+   * back; job 2 adds the local running sum in a single mapPartitions pass
+   * (genuine per-partition imperative state — the documented last-resort
+   * tier, used precisely because no declarative operator expresses a
+   * global scan without serializing it).
+   */
+  def prefixSum(df: DataFrame, orderCol: String, weightCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = col(weightCol).cast("long")
+    val arranged = df
+      .withColumn("__w", coalesce(w, lit(0L)))
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      // pinned: job 2's TaskContext partition ids must denote the same
+      // physical partitions job 1 aggregated
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partSums = arranged
+      .groupBy(spark_partition_id().as("__pid")).agg(sum(col("__w")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = arranged.rdd.getNumPartitions
+    // exclusive scan over the (tiny) per-partition totals
+    val offs = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) {
+      offs(p) = acc
+      acc += partSums.getOrElse(p, 0L)
+      p += 1
+    }
+    val offsB = spark.sparkContext.broadcast(offs)
+    val schema = arranged.schema.add("cum_before",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val wIdx = arranged.schema.fieldIndex("__w")
+    val out = arranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var run = offsB.value(pid)
+      it.map { r =>
+        val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(wIdx)
+        row
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__w")
+  }
+
+  /**
+   * Deterministic sequence packing — assign documents (in `orderCol`
+   * order) to contiguous fixed-token-budget shards: shard k holds the rows
+   * whose exclusive cumulative weight lands in `[k·budget, (k+1)·budget)`.
+   * The contiguous-fill discipline training-data pipelines use to cut a
+   * corpus into context-window-sized bins; a row straddling a boundary
+   * stays in the earlier shard (bins overflow by < one row, never split a
+   * document). Built on [[prefixSum]], so the plan has no single-partition
+   * window.
+   */
+  def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    prefixSum(df, orderCol, weightCol)
+      .withColumn("shard", expr(s"cum_before div ${budget}L"))
+  }
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int): DataFrame = {
     // Salt MUST be deterministic per row: it is a shuffle/join key, and a

@@ -47,6 +47,34 @@ class RelationalSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("prefixSum: exclusive running sum matches the window formulation, across partitions") {
+    val sp = spark
+    import sp.implicits._
+    // ids deliberately unordered on input; 8 partitions for ~100 rows so
+    // the per-partition offset path is genuinely multi-partition
+    val df = (1L to 100L).map(i => (i, i % 7)).reverse.toDF("id", "w")
+      .repartition(16)
+    val got = Relational.prefixSum(df, "id", "w", numPartitions = 8)
+      .select("id", "cum_before").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    (1L to 100L).foreach { i =>
+      assert(got(i) === acc, s"cum_before mismatch at id=$i")
+      acc += i % 7
+    }
+  }
+
+  test("packByBudget: contiguous shards, monotone, straddling row stays in earlier shard") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 900L), (5L, 100L))
+      .toDF("id", "w")
+    val got = Relational.packByBudget(df, "id", "w", budget = 1000L)
+      .select("id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cum_before: 0, 400, 800, 1200, 2100 → shards 0,0,0,1,2
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("LSH near-dup: subset of brute force with high recall on close pairs") {
     import graft.dedup.Dedup
     val emb = sf("embeddings")
