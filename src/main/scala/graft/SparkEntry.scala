@@ -1013,10 +1013,15 @@ object SparkEntry {
         val loc = new java.io.File(wh, t)
         if (loc.exists) org.apache.commons.io.FileUtils.deleteDirectory(loc)
       }
+      // pre-partition ON the bucket hash (repartition(n, key) IS Spark's
+      // bucket assignment): each write task then holds exactly one bucket —
+      // 8 files instead of tasks × buckets, one sorted run per task
       table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .repartition(8, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
       table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
       s.table("li_bucketed").hint("merge")
