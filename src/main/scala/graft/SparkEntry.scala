@@ -974,6 +974,55 @@ object SparkEntry {
         sum(col("n_copies")).as("n_before_dedup"),
         sum(col("quality").cast(DecimalType(20, 10))).cast("double").as("sum_quality"))
     }),
+    // dedup: duplicated-SPAN flagging (Lee et al. granularity) — docs
+    // sharing any 8-token gram with >= 2 docs; explode → hash agg →
+    // equi-join on gram, nothing quadratic
+    "dedup_ngram_spans" -> ((s, dir) => Dedup.duplicatedSpanDocs(
+      table(s, dir, "documents"), "doc_id", "text", w = 8, minDf = 2)
+      .orderBy("doc_id")),
+    // PII scrubbing over deterministic synthetic PII (the corpus carries
+    // none): the SAME augmented text is built by both engines from
+    // doc_id, then redacted with the shared RE2-compatible pattern set
+    "pii_redact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").filter(col("doc_id") < 500)
+      val raw = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@mail.example.com call "),
+        lpad(pmod(col("doc_id") * 7, lit(1000)).cast("string"), 3, "0"),
+        lit("-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string"),
+        lit(" card 4111-1111-1111-"),
+        lpad(pmod(col("doc_id") * 13, lit(10000)).cast("string"), 4, "0"))
+      docs.select(col("doc_id"),
+          raw.as("raw"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("raw")).as("clean"),
+          TextAnalysis.piiCount(col("raw")).cast("long").as("n_pii"))
+        .orderBy("doc_id")
+    }),
+    // corpus-level collocation mining: top-50 adjacent bigrams by exact
+    // likelihood ratio (PMI sans log — see TextAnalysis.collocations)
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(table(s, dir, "documents"), "text",
+        minCount = 5, topN = 50)),
+    // source-mixing weights (the data-mixture step of a training run):
+    // per-source token mass and a sqrt-damped sampling weight relative to
+    // the largest source — sqrt is IEEE-correctly-rounded (pow(x, 0.7)
+    // is not), so the weight is bit-reproducible
+    "q_source_mix" -> ((s, dir) => {
+      val perSource = table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+      val top = perSource.agg(max(col("n_tokens")).as("max_tokens"))
+      perSource.crossJoin(broadcast(top))
+        .withColumn("mix_weight",
+          sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tokens").cast("double")))
+        .select("source", "n_docs", "n_tokens", "mix_weight")
+        .orderBy("source")
+    }),
     // outer joins: LEFT JOIN against a filtered dim forces unmatched rows;
     // the null-group aggregate proves null-preserving join + agg semantics
     "q_outer_join" -> ((s, dir) => {
@@ -1466,6 +1515,64 @@ object SparkEntry {
          |  CAST(sum(n_copies) AS BIGINT) n_before_dedup,
          |  CAST(sum(CAST(quality AS DECIMAL(20,10))) AS DOUBLE) sum_quality
          |FROM d""".stripMargin.replace("\n", " "),
+    "dedup_ngram_spans" -> {
+      val gram = (0 until 8).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) w
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(w) - 7, 0) + 1), i -> $gram)) s FROM t),
+         |ex AS (SELECT doc_id, len(s) n_grams, unnest(s) g FROM sh WHERE len(s) > 0),
+         |hot AS (SELECT g, count(*) df FROM ex GROUP BY g HAVING count(*) >= 2)
+         |SELECT e.doc_id, CAST(min(e.n_grams) AS BIGINT) n_grams,
+         |  count(*) n_hot, CAST(max(h.df) AS BIGINT) max_df
+         |FROM ex e JOIN hot h ON e.g = h.g
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin.replace("\n", " ")
+    },
+    "pii_redact" -> {
+      val raw = "concat(text, ' contact u', doc_id, '@mail.example.com call ', " +
+        "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0'), '-555-', " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.0.', " +
+        "CAST(doc_id % 256 AS VARCHAR), '.', CAST(doc_id * 3 % 256 AS VARCHAR), " +
+        "' card 4111-1111-1111-', lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0'))"
+      // the Scala pattern list IS the oracle's pattern list — one literal
+      val clean = graft.text.TextAnalysis.PiiPatterns.foldLeft("raw") {
+        case (acc, (pat, tag)) => s"regexp_replace($acc, '$pat', '$tag', 'g')"
+      }
+      val npii = graft.text.TextAnalysis.PiiPatterns
+        .map { case (pat, _) => s"len(regexp_extract_all(raw, '$pat'))" }
+        .mkString(" + ")
+      s"""WITH r AS (SELECT doc_id, $raw raw FROM documents WHERE doc_id < 500)
+         |SELECT doc_id, $clean clean, CAST($npii AS BIGINT) n_pii
+         |FROM r ORDER BY doc_id""".stripMargin.replace("\n", " ")
+    },
+    "text_collocations" ->
+      """WITH t AS (SELECT
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) w
+        |  FROM documents),
+        |b0 AS (SELECT w FROM t WHERE len(w) > 0),
+        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) n_uni,
+        |  CAST(sum(greatest(len(w) - 1, 0)) AS BIGINT) n_bi FROM b0),
+        |unic AS (SELECT t, count(*) c FROM (SELECT unnest(w) t FROM b0) GROUP BY t),
+        |bgc AS (SELECT bigram, count(*) c_ab FROM (SELECT unnest(list_transform(
+        |    range(1, len(w)), i -> w[i] || ' ' || w[i+1])) bigram FROM b0)
+        |  GROUP BY bigram HAVING count(*) >= 5),
+        |j AS (SELECT bigram, c_ab, a.c c_a, b.c c_b,
+        |  (CAST(c_ab AS DOUBLE) * n_uni * n_uni) / (CAST(n_bi AS DOUBLE) * c_a * c_b) lift
+        |  FROM bgc CROSS JOIN tot
+        |  JOIN unic a ON split_part(bigram, ' ', 1) = a.t
+        |  JOIN unic b ON split_part(bigram, ' ', 2) = b.t)
+        |SELECT bigram, c_ab, c_a, c_b, lift FROM j
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin.replace("\n", " "),
+    "q_source_mix" ->
+      """WITH s AS (SELECT source, count(*) n_docs,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    t -> len(t) > 0))) AS BIGINT) n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT max(n_tokens) max_tokens FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) mix_weight
+        |FROM s CROSS JOIN m ORDER BY source""".stripMargin.replace("\n", " "),
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n

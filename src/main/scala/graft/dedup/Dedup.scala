@@ -175,6 +175,45 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span flagging (the Lee et al. "Deduplicating Training Data
+   * Makes Language Models Better" granularity, reduced to its
+   * hash-join core): a document is flagged when any of its word `w`-grams
+   * occurs in at least `minDf` documents — catching boilerplate and
+   * copied passages that whole-document near-dup metrics dilute away
+   * (a 5% shared span in two long documents is invisible to Jaccard at
+   * any usable threshold).
+   *
+   * Shape at scale: explode distinct w-grams → one hash aggregation for
+   * per-gram document frequency → equi-join the hot grams back. Each
+   * stage shuffles by gram key only; nothing is quadratic and nothing is
+   * collected. (The reference granularity is suffix-array exact
+   * substrings; distinct w-gram hashing is the standard distributed
+   * approximation — every duplicated span of ≥ w tokens is still caught.)
+   *
+   * Returns `[doc_id, n_grams, n_hot, max_df]`: total distinct w-grams,
+   * how many of them are shared (df ≥ minDf), and the document frequency
+   * of its most-duplicated span.
+   */
+  def duplicatedSpanDocs(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minDf: Int = 2): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), w).as("sh"))
+      .withColumn("n_grams", size(col("sh")).cast("long"))
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), explode(col("sh")).as("g"))
+    // shingles are distinct per doc, so count(*) per gram = document
+    // frequency — no count(distinct) shuffle needed
+    val hot = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    ex.join(hot, "g")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_grams")).as("n_grams"), // constant per doc
+        count(lit(1)).as("n_hot"),
+        max(col("df")).as("max_df"))
+  }
+
+  /**
    * MinHash signature: `numHashes` permutation-hashes over the shingle
    * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
    * deterministic seeded coefficients — one narrow projection, no shuffle.

@@ -163,4 +163,93 @@ object TextAnalysis {
     * a doc can't migrate it). Deterministic ⇒ oracle-checkable. */
   def contentSplitBucket(text: Column, buckets: Int): Column =
     pmod(fingerprint(text), lit(buckets.toLong))
+
+  /** PII patterns, applied in declaration order. Every pattern is written
+    * in the RE2-compatible subset of Java regex (no backrefs, no
+    * lookaround) so one literal serves both the codegen'd
+    * `regexp_replace` kernel here and the DuckDB oracle verbatim. Order
+    * matters where surface forms overlap: the 16-digit card pattern must
+    * run before the phone pattern or `4111-1111-1111-1111` would lose its
+    * last ten digits to `<PHONE>` first. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{4}[- ]){3}\\d{4}\\b" -> "<CARD>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Redacted text: every PII surface form replaced by its tag. A chain
+    * of five codegen'd `regexp_replace`s over one pass per pattern — the
+    * standard corpus-curation scrub step, per-row and shuffle-free, so it
+    * composes into any pipeline stage at 100 TB without a plan change. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Total PII matches across all pattern families (the patterns are
+    * mutually exclusive on any given span — `\b` anchoring keeps the
+    * digit-group families from matching inside each other — so the sum
+    * counts each span once). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0)))
+    }.reduce(_ + _)
+
+  /** Whitespace tokens (shared tokenizer of the corpus-level operators). */
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /**
+   * Corpus-level collocation mining: adjacent-bigram association strength
+   * as the EXACT likelihood ratio `p(ab) / (p(a)·p(b))` (PMI without the
+   * final log — log is monotone, so ranking is identical, and the ratio
+   * of integer counts divides exactly once in IEEE double, making the
+   * score bit-reproducible across engines where `ln` is not).
+   *
+   * Shape at scale: one explode + two hash aggregations (map-side
+   * combined) + two BROADCAST joins of the unigram dictionary (vocab ≪
+   * corpus) — no shuffle touches the corpus-sized bigram stream except
+   * the count aggregation itself, and the final top-n is
+   * `TakeOrderedAndProject`, never a global sort.
+   *
+   * Returns `[bigram, c_ab, c_a, c_b, lift]`, the `topN` strongest
+   * collocations with support ≥ `minCount`, ties broken by bigram text.
+   */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Int = 5, topN: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val base = df.select(toks.as("w")).filter(size(col("w")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = base.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = base.agg(
+      sum(size(col("w"))).as("n_uni"),
+      sum(greatest(size(col("w")) - 1, lit(0))).as("n_bi"))
+    val bigrams = base
+      .select(explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val scored = bigrams
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("t").as("w1"), col("c").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("t").as("w2"), col("c").as("c_b"))), "w2")
+      .crossJoin(broadcast(totals))
+      // deterministic double arithmetic: every operand is an exact integer
+      // cast once, the multiplications/division associate left-to-right in
+      // the SAME order as the oracle's expression, and each IEEE op is
+      // correctly rounded — bit-identical across engines (unlike ln(),
+      // whose libm rounding differs; hence lift, not log-PMI). Products
+      // run in double, never BIGINT: c_ab·n_uni² overflows int64 at
+      // corpus scale
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c_a") * col("c_b")))
+      .select("bigram", "c_ab", "c_a", "c_b", "lift")
+    scored.orderBy(col("lift").desc, col("bigram")).limit(topN)
+  }
 }

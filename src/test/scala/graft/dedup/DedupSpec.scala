@@ -155,4 +155,23 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("duplicated-span docs: shared w-grams flagged, unique docs absent") {
+    val sp = spark
+    import sp.implicits._
+    val span = "one two three four" // 4-gram shared by docs 1 and 2
+    val docs = Seq(
+      (1L, s"alpha $span beta gamma"),
+      (2L, s"delta epsilon $span zeta"),
+      (3L, "wholly unique words with no overlap at all here"),
+      (4L, "short doc")). // < w tokens → no grams → never flagged
+      toDF("doc_id", "text")
+    val flagged = Dedup.duplicatedSpanDocs(docs, "doc_id", "text", w = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(flagged.keySet === Set(1L, 2L))
+    // doc 1: tokens alpha,one,two,three,four,beta,gamma → 4 grams, 1 hot
+    assert(flagged(1L).getLong(1) === 4L) // n_grams
+    assert(flagged(2L).getLong(2) === 1L) // n_hot
+    assert(flagged(1L).getLong(3) === 2L) // max_df: span in 2 docs
+  }
 }

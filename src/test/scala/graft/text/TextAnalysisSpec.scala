@@ -146,6 +146,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one.getInt(0) === 1 && one.getDouble(2) === 1.0 && one.getDouble(3) === 0.0)
   }
 
+  test("PII redaction: every family tagged, clean text idempotent") {
+    val r = oneRow("mail bob.smith+x@corp.example.org tel 415-555-0199 " +
+        "ssn 078-05-1120 card 4111-1111-1111-1111 host 192.168.10.250 end")
+      .select(TextAnalysis.redactPii(col("text")).as("clean"),
+        TextAnalysis.piiCount(col("text")).as("n")).head()
+    assert(r.getString(0) ===
+      "mail <EMAIL> tel <PHONE> ssn <SSN> card <CARD> host <IP> end")
+    assert(r.getInt(1) === 5)
+    // idempotent: redacting already-clean text changes nothing
+    val again = oneRow(r.getString(0))
+      .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(again === r.getString(0))
+    // plain text untouched, digit runs without separators not over-matched
+    val plain = "order 12345 of 99 units at 3.5 cost"
+    val keep = oneRow(plain).select(TextAnalysis.redactPii(col("text")),
+      TextAnalysis.piiCount(col("text"))).head()
+    assert(keep.getString(0) === plain && keep.getInt(1) === 0)
+  }
+
+  test("collocations: lift ranks a glued pair above independent fillers") {
+    val sp = spark
+    import sp.implicits._
+    // "neural nets" always adjacent; "data" pairs with everything
+    val docs = (0 until 40).map { i =>
+      s"neural nets data x$i data y${i % 3} data neural nets end$i"
+    }.toDF("text")
+    val top = TextAnalysis.collocations(docs, "text", minCount = 5, topN = 10)
+      .collect()
+    assert(top.nonEmpty)
+    val byBigram = top.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(byBigram.contains("neural nets"))
+    // the glued pair outranks any "data *" bigram present in the top list
+    byBigram.filter(_._1.startsWith("data ")).values.foreach { l =>
+      assert(byBigram("neural nets") > l)
+    }
+    // counts are exact: "neural nets" occurs twice per doc
+    val row = top.find(_.getString(0) == "neural nets").get
+    assert(row.getLong(1) === 80L)
+  }
+
   test("kernel formulations match the Column/HOF cross-checks on the corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .withColumn("zh", org.apache.spark.sql.functions.concat(col("text"),
