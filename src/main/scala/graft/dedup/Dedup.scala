@@ -124,12 +124,26 @@ object Dedup {
   /**
    * CROSS-corpus exact Jaccard overlap — the decontamination operator: find
    * benchmark documents whose w-gram overlap with any training document
-   * reaches `threshold` (test-set leakage detection). Bipartite variant of
-   * [[jaccardPairsBy]]: shingle document frequencies are computed over BOTH
-   * corpora (one shared rarity order), each side contributes only its
-   * prefix shingles, candidates come from prefix×prefix equi-joins with the
-   * same size and positional bounds (valid here too — prefixes are
-   * downward-closed in the shared order), and candidates verify exactly.
+   * reaches `threshold` (test-set leakage detection). Asymmetric by
+   * design: `left` is the benchmark/eval set (small — thousands of docs),
+   * `right` is the training corpus (the 100 TB side).
+   *
+   * Only the LEFT side carries a prefix. The single-sided prefix-filter
+   * bound needs no order agreement with the other side at all: `J ≥ t`
+   * with the size filter `|B| ≥ t·|A|` forces `|A∩B| ≥ ⌈t·|A|⌉`, and any
+   * `|A| − ⌈t·|A|⌉ + 1` elements of `A` must then intersect `B` —
+   * otherwise the overlap fits inside the remaining `⌈t·|A|⌉ − 1`
+   * elements. So candidates = (left prefixes) ⋈ (ALL right shingles), an
+   * equi-join whose build side is a few thousand rare shingles.
+   *
+   * What the corpus side therefore NEVER pays: no `row_number` window
+   * (the previous symmetric variant sorted every corpus doc's shingles by
+   * global rarity — a full-corpus shuffle), no corpus-side document
+   * frequency ranking, no prefix materialization. The right side is
+   * explode → broadcast-join → exact verify of the few survivors; left
+   * prefixes are still picked rarest-first (by RIGHT-side df, the side
+   * whose bucket sizes matter) so the join buckets stay small. Candidates
+   * verify exactly — output identical to the symmetric formulation.
    * Returns `[left_id, right_id, jaccard]`.
    */
   def crossJaccardPairs(left: DataFrame, right: DataFrame, idCol: String,
@@ -144,28 +158,39 @@ object Dedup {
     val shR = shingled(right)
     val exL = shL.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val exR = shR.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-    // ONE rarity order across both corpora (each side ranking by its own
-    // frequencies would break the shared-prefix guarantee)
-    val freq = exL.select(col("s")).unionAll(exR.select(col("s")))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // ONE corpus pass: broadcast-semi-join the corpus's shingle stream
+    // down to left-vocabulary hits. Everything downstream (document
+    // frequency for the rarity ranking, candidate generation) derives
+    // from this small hit set — the 100 TB side is scanned once and
+    // never shuffled
+    val leftVocab = exL.select(col("s")).distinct()
+    val matches = exR.join(broadcast(leftVocab), "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df of left's shingles in the corpus, used ONLY to pick left
+    // prefixes rarest-first (performance, not correctness — any prefix
+    // choice is sound); left shingles absent from the corpus get df 0:
+    // maximally rare AND they join to nothing
+    val freqL = matches.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val wnd = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
-    def prefixOf(ex: DataFrame) = ex.join(freq, "s")
+    val a = exL.join(broadcast(freqL), Seq("s"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rk", row_number().over(wnd))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "s", "rk")
-    val a = prefixOf(exL).select(col("id").as("left_id"), col("sz").as("sz_a"),
-      col("rk").as("rk_a"), col("s"))
-    val b = prefixOf(exR).select(col("id").as("right_id"), col("sz").as("sz_b"),
-      col("rk").as("rk_b"), col("s"))
-    val cands = a.join(b, Seq("s"))
+      .select(col("id").as("left_id"), col("sz").as("sz_a"), col("s"))
+    val cands = matches
+      .select(col("id").as("right_id"), col("sz").as("sz_b"), col("s"))
+      .join(broadcast(a), Seq("s"))
       .filter(col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold &&
-        lit(1) + least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")) >=
-          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold)))
+        col("sz_b") >= col("sz_a") * threshold)
       .select("left_id", "right_id").distinct()
-    cands
-      .join(shL.select(col("id").as("left_id"), col("hs").as("hs_a"), col("sz").as("sz_a")), "left_id")
-      .join(shR.select(col("id").as("right_id"), col("hs").as("hs_b"), col("sz").as("sz_b")), "right_id")
+    // verify: attach left hashes to the (small) candidate list, then
+    // stream the corpus's hash table past a broadcast of it — the exact
+    // intersection runs corpus-partition-local, again shuffle-free
+    val withLeft = cands.join(
+      shL.select(col("id").as("left_id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
+      "left_id")
+    shR.select(col("id").as("right_id"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+      .join(broadcast(withLeft), "right_id")
       .withColumn("common",
         toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
       .withColumn("jaccard", col("common").cast("double") /
@@ -196,13 +221,22 @@ object Dedup {
    */
   def duplicatedSpanDocs(df: DataFrame, idCol: String, textCol: String,
       w: Int, minDf: Int = 2): DataFrame = {
+    // grams travel as 64-bit fingerprints, never strings: the df shuffle
+    // moves 8 bytes per gram instead of ~8·w chars (same trick as the
+    // Jaccard verify path — collision-free in practice, and the output
+    // carries only counts). Persisted: it feeds both the df aggregation
+    // and the join-back, and re-shingling the corpus is the larger cost.
     val ex = df
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), w).as("sh"))
       .withColumn("n_grams", size(col("sh")).cast("long"))
       .filter(col("n_grams") > 0)
-      .select(col("doc_id"), col("n_grams"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), col("n_grams"),
+        explode(toCol(SortedHashesExpr(toExpr(col("sh"))))).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles are distinct per doc, so count(*) per gram = document
-    // frequency — no count(distinct) shuffle needed
+    // frequency — no count(distinct) shuffle needed. The join-back (not a
+    // per-gram collect_list) keeps a boilerplate gram shared by millions
+    // of docs from materializing one giant array on a single task.
     val hot = ex.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
