@@ -1343,9 +1343,9 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
-        |  coalesce(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        |  CAST(coalesce(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum_before
         |  FROM t)
-        |SELECT doc_id, n_tok, cum_before, cum_before // 1000 shard
+        |SELECT doc_id, n_tok, cum_before, CAST(cum_before // 1000 AS BIGINT) shard
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q_stratified_sample" ->
       """SELECT lang, count(*) total, 1 in_bounds

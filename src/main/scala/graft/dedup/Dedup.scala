@@ -402,70 +402,173 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  private lazy val ccLog = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
+
+  /** Eager localCheckpoint with bookkeeping: returns the pinned DataFrame
+    * plus the RDD ids its checkpoint added, so the caller can free each
+    * round's blocks as soon as the next round no longer needs them (a
+    * long-lived session must not accumulate one pinned RDD per round).
+    * Snapshot-diff over `getPersistentRDDs` is safe here because these
+    * iterative operators run single-threaded on the driver; a concurrent
+    * job's RDD caught in the diff would merely be recomputed, not broken. */
+  private def ckptTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(true)
+    (out, sc.getPersistentRDDs.keySet.toSet.diff(before))
+  }
+
+  private def freeRdds(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit = {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => persistent.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /**
    * Connected components over a near-duplicate pair list — the CLUSTERING
    * step of a dedup pipeline: pair generators ([[minHashNearDups]],
    * [[simHashNearDups]], [[jaccardPairsBy]], the embedding variants) emit
    * edges; transitively-connected docs form one duplicate cluster, and the
-   * pipeline keeps one representative per cluster. Labels are propagated by
-   * iterative min-label broadcast: every node adopts the smallest label
-   * among itself and its neighbors, repeated until a fixpoint — each round
-   * is one equi-join plus one min-aggregation (both shuffles on id, no
-   * driver-side graph), and the converged labeling (component = smallest
-   * reachable id) is ITERATION-ORDER INDEPENDENT, hence deterministic and
-   * oracle-checkable via a recursive-CTE reachability query.
+   * pipeline keeps one representative per cluster.
    *
-   * Rounds needed = component diameter. Near-dup components are dense,
-   * shallow clusters (near-cliques around a template), so a handful of
-   * rounds converges; `maxIters` bounds pathological chains (for those the
-   * large-star/small-star O(log n) variant would be the upgrade). Lineage
-   * is truncated every round (localCheckpoint) so the plan does not grow
-   * with iterations. Returns `[id, component, is_canonical]` for every id
-   * in `pairs`, `component` = min id of the cluster, `is_canonical` marking
-   * the survivor a keep-one policy retains.
+   * Algorithm: alternating large-star / small-star contractions (Kiveris et
+   * al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+   * large-star re-attaches every node's strictly-larger neighbors to its
+   * smallest known neighbor, small-star contracts each node's smaller
+   * neighbors onto the minimum; the edge set converges in O(log n) rounds
+   * to a union of stars centered on each component's minimum id. Every
+   * round is two aggregate+join shuffles and ONE action (the eager
+   * checkpoint; the convergence signature is a cheap scan of the blocks
+   * that action just pinned). This replaces the earlier min-label
+   * propagation ([[connectedComponentsMinLabel]], kept as the spec
+   * cross-check) whose round count was the component DIAMETER — fine for
+   * shallow near-clique duplicate clusters, pathological on chains.
+   *
+   * The fixpoint (component = smallest reachable id) is iteration-order
+   * independent, hence deterministic and oracle-checkable via a
+   * recursive-CTE reachability query. Returns `[id, component,
+   * is_canonical]` for every id in `pairs` (self-loops keep a node alive as
+   * a singleton), `component` = min id of the cluster, `is_canonical`
+   * marking the survivor a keep-one policy retains. The result is pinned by
+   * one eager checkpoint (one row per node); every per-round intermediate
+   * is freed before returning.
    */
-  private lazy val ccLog = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
-
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    // persist the INPUT pair list before symmetrizing: both union branches
-    // below would otherwise re-execute the (expensive) pair-generation
-    // pipeline feeding this operator
-    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize BEFORE the union: its two branches race the cache
-    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    val spark = pairs.sparkSession
+    // one checkpoint of the raw pairs = ONE execution of the (expensive)
+    // pair-generation pipeline feeding this operator; edges and the node
+    // set both derive from it
+    val (raw, rawIds) = ckptTracked(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    // canonical orientation u > v; self-loops dropped from the edge set
+    // (the node set below still carries their endpoint as a singleton)
+    var (edges, edgeIds) = ckptTracked(
+      raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct())
+    val (nodes, nodeIds) = ckptTracked(
+      raw.select(explode(array(col("u"), col("v"))).as("id")).distinct())
+    freeRdds(spark, rawIds)
+    // order-independent edge-set signature: equal sets ⇒ equal (count,
+    // hash-xor); xor can't overflow under ANSI and duplicate-pair
+    // cancellation can't occur on a distinct edge set. A false match
+    // (≈2⁻⁶⁴ per round, count must also agree) would stop one round early.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // one round, one job: neighbor-min per node (edge join + min-agg),
-      // outer-joined back to the current labels so the new label AND the
-      // did-anything-change bit come out of the same pass
+      // large-star: for each node u (both orientations), m = min(Γ(u) ∪
+      // {u}); every strictly-larger neighbor re-attaches to m. Output stays
+      // u > v oriented (emitted edge is (v, m) with v > u ≥ m).
+      val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the (u > v)-oriented output: contract each node's
+      // smaller neighbors (and itself) onto m = min(Γ(u))
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionAll(ssMin.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      val (next, nextIds) = ckptTracked(ss)
+      val nextSig = signature(next) // scans only the blocks just pinned
+      converged = nextSig == sig
+      sig = nextSig
+      freeRdds(spark, edgeIds)
+      edges = next
+      edgeIds = nextIds
+      it += 1
+    }
+    if (!converged)
+      ccLog.warn(s"connectedComponents: not converged after $maxIters rounds; " +
+        "labels are an upper bound")
+    // at the star fixpoint every non-root carries exactly one edge to its
+    // component min; roots and singletons label themselves
+    val comp = edges.groupBy("u").agg(min(col("v")).as("component"))
+      .withColumnRenamed("u", "id")
+    val (out, _) = ckptTracked(
+      nodes.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .select(col("id"), col("component"),
+          (col("component") === col("id")).as("is_canonical")))
+    freeRdds(spark, edgeIds)
+    freeRdds(spark, nodeIds)
+    out
+  }
+
+  /**
+   * Min-label propagation connected components — every node adopts the
+   * smallest label among itself and its neighbors until fixpoint. Rounds =
+   * component DIAMETER (vs O(log n) for [[connectedComponents]]); kept as
+   * an independent implementation for spec cross-checks, not used by the
+   * query surface.
+   */
+  def connectedComponentsMinLabel(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val (edges, rawIds) = ckptTracked(
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+    val (sym, symIds) = ckptTracked(
+      edges.unionAll(edges.select(col("v").as("u"), col("u").as("v"))).distinct())
+    freeRdds(spark, rawIds)
+    var (labels, labelIds) = ckptTracked(
+      sym.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
       val neighborMin = sym
         .join(labels.select(col("id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("id")).agg(min(col("comp")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__chg"))
-        .localCheckpoint(true) // truncate lineage: plans stay O(1) per round
+      val (next, nextIds) = ckptTracked(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            (coalesce(col("nmin"), col("comp")) < col("comp")).as("__chg")))
       val changed = next.filter(col("__chg")).limit(1).count()
+      freeRdds(spark, labelIds)
       labels = next.drop("__chg")
+      labelIds = nextIds
       converged = changed == 0L
       it += 1
     }
-    edges.unpersist()
     if (!converged)
-      ccLog.warn(s"connectedComponents: not converged after $maxIters rounds " +
-        "(component diameter exceeds maxIters); labels are an upper bound")
-    sym.unpersist()
-    labels.select(col("id"), col("comp").as("component"),
-      (col("comp") === col("id")).as("is_canonical"))
+      ccLog.warn(s"connectedComponentsMinLabel: not converged after $maxIters rounds")
+    val (out, _) = ckptTracked(
+      labels.select(col("id"), col("comp").as("component"),
+        (col("comp") === col("id")).as("is_canonical")))
+    freeRdds(spark, labelIds)
+    freeRdds(spark, symIds)
+    out
   }
 
   /**

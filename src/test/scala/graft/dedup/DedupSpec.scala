@@ -174,4 +174,36 @@ class DedupSpec extends SparkSpec {
     assert(flagged(2L).getLong(2) === 1L) // n_hot
     assert(flagged(1L).getLong(3) === 2L) // max_df: span in 2 docs
   }
+
+  test("large-star/small-star CC ≡ min-label CC on a seeded random graph") {
+    val sp = spark
+    import sp.implicits._
+    // 120 nodes, ~100 seeded random edges: mixes chains, small cliques,
+    // singleton-inducing self-loops and duplicate/reversed pairs
+    val rnd = new scala.util.Random(42)
+    val pairs = ((0 until 100).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    } ++ Seq((5L, 5L), (1L, 0L), (0L, 1L))).toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val fast = asMap(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    val slow = asMap(Dedup.connectedComponentsMinLabel(pairs, "id_a", "id_b"))
+    assert(fast === slow)
+    // no per-round checkpoint blocks may survive either call: only the two
+    // result-pinning RDDs (one per implementation) are added
+    assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 2)
+  }
+
+  test("large-star/small-star converges on a long chain in O(log n) rounds") {
+    val sp = spark
+    import sp.implicits._
+    // 200-node path: diameter 199 — min-label would need 199 rounds and
+    // blow past maxIters; star contraction must converge inside 25
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    assert(labels.length === 200)
+    assert(labels.forall(_.getLong(1) === 0L))
+    assert(labels.count(_.getBoolean(2)) === 1)
+  }
 }
