@@ -124,6 +124,18 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
   val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
   val strategy: IndexStrategy = IndexStrategy.parse(params.indexParam)
 
+  /** nprobe the IVF search paths actually use. An HNSW request is served by
+    * IVF(64) cluster pruning (see [[IndexStrategy.parse]]); faiss-HNSW's
+    * default search profile is high-recall (efSearch ≈ 0.95+ recall@10), so
+    * the substitution floors nprobe at 24 of 64 cells — measured recall@10
+    * vs exact 0.88 at nprobe=24 vs 0.48 at the IVF default 4 (SearcherSpec
+    * HNSW probe; BASELINE.md) — unless the caller explicitly asked for
+    * more. Plain IVF requests keep their knob untouched. */
+  val effectiveNprobe: Int =
+    if (params.indexParam != null && params.indexParam.startsWith("HNSW"))
+      math.max(params.nprobe, 24)
+    else params.nprobe
+
   /** Build the index: encode all items, assign row_id, materialize.
     * Reference `train()` (faiss_searcher.py:116-125). */
   def fit(items: DataFrame): SearcherModel = {
@@ -513,7 +525,7 @@ class SearcherModel private[search] (
           throw new IllegalStateException("IVF search without fitted centroids"))
         val probes = qn.withColumn(IvfIndex.CID,
           explode(IvfIndex.nearestCentroidsCol(col(QVEC), cents,
-            math.min(params.nprobe, nlist))))
+            math.min(searcher.effectiveNprobe, nlist))))
         indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)
@@ -580,7 +592,7 @@ class SearcherModel private[search] (
 
     val hits = searcher.strategy match {
       case ExactFlat      => exactTopK(qn, topK)
-      case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, params.nprobe)
+      case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, searcher.effectiveNprobe)
       case LshTables(_, _) => lshTopK(qn, topK)
       case PqFlat(_)      => pqTopK(qn, topK)
       case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)

@@ -423,4 +423,43 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       empty.search(sf("embeddings").limit(1), 1))
   }
+
+  test("HNSW substitution: IVF(64) serves the contract; recall@10 measured") {
+    // the reference special-cases HNSW* into faiss.IndexHNSWFlat
+    // (faiss_searcher.py:100-102); we have no Spark-native graph ANN and
+    // substitute IVF(64) cluster pruning. This probe pins BOTH halves of
+    // that honesty contract: (a) the substitution is visible (strategy
+    // parses to IvfFlat(64)), (b) the recall delta vs exact is measured
+    // and floored, at the default nprobe AND a high-recall setting a user
+    // tuning toward faiss-HNSW recall (~0.95+ typical) would pick.
+    // Measured numbers are recorded in BASELINE.md.
+    assert(IndexStrategy.parse("HNSW32") === IvfFlat(64))
+    // an HNSW request floors nprobe at 24/64 cells (faiss-HNSW's profile is
+    // high recall; IVF's default nprobe=4 measured only 0.48 recall@10);
+    // a plain IVF request keeps its knob untouched
+    val hnswSearcher = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW32"))
+    assert(hnswSearcher.effectiveNprobe === 24)
+    assert(new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW32", nprobe = 40))
+      .effectiveNprobe === 40)
+    assert(new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF64,Flat"))
+      .effectiveNprobe === 4)
+    val exact = embModel()
+    val q = sf("embeddings").filter(col("vec_id") < 50)
+    def hits(m: SearcherModel) = m.search(q, 10, keepRankNo = true,
+      queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("sim_item"))).toSet
+    val e = hits(exact)
+    val hnsw = hnswSearcher.fit(sf("embeddings"))
+    val recall = (e intersect hits(hnsw)).size.toDouble / e.size
+    hnsw.unpersist()
+    info(f"HNSW32→IVF(64) out-of-box recall@10 vs exact: $recall%.3f")
+    assert(recall >= 0.85, s"HNSW-substitution out-of-box recall $recall")
+  }
 }
