@@ -1640,5 +1640,220 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
-  )
+  ) ++ dynamicOracles
+
+  // ---------------------------------------------------------------------
+  // Data-dependent oracles. Some gate models (PQ codebooks, IVF/k-means
+  // centroids, the whitening kernel) are DETERMINISTIC functions of the
+  // input table (seeded bounded sample + Lloyd / closed-form moments+SVD)
+  // but not statically known, so their SQL can't be written ahead of time.
+  // Verify sets `oracleContext` before dumping oracleSql; the builders
+  // below refit the same model the gate query fits (same data, same code
+  // in the same JVM ⇒ identical floats) and embed the fitted parameters
+  // as SQL literals — the same trick knn_lsh_cos plays with its
+  // statically-seeded planes. Context unset ⇒ entries omitted ⇒ the
+  // driver records the weaker rows-only check (the old behavior).
+  // ---------------------------------------------------------------------
+
+  @volatile var oracleContext: Option[(SparkSession, String)] = None
+
+  /** Float array as an exact-double SQL list literal (a float widens to
+    * double losslessly; Double.toString round-trips). */
+  private def fArr(xs: Array[Float]): String =
+    xs.map(_.toDouble).mkString("[", ", ", "]")
+  private def dArr(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** `(s, c, cent)` VALUES rows for a PQ codebook / `(c, cent)` for a
+    * centroid table. */
+  private def cbValues(cbs: Array[Array[Array[Float]]]): String =
+    (for (s <- cbs.indices; c <- cbs(s).indices)
+      yield s"($s, $c, ${fArr(cbs(s)(c))})").mkString(", ")
+  private def centValues(cents: Array[Array[Float]]): String =
+    cents.indices.map(c => s"($c, ${fArr(cents(c))})").mkString(", ")
+
+  /** Normalized-float corpus CTEs (`e0`→`n0`→`f`), the exact arithmetic of
+    * [[graft.functions.VectorKernels.l2Normalize]]: double norm over exact
+    * float-widened values, per-element divide, round to float, widen back. */
+  private val normCtes =
+    """e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v0 FROM embeddings),
+      |n0 AS (SELECT vec_id, label, v0, sqrt(list_dot_product(v0, v0)) nrm FROM e0),
+      |f AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(v0, x -> (x::FLOAT)::DOUBLE)
+      |  ELSE list_transform(v0, x -> ((x / nrm)::FLOAT)::DOUBLE) END v FROM n0)""".stripMargin
+
+  /** PQ encode CTE over corpus CTE `f`: nearest codebook centroid per
+    * subspace, squared-l2 in ascending element order, first-lowest-c on
+    * ties — mirrors [[graft.search.PqIndex.encode]]. */
+  private def pqCodesCte(dsub: Int): String =
+    s"""pd AS (SELECT f.vec_id, cb.s, cb.c, list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(0, $dsub), i -> (f.v[cb.s*$dsub+i+1] - cb.cent[i+1]) * (f.v[cb.s*$dsub+i+1] - cb.cent[i+1]))),
+       |  (a, x) -> a + x) dd FROM f CROSS JOIN cb),
+       |codes AS (SELECT vec_id, s, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, c) rn FROM pd) WHERE rn = 1)""".stripMargin
+
+  /** ADC score CTEs (`ct`→`sc`) for queries CTE `q(qid, v)` against
+    * `codes`: per-subspace contribution in ascending element order, summed
+    * in ascending subspace order — mirrors [[graft.search.PqIndex.adcScorer]]
+    * + the per-code lookup sum. `extraJoin` restricts candidate pairs
+    * (IVF cell pruning). */
+  private def adcCtes(dsub: Int, contrib: String, extraJoin: String = ""): String =
+    s"""ct AS (SELECT q.qid, codes.vec_id xid, codes.s, list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(0, $dsub), i -> $contrib)), (a, x) -> a + x) t
+       |  FROM q CROSS JOIN codes JOIN cb ON cb.s = codes.s AND cb.c = codes.c$extraJoin),
+       |sc AS (SELECT qid, xid, list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY s)), (a, x) -> a + x) score
+       |  FROM ct GROUP BY qid, xid)""".stripMargin
+
+  private def knnTail(k: Int, ord: String): String =
+    s"""r AS (SELECT sc.*, row_number() OVER (PARTITION BY qid ORDER BY score $ord, xid) rn FROM sc)
+       |SELECT r.qid source_id, CAST(rn - 1 AS INT) rank_no, r.xid sim_id, f.label sim_label, CAST(score AS FLOAT) sim_val
+       |FROM r JOIN f ON f.vec_id = r.xid WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin
+
+  /** knn_pq_cos / knn_pq_l1: refit PQ8 exactly as the gate query does,
+    * embed the codebooks, reproduce encode + ADC + top-k in SQL. */
+  private def pqOracle(s: SparkSession, dir: String, measurement: String,
+      k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = measurement, indexParam = "PQ8"))
+      .fit(table(s, dir, "embeddings"))
+    val cbs = model.fittedCodebooks.get
+    model.unpersist()
+    val dsub = cbs(0)(0).length
+    // cos fits/queries over MATERIALIZED-normalized floats; l1 over raw
+    val fCte = if (measurement == "cos") normCtes
+      else """e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v0 FROM embeddings),
+             |f AS (SELECT vec_id, label, v0 v FROM e0)""".stripMargin
+    val contrib =
+      if (measurement == "cos") s"q.v[codes.s*$dsub+i+1] * cb.cent[i+1]"
+      else s"abs(q.v[codes.s*$dsub+i+1] - cb.cent[i+1])"
+    val ord = if (measurement == "cos") "DESC" else "ASC"
+    s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
+       |$fCte,
+       |${pqCodesCte(dsub)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |${adcCtes(dsub, contrib)},
+       |${knnTail(k, ord)}""".stripMargin.replace("\n", " ")
+  }
+
+  /** knn_ivfpq_cos: IVF16,PQ8 at nprobe=6 — cells and codes both live in
+    * the normalized space; a code is scored only for queries probing its
+    * cell ([[graft.search.IvfPqScorer.topK]]). */
+  private def ivfPqOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF16,PQ8", nprobe = 6))
+      .fit(table(s, dir, "embeddings"))
+    val cbs = model.fittedCodebooks.get
+    val cents = model.fittedCentroids.get
+    model.unpersist()
+    val dsub = cbs(0)(0).length
+    s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
+       |ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |$normCtes,
+       |cd AS (SELECT f.vec_id, ce.c, list_sum(list_transform(list_zip(f.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM f CROSS JOIN ce),
+       |xcell AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
+       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= 6),
+       |${pqCodesCte(dsub)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |${adcCtes(dsub, s"q.v[codes.s*$dsub+i+1] * cb.cent[i+1]",
+          " JOIN xcell ON xcell.vec_id = codes.vec_id JOIN qcell ON qcell.qid = q.qid AND qcell.cell = xcell.cell")},
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
+  /** knn_ivf_pruned: IVF16 at nprobe=4 over RAW vectors (the cos kernel
+    * normalizes internally — nothing materialized), exact cos scoring of
+    * only the probed cells' rows. */
+  private def ivfPrunedOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF16,Flat", nprobe = 4))
+      .fit(table(s, dir, "embeddings"))
+    val cents = model.fittedCentroids.get
+    model.unpersist()
+    s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |x AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+       |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM x CROSS JOIN ce),
+       |xcell AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
+       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= 4),
+       |q AS (SELECT vec_id, v FROM x WHERE vec_id < 10),
+       |s0 AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label,
+       |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) sim
+       |  FROM q JOIN qcell ON qcell.qid = q.vec_id JOIN xcell ON xcell.cell = qcell.cell JOIN x ON x.vec_id = xcell.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY sim DESC, sim_id) rn FROM s0)
+       |SELECT source_id, CAST(rn - 1 AS INT) rank_no, sim_id, sim_label, CAST(sim AS FLOAT) sim_val
+       |FROM r WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin.replace("\n", " ")
+  }
+
+  /** cluster_assign: k-means(16) assignment — embed the fitted centroids,
+    * nearest by squared l2 (ascending elements, first-lowest-c ties),
+    * mirroring [[graft.search.IvfKernels.nearest]]. */
+  private def clusterAssignOracle(s: SparkSession, dir: String): String = {
+    import graft.search.IvfIndex
+    val vecs = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"))
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "__v",
+      math.min(16L, total max 1L).toInt, total)
+    s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |x AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM x CROSS JOIN ce)
+       |SELECT vec_id, CAST(c AS INT) "cluster" FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " ")
+  }
+
+  /** dedup_embedding_blocked: nlist=16/nprobe=4 cell blocking + exact cos
+    * verify of co-celled pairs, mirroring
+    * [[graft.dedup.Dedup.embeddingNearDupsBlocked]]. */
+  private def blockedOracle(s: SparkSession, dir: String): String = {
+    import graft.search.IvfIndex
+    val vecs = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "v",
+      math.min(16L, total max 1L).toInt, total)
+    s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |x AS (SELECT vec_id, embedding::DOUBLE[] v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm FROM embeddings),
+       |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM x CROSS JOIN ce),
+       |celled AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn <= 4),
+       |pairs AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM celled ca JOIN celled cb ON ca.cell = cb.cell
+       |  JOIN x a ON a.vec_id = ca.vec_id JOIN x b ON b.vec_id = cb.vec_id WHERE a.vec_id < b.vec_id),
+       |scored AS (SELECT id_a, id_b, CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END cos
+       |  FROM pairs JOIN x a ON a.vec_id = id_a JOIN x b ON b.vec_id = id_b)
+       |SELECT id_a, id_b, CAST(cos AS FLOAT) cos FROM scored WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** whitening_transform: refit (distributed moments + Breeze SVD are
+    * deterministic for a fixed table), embed kernel (d×d') and bias (d),
+    * reproduce `y_j = float(Σ_i (x_i + bias_i)·K_ij)` in ascending-i
+    * order — mirrors [[graft.whitening.WhitenKernels.whiten]]. */
+  private def whiteningOracle(s: SparkSession, dir: String): String = {
+    val m = new VecsWhitening(16).fit(table(s, dir, "embeddings"), "embedding")
+    val d = m.kernel.length
+    val kbVals = (0 until m.kernel(0).length)
+      .map(j => s"($j, ${dArr(Array.tabulate(d)(i => m.kernel(i)(j)))})")
+      .mkString(", ")
+    s"""WITH kb(j, kcol) AS (VALUES $kbVals),
+       |bs(b) AS (VALUES (${dArr(m.bias)})),
+       |e0 AS (SELECT vec_id, embedding::DOUBLE[] v0 FROM embeddings)
+       |SELECT vec_id, CAST(kb.j AS INT) pos,
+       |  CAST(list_reduce(list_prepend(0.0::DOUBLE,
+       |    list_transform(range(0, $d), i -> (v0[i+1] + bs.b[i+1]) * kb.kcol[i+1])), (a, x) -> a + x) AS FLOAT) w
+       |FROM e0 CROSS JOIN kb CROSS JOIN bs ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")
+  }
+
+  private def dynamicOracles: Map[String, String] = oracleContext match {
+    case None => Map.empty
+    case Some((s, dir)) => Map(
+      "knn_pq_cos" -> pqOracle(s, dir, "cos", 10),
+      "knn_pq_l1" -> pqOracle(s, dir, "l1", 10),
+      "knn_ivfpq_cos" -> ivfPqOracle(s, dir, 10),
+      "knn_ivf_pruned" -> ivfPrunedOracle(s, dir, 10),
+      "cluster_assign" -> clusterAssignOracle(s, dir),
+      "dedup_embedding_blocked" -> blockedOracle(s, dir),
+      "whitening_transform" -> whiteningOracle(s, dir))
+  }
 }

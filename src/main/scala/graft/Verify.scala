@@ -29,6 +29,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // data-dependent oracles (PQ codebooks, IVF/k-means centroids, the
+    // whitening kernel) refit their models from the same tables and embed
+    // the fitted parameters as SQL literals — needs the live session
+    SparkEntry.oracleContext = Some((spark, sfDir))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

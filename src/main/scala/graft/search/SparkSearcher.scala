@@ -405,6 +405,12 @@ class SearcherModel private[search] (
   private def metric = searcher.metric
   private val spark = indexed.sparkSession
 
+  /** Fitted model parameters, exposed for data-dependent oracle building
+    * (the correctness gate embeds them as SQL literals — they are
+    * deterministic functions of the fitted table). */
+  def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
+  def fittedCentroids: Option[Array[Array[Float]]] = centroids
+
   /** Truncate at feature separator: `str(x).split(sep)[0]`
     * (faiss_searcher.py:150-156). `substring_index` keeps everything before
     * the first occurrence — equal semantics for 1 field, and avoids regex
