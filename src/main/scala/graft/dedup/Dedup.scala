@@ -110,7 +110,7 @@ object Dedup {
     // (64-bit fingerprints: collision-free in practice, no per-pair string
     // hashing or result-array allocation — this was the pipeline hotspot)
     val full = sh.select(col("id"), col("hs"), col("sz"))
-    cands
+    val pairs = cands
       .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
       .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("common",
@@ -119,6 +119,9 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // materialize the (small) pair list, free the corpus-sized shingle and
+    // prefix tables — a long-lived session must not accumulate them
+    graft.util.CacheDiscipline.materializeAndFree(pairs, sh, prefix)
   }
 
   /**
@@ -189,7 +192,7 @@ object Dedup {
     val withLeft = cands.join(
       shL.select(col("id").as("left_id"), col("hs").as("hs_a"), col("sz").as("sz_a")),
       "left_id")
-    shR.select(col("id").as("right_id"), col("hs").as("hs_b"), col("sz").as("sz_b"))
+    val pairs = shR.select(col("id").as("right_id"), col("hs").as("hs_b"), col("sz").as("sz_b"))
       .join(broadcast(withLeft), "right_id")
       .withColumn("common",
         toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
@@ -197,6 +200,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("left_id", "right_id", "jaccard")
+    graft.util.CacheDiscipline.materializeAndFree(pairs, shL, shR, matches)
   }
 
   /**
@@ -240,11 +244,12 @@ object Dedup {
     val hot = ex.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    ex.join(hot, "g")
+    val flagged = ex.join(hot, "g")
       .groupBy(col("doc_id"))
       .agg(min(col("n_grams")).as("n_grams"), // constant per doc
         count(lit(1)).as("n_hot"),
         max(col("df")).as("max_df"))
+    graft.util.CacheDiscipline.materializeAndFree(flagged, ex)
   }
 
   /**
@@ -330,7 +335,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val slim = texts.select(col("id"), col("hs"), col("sz"))
-    cands
+    val pairs = cands
       .join(slim.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
       .join(slim.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("common",
@@ -339,6 +344,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    graft.util.CacheDiscipline.materializeAndFree(pairs, texts, banded)
   }
 
   /**
@@ -671,12 +677,13 @@ object Dedup {
         explode(IvfIndex.nearestCentroidsCol(col("v"), cents, nprobe)))
     val a = celled.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = celled.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("n_a") * col("n_b") === 0.0, 0.0)
           .otherwise(VectorFunctions.vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
           .as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair can share several probed cells
+    graft.util.CacheDiscipline.materializeAndFree(pairs, vecs)
   }
 }

@@ -175,7 +175,12 @@ object Relational {
         row
       }
     }(org.apache.spark.sql.Encoders.row(schema))
-    out.drop("__w")
+    // eager checkpoint BEFORE releasing the pinned input: job 2 runs
+    // exactly once against the same physical partitions job 1 aggregated
+    // (a lazy consumer could otherwise re-shuffle `arranged` after
+    // eviction, silently invalidating the per-partition offsets), and the
+    // corpus-sized arranged cache is freed instead of leaking
+    graft.util.CacheDiscipline.materializeAndFree(out.drop("__w"), arranged)
   }
 
   /**

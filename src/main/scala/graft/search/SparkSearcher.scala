@@ -623,6 +623,25 @@ class SearcherModel private[search] (
     joined.select(base: _*)
   }
 
+  /** Reference raw-path return shape (faiss_searcher.py:133-136): the
+    * no-encoder path hands back ALIGNED k-length matrices — matched item
+    * labels and distances per query — rather than one row per hit. Spark
+    * analog: one rank-ordered array aggregation on top of the standard
+    * search plan (`sim_items[r]` pairs with `sim_vals[r]`, rank-ascending);
+    * no extra scan, and strictly more informative than the reference's
+    * tuple because the query id and source item ride along. */
+  def searchRaw(queries: DataFrame, topK: Int,
+      queryIdCol: Option[String] = None): DataFrame = {
+    val qc = queryIdCol.getOrElse("query_id")
+    val res = search(queries, topK, keepRankNo = true, queryIdCol = queryIdCol)
+    res.groupBy(col(qc), col(SourceItem))
+      .agg(array_sort(collect_list(struct(col(RankNo).as("r"),
+        col(SimItem).as("i"), col(SimVal).as("v")))).as("__h"))
+      .select(col(qc), col(SourceItem),
+        transform(col("__h"), x => x.getField("i")).as("sim_items"),
+        transform(col("__h"), x => x.getField("v")).as("sim_vals"))
+  }
+
   /** Exact brute-force top-k. Two physical shapes, chosen by index size
     * (faiss's "push k into the scan" reproduced twice over — SURVEY §4):
     *

@@ -250,6 +250,7 @@ object TextAnalysis {
         (col("c_ab").cast("double") * col("n_uni") * col("n_uni")) /
           (col("n_bi").cast("double") * col("c_a") * col("c_b")))
       .select("bigram", "c_ab", "c_a", "c_b", "lift")
-    scored.orderBy(col("lift").desc, col("bigram")).limit(topN)
+    graft.util.CacheDiscipline.materializeAndFree(
+      scored.orderBy(col("lift").desc, col("bigram")).limit(topN), base)
   }
 }

@@ -424,6 +424,21 @@ class SearcherSpec extends SparkSpec {
       empty.search(sf("embeddings").limit(1), 1))
   }
 
+  test("searchRaw: aligned rank-ordered label/distance arrays (faiss raw-path shape)") {
+    val model = embModel()
+    val q = sf("embeddings").filter(col("vec_id") < 5)
+    val raw = model.searchRaw(q, 4, queryIdCol = Some("vec_id")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](2), r.getSeq[Float](3))).toMap
+    val rows = model.search(q, 4, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .orderBy("vec_id", "rank_no").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id ->
+        (rs.map(_.getAs[Long]("sim_item")).toSeq, rs.map(_.getAs[Float]("sim_val")).toSeq) }
+    assert(raw.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    assert(raw.forall { case (_, (items, vals)) => items.length == 4 && vals.length == 4 })
+    assert(raw === rows) // arrays ARE the per-hit rows in rank order
+  }
+
   test("HNSW substitution: IVF(64) serves the contract; recall@10 measured") {
     // the reference special-cases HNSW* into faiss.IndexHNSWFlat
     // (faiss_searcher.py:100-102); we have no Spark-native graph ANN and
