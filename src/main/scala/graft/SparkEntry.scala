@@ -689,6 +689,13 @@ object SparkEntry {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
       .limit(100)),
+    // DSIR-style importance weighting (target = English docs): smoothed
+    // unigram likelihood-ratio score per document, ascending-token fold
+    // for order-stable double sums — the data-selection step of a
+    // domain-targeted pretraining mix
+    "text_importance" -> ((s, dir) => graft.text.Importance.importanceWeights(
+      table(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")),
     // relational spine: scan → filter → group → aggregate (TPC-H Q1 shape)
     "q1_agg" -> ((s, dir) => table(s, dir, "lineitem")
       .filter(col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
@@ -1394,6 +1401,19 @@ object SparkEntry {
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
         |    t -> len(t) > 0)) tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 100""".stripMargin.replace("\n", " "),
+    "text_importance" ->
+      """WITH tk AS (SELECT doc_id, (lang = 'en') is_t,
+        |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) w FROM documents),
+        |prof AS (SELECT w, sum(CASE WHEN is_t THEN 1 ELSE 0 END) c_t,
+        |  sum(CASE WHEN is_t THEN 0 ELSE 1 END) c_r FROM tk GROUP BY w),
+        |tot AS (SELECT sum(c_t) n_t, sum(c_r) n_r, count(*) v FROM prof),
+        |dc AS (SELECT doc_id, w, count(*) n_w FROM tk GROUP BY doc_id, w),
+        |ct AS (SELECT doc_id, w, n_w, n_w::DOUBLE *
+        |  (((c_t + 1)::DOUBLE * (n_r + v)::DOUBLE) / ((c_r + 1)::DOUBLE * (n_t + v)::DOUBLE)) c
+        |  FROM dc JOIN prof USING (w) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(n_w) AS BIGINT) n_tok,
+        |  list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY w)), (a, x) -> a + x) score
+        |FROM ct GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "q3_join_topn" ->
       """SELECT o_orderkey, c_name,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue

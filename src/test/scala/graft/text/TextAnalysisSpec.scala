@@ -204,4 +204,22 @@ class TextAnalysisSpec extends SparkSpec {
       .count()
     assert(diff === 0L)
   }
+
+  test("importance weights: hand-computed smoothed lift scores on a toy corpus") {
+    val sp = spark
+    import sp.implicits._
+    // prof: aa c_t=3,c_r=1; bb c_t=1,c_r=1; cc c_t=0,c_r=2 → N_t=4, N_r=4, V=3
+    // lift(aa)=(4·7)/(2·7)=2, lift(bb)=1, lift(cc)=(1·7)/(3·7)=1/3
+    val docs = Seq(
+      (1L, "aa bb", "en"), (2L, "aa bb", "de"),
+      (3L, "aa aa", "en"), (4L, "cc cc", "de")).toDF("doc_id", "text", "lang")
+    val got = Importance.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) === ((1L, 2L, 3.0)))     // 1·2 + 1·1, same text as doc 2
+    assert(got(1) === ((2L, 2L, 3.0)))     // raw doc, identical text ⇒ identical score
+    assert(got(2) === ((3L, 2L, 4.0)))     // 2·lift(aa)
+    assert(got(3)._3 === 2.0 / 3.0)        // 2·lift(cc): raw-exclusive token scores low
+  }
 }
