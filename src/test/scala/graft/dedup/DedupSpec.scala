@@ -195,6 +195,18 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 2)
   }
 
+  test("connected components: empty and all-self-loop pair lists degrade cleanly") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty, "id_a", "id_b").count() === 0L)
+    val loops = Seq((3L, 3L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(loops, "id_a", "id_b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((3L, 3L, true), (9L, 9L, true)))
+  }
+
   test("large-star/small-star converges on a long chain in O(log n) rounds") {
     val sp = spark
     import sp.implicits._

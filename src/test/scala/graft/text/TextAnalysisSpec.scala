@@ -222,4 +222,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((3L, 2L, 4.0)))     // 2·lift(aa)
     assert(got(3)._3 === 2.0 / 3.0)        // 2·lift(cc): raw-exclusive token scores low
   }
+
+  test("importance weights: bit-identical across repeated runs (ordered fold)") {
+    // double addition is order-sensitive; the ascending-token fold must
+    // make the score independent of partitioning/aggregation order
+    val docs = sf("documents")
+    def run() = Importance.importanceWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run()
+    val b = run()
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
 }
