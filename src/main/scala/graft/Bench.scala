@@ -40,7 +40,8 @@ object Bench {
     }
     // min-of-2 per query: one-off GC pauses / page-cache misses stop moving
     // the official number; repeats run back-to-back for OS-cache locality
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val repeats = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -55,9 +56,11 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val good = runs.filter(_._2).map(_._1)
-      val ok = good.nonEmpty
-      val dt = if (ok) good.min else runs.map(_._1).min
+      // ok only if EVERY repeat succeeded: a flaky query is a bug and must
+      // surface as FAILED in the official output, not vanish behind a
+      // lucky retry
+      val ok = runs.forall(_._2)
+      val dt = runs.map(_._1).min
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
       (name, dt, ok)
     }

@@ -310,8 +310,9 @@ object SparkEntry {
     }),
     // O6 third ANN access path: product quantization (faiss "PQm") — byte
     // codes (dim·4/m× memory compression) + per-partition ADC tables.
-    // Rows-only gate: the k-means codebooks aren't SQL-derivable; recall,
-    // compression, and save/load identity are asserted in PqSpec
+    // Hash-match gate: the deterministically-fitted codebooks are embedded
+    // into the oracle SQL (dynamicOracles); recall, compression, and
+    // save/load identity are asserted in PqSpec
     "knn_pq_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -323,7 +324,8 @@ object SparkEntry {
     }),
     // PQ over a NON-dot metric: l1 decomposes per subspace like l2, so the
     // same byte codes + per-query ADC tables serve it (all 8 reference
-    // metrics do — PqSpec asserts recall for each); rows-only, spec-gated
+    // metrics do — PqSpec asserts recall for each); hash-match gate via
+    // the embedded-codebook oracle
     "knn_pq_l1" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -334,7 +336,8 @@ object SparkEntry {
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
     // the canonical 100 TB composition: IVF cells for pruning AND PQ byte
-    // codes for memory (faiss "IVFn,PQm"); rows-only, spec-gated
+    // codes for memory (faiss "IVFn,PQm"); hash-match gate via the
+    // embedded centroids + codebooks oracle
     "knn_ivfpq_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -345,7 +348,8 @@ object SparkEntry {
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
     // the 100 TB shape: scan only nprobe/nlist of the corpus per query
-    // (approximate by design → rows-only gate; recall asserted in spec)
+    // (approximate by design; hash-match gate via the embedded-centroid
+    // oracle, recall additionally asserted in spec)
     "knn_ivf_pruned" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -380,9 +384,11 @@ object SparkEntry {
     }),
     // O20-O23: whitening fit (distributed moments + driver SVD) + transform.
     // Output exploded to scalar rows — the driver's pandas comparison can't
-    // sort/hash array cells (round-1 failure). No SQL oracle: the kernel
-    // comes from an SVD DuckDB can't express; invariants (mean≈0, cov≈I,
-    // save/load round-trip) are asserted in WhiteningSpec.
+    // sort/hash array cells (round-1 failure). Hash-match gate: DuckDB
+    // can't run the SVD, but the FITTED kernel/bias are deterministic and
+    // embedded into the oracle SQL (dynamicOracles); invariants (mean≈0,
+    // cov≈I, save/load round-trip) are additionally asserted in
+    // WhiteningSpec.
     "whitening_transform" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val model = new VecsWhitening(16).fit(emb, "embedding")
@@ -506,8 +512,8 @@ object SparkEntry {
         .orderBy("source_id", "sim_id")
     }),
     // semantic-pipeline clustering: k-means cluster assignment over the
-    // embedding corpus (rows-only: centroids are not SQL-derivable;
-    // nearest-assignment + determinism spec-gated in DedupSpec)
+    // embedding corpus; hash-match gate via the embedded-centroid oracle,
+    // nearest-assignment + determinism additionally spec-gated in DedupSpec
     "cluster_assign" -> ((s, dir) => Dedup.embeddingClusters(
       table(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
       .orderBy("vec_id")),
@@ -555,7 +561,8 @@ object SparkEntry {
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
     // dedup: cell-blocked variant (the 100 TB shape; approximate by design,
-    // recall-vs-brute asserted in DedupSpec → rows-only here)
+    // hash-match gate via the embedded-centroid oracle, recall-vs-brute
+    // additionally asserted in DedupSpec)
     "dedup_embedding_blocked" -> ((s, dir) => Dedup.embeddingNearDupsBlocked(
       table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
       nlist = 16, nprobe = 4)
@@ -1865,15 +1872,24 @@ object SparkEntry {
        |FROM e0 CROSS JOIN kb CROSS JOIN bs ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")
   }
 
+  /** Optional gate-name filter (set by Verify's local-iteration arg): each
+    * dynamic oracle costs a model refit, so skip the builders whose gate
+    * wasn't requested. */
+  @volatile var oracleNameFilter: Option[Set[String]] = None
+
   private def dynamicOracles: Map[String, String] = oracleContext match {
     case None => Map.empty
-    case Some((s, dir)) => Map(
-      "knn_pq_cos" -> pqOracle(s, dir, "cos", 10),
-      "knn_pq_l1" -> pqOracle(s, dir, "l1", 10),
-      "knn_ivfpq_cos" -> ivfPqOracle(s, dir, 10),
-      "knn_ivf_pruned" -> ivfPrunedOracle(s, dir, 10),
-      "cluster_assign" -> clusterAssignOracle(s, dir),
-      "dedup_embedding_blocked" -> blockedOracle(s, dir),
-      "whitening_transform" -> whiteningOracle(s, dir))
+    case Some((s, dir)) =>
+      val builders: Map[String, () => String] = Map(
+        "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
+        "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
+        "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
+        "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
+        "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
+        "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
+        "whitening_transform" -> (() => whiteningOracle(s, dir)))
+      builders
+        .filter { case (name, _) => oracleNameFilter.forall(_.contains(name)) }
+        .map { case (name, build) => name -> build() }
   }
 }

@@ -31,8 +31,10 @@ object Verify {
     }
     // data-dependent oracles (PQ codebooks, IVF/k-means centroids, the
     // whitening kernel) refit their models from the same tables and embed
-    // the fitted parameters as SQL literals — needs the live session
+    // the fitted parameters as SQL literals — needs the live session; the
+    // name filter keeps single-gate iteration from paying for 7 refits
     SparkEntry.oracleContext = Some((spark, sfDir))
+    SparkEntry.oracleNameFilter = only
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -179,7 +179,10 @@ object Relational {
     // exactly once against the same physical partitions job 1 aggregated
     // (a lazy consumer could otherwise re-shuffle `arranged` after
     // eviction, silently invalidating the per-partition offsets), and the
-    // corpus-sized arranged cache is freed instead of leaking
+    // corpus-sized arranged cache is freed instead of leaking. NOTE the
+    // returned frame is input-sized and stays pinned (the price of the
+    // once-and-only-once guarantee); long-lived sessions call
+    // CacheDiscipline.release(result) when done with it.
     graft.util.CacheDiscipline.materializeAndFree(out.drop("__w"), arranged)
   }
 

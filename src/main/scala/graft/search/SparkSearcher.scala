@@ -634,12 +634,30 @@ class SearcherModel private[search] (
       queryIdCol: Option[String] = None): DataFrame = {
     val qc = queryIdCol.getOrElse("query_id")
     val res = search(queries, topK, keepRankNo = true, queryIdCol = queryIdCol)
-    res.groupBy(col(qc), col(SourceItem))
+    val rows = res.groupBy(col(qc), col(SourceItem))
       .agg(array_sort(collect_list(struct(col(RankNo).as("r"),
         col(SimItem).as("i"), col(SimVal).as("v")))).as("__h"))
       .select(col(qc), col(SourceItem),
         transform(col("__h"), x => x.getField("i")).as("sim_items"),
         transform(col("__h"), x => x.getField("v")).as("sim_vals"))
+    // alignment contract: EVERY query gets a row, like the reference's
+    // fixed-shape matrices (faiss pads missing hits; a query that collides
+    // in no LSH bucket / probes only empty cells gets EMPTY arrays here —
+    // dropping it would silently misalign the caller's query list). Only
+    // expressible when the caller names its id column; the positional-id
+    // path can't re-derive dropped ids outside the search plan.
+    queryIdCol match {
+      case None => rows
+      case Some(c) =>
+        val qItemCol = params.itemCol
+          .filter(queries.columns.contains).getOrElse(queries.columns.head)
+        val universe = queries.select(col(c).as(qc),
+          sepSplit(col(qItemCol), params.queryFeatureSep).as(SourceItem)).distinct()
+        universe.join(rows, Seq(qc, SourceItem), "left")
+          .select(col(qc), col(SourceItem),
+            coalesce(col("sim_items"), array().cast(rows.schema("sim_items").dataType)).as("sim_items"),
+            coalesce(col("sim_vals"), array().cast(rows.schema("sim_vals").dataType)).as("sim_vals"))
+    }
   }
 
   /** Exact brute-force top-k. Two physical shapes, chosen by index size

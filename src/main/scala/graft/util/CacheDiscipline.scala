@@ -23,4 +23,18 @@ object CacheDiscipline {
     intermediates.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** Free the blocks behind a [[materializeAndFree]] result once the caller
+    * is done with it. `Dataset.unpersist` cannot release a local
+    * checkpoint's directly-persisted RDD (it only clears cache-manager
+    * entries), so callers of operators whose result is NOT small — the
+    * prefix sum returns one row per input row — use this to drop the
+    * pinned blocks explicitly. Safe to call on any DataFrame: it only
+    * touches checkpoint-backed leaf RDDs of THIS plan. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -90,4 +90,18 @@ class RelationalSpec extends SparkSpec {
       assert(recall >= 0.9, s"recall on cos>=0.8 pairs was $recall")
     }
   }
+
+  test("prefixSum frees its arranged cache; release() drops the pinned result") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 7)).toDF("id", "w")
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    val out = Relational.prefixSum(df, "id", "w", numPartitions = 4)
+    assert(out.count() === 1000L)
+    // the input-sized arranged cache was freed on return; only the
+    // checkpointed result remains pinned
+    assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 1)
+    graft.util.CacheDiscipline.release(out)
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+  }
 }

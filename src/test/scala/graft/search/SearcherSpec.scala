@@ -439,6 +439,28 @@ class SearcherSpec extends SparkSpec {
     assert(raw === rows) // arrays ARE the per-hit rows in rank order
   }
 
+  test("searchRaw: zero-hit queries keep their row with empty arrays (alignment)") {
+    val sp = spark
+    import sp.implicits._
+    // single-vector corpus; the negated query flips EVERY sign-LSH bit, so
+    // it collides in no bucket and gets zero hits — its row must survive
+    // with empty arrays (the reference raw path returns fixed-shape
+    // matrices; dropping the row would misalign the caller's query list)
+    val corpus = Seq((1L, Array(1f, 2f, 3f, 4f), "a")).toDF("vec_id", "embedding", "label")
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH1x8"))
+      .fit(corpus)
+    val qs = Seq((10L, Array(1f, 2f, 3f, 4f)), (11L, Array(-1f, -2f, -3f, -4f)))
+      .toDF("vec_id", "embedding")
+    val got = model.searchRaw(qs, 3, queryIdCol = Some("vec_id"))
+      .orderBy("vec_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getLong(0) === 10L && got(0).getSeq[Long](2) === Seq(1L))
+    assert(got(1).getLong(0) === 11L && got(1).getSeq[Long](2).isEmpty &&
+      got(1).getSeq[Float](3).isEmpty)
+  }
+
   test("HNSW substitution: IVF(64) serves the contract; recall@10 measured") {
     // the reference special-cases HNSW* into faiss.IndexHNSWFlat
     // (faiss_searcher.py:100-102); we have no Spark-native graph ANN and
