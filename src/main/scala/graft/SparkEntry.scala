@@ -347,6 +347,33 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // O6 scalar quantization (faiss "SQ8"): one byte per DIMENSION against
+    // per-dim [min,max] bounds — 4× memory, much finer reconstruction than
+    // PQ at equal code size. Structurally PQ with m=dim subspaces of size
+    // 1 (SqIndex.levels), so the same ADC machinery serves it; hash-match
+    // gate via the embedded-bounds oracle (encode formula + dequantized
+    // dot reproduced in SQL)
+    "knn_sq8_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "SQ8"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // IVF cells + SQ bytes (faiss "IVFn,SQ8"): partition pruning AND 4×
+    // compression — the right composition when PQ's reconstruction error
+    // is too coarse but floats still don't fit
+    "knn_ivfsq_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF16,SQ8", nprobe = 6))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // the 100 TB shape: scan only nprobe/nlist of the corpus per query
     // (approximate by design; hash-match gate via the embedded-centroid
     // oracle, recall additionally asserted in spec)
@@ -1786,6 +1813,72 @@ object SparkEntry {
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
   }
 
+  /** SQ8 encode CTE over corpus CTE `f` with bounds CTE `b(vmin, vdiff)`:
+    * `code_s = clamp(⌊(v_s − vmin_s)/vdiff_s · 255 + 0.5⌋, 0, 255)` (0 for
+    * a constant dim) — mirrors [[graft.search.SqIndex.encode]] op-for-op. */
+  private def sqCodesCte(dim: Int): String =
+    s"""codes AS (SELECT f.vec_id, sx.s, CASE WHEN b.vdiff[sx.s+1] = 0 THEN 0
+       |  ELSE CAST(least(255.0, greatest(0.0, floor((f.v[sx.s+1] - b.vmin[sx.s+1]) / b.vdiff[sx.s+1] * 255.0 + 0.5))) AS INT) END c
+       |  FROM f CROSS JOIN b CROSS JOIN (SELECT unnest(range(0, $dim)) s) sx)""".stripMargin
+
+  /** SQ8 dequantized-dot score CTEs (`ct`→`sc`): the level a code denotes
+    * is float-rounded `vmin + c/255·vdiff` ([[graft.search.SqIndex.levels]]);
+    * per-dim products summed in ascending dim order like the ADC scorer. */
+  private val sqScoreCtes =
+    """ct AS (SELECT q.qid, codes.vec_id xid, codes.s,
+      |  q.v[codes.s+1] * (((b.vmin[codes.s+1] + codes.c / 255.0 * b.vdiff[codes.s+1])::FLOAT)::DOUBLE) t
+      |  FROM q CROSS JOIN codes CROSS JOIN b),
+      |sc AS (SELECT qid, xid, list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY s)), (a, x) -> a + x) score
+      |  FROM ct GROUP BY qid, xid)""".stripMargin
+
+  /** knn_sq8_cos: refit the bounds exactly as the gate query does, embed
+    * them, reproduce encode + dequantized scoring + top-k in SQL. */
+  private def sqOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "SQ8"))
+      .fit(table(s, dir, "embeddings"))
+    val (vmin, vdiff) = model.fittedSqBounds.get
+    val dim = vmin.length
+    model.unpersist()
+    s"""WITH b(vmin, vdiff) AS (VALUES (${fArr(vmin)}, ${fArr(vdiff)})),
+       |$normCtes,
+       |${sqCodesCte(dim)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |$sqScoreCtes,
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
+  /** knn_ivfsq_cos: IVF16,SQ8 at nprobe=6 — cells and bounds both live in
+    * the normalized space; a code is scored only for queries probing its
+    * cell. */
+  private def ivfSqOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF16,SQ8", nprobe = 6))
+      .fit(table(s, dir, "embeddings"))
+    val (vmin, vdiff) = model.fittedSqBounds.get
+    val cents = model.fittedCentroids.get
+    val dim = vmin.length
+    model.unpersist()
+    s"""WITH b(vmin, vdiff) AS (VALUES (${fArr(vmin)}, ${fArr(vdiff)})),
+       |ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |$normCtes,
+       |cd AS (SELECT f.vec_id, ce.c, list_sum(list_transform(list_zip(f.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM f CROSS JOIN ce),
+       |xcell AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
+       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= 6),
+       |${sqCodesCte(dim)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |ct AS (SELECT q.qid, codes.vec_id xid, codes.s,
+       |  q.v[codes.s+1] * (((b.vmin[codes.s+1] + codes.c / 255.0 * b.vdiff[codes.s+1])::FLOAT)::DOUBLE) t
+       |  FROM q CROSS JOIN codes CROSS JOIN b
+       |  JOIN xcell ON xcell.vec_id = codes.vec_id JOIN qcell ON qcell.qid = q.qid AND qcell.cell = xcell.cell),
+       |sc AS (SELECT qid, xid, list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY s)), (a, x) -> a + x) score
+       |  FROM ct GROUP BY qid, xid),
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
   /** knn_ivf_pruned: IVF16 at nprobe=4 over RAW vectors (the cos kernel
     * normalizes internally — nothing materialized), exact cos scoring of
     * only the probed cells' rows. */
@@ -1884,6 +1977,8 @@ object SparkEntry {
         "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
         "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
+        "knn_sq8_cos" -> (() => sqOracle(s, dir, 10)),
+        "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),

@@ -62,14 +62,27 @@ final case class IvfFlat(nlist: Int) extends IndexStrategy
 final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
 final case class PqFlat(m: Int) extends IndexStrategy
 final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
+case object SqFlat extends IndexStrategy
+final case class IvfSq(nlist: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
   private val IvfWithPq = "IVF(\\d+),PQ(\\d+)".r
+  private val IvfWithSq = "IVF(\\d+),SQ(\\d+)".r
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
   private val Pq = "PQ(\\d+)".r
+  private val Sq = "SQ(\\d+)".r
+
+  /** Strategies that store byte codes instead of float vectors (PQ / SQ
+    * families): these need queries/vectors MATERIALIZED-normalized for cos
+    * (scoring is a raw asymmetric dot over codes — no full-vector cosine
+    * kernel exists once the floats are dropped). */
+  def codesOnly(s: IndexStrategy): Boolean = s match {
+    case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) => true
+    case _ => false
+  }
   /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
     * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
     * request to the IVF (cluster-pruned) strategy — same contract: approximate
@@ -80,6 +93,10 @@ object IndexStrategy {
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
+    case IvfWithSq(n, b) =>
+      require(b == "8", s"index_param '$param': only 8-bit scalar " +
+        "quantization is supported (SQ8 — one byte per dimension)")
+      IvfSq(n.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(_) =>
       // honest translation, not a silent swap: the approximate-top-k
@@ -94,8 +111,12 @@ object IndexStrategy {
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m)              => PqFlat(m.toInt)
+    case Sq(b) =>
+      require(b == "8", s"index_param '$param': only 8-bit scalar " +
+        "quantization is supported (SQ8 — one byte per dimension)")
+      SqFlat
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8)")
   }
 }
 
@@ -244,6 +265,48 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
           None, Some(codebooks))
+      case SqFlat =>
+        // like PQ, cos needs MATERIALIZED normalization (asymmetric dot
+        // over codes); bounds/levels then live in the normalized space
+        val pre0 =
+          if (params.measurement == "cos")
+            base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+          else base
+        val pre = pre0.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "SQ fit on empty/zero-dim vectors")
+        val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
+        // dim BYTES per vector instead of dim floats (4×); search reuses
+        // the PQ ADC machinery over the synthetic dim×256 level codebooks
+        val indexed = pre
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
+          .drop(VEC)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
+          Some(SqIndex.levels(vmin, vdiff)), Some((vmin, vdiff)))
+      case IvfSq(nlist) =>
+        val pre0 =
+          if (params.measurement == "cos")
+            base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+          else base
+        val pre = pre0.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "IVF,SQ fit on empty/zero-dim vectors")
+        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
+        val indexed = IvfIndex
+          .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
+          .drop(VEC)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
+          None, Some(SqIndex.levels(vmin, vdiff)), Some((vmin, vdiff)))
       case LshTables(numTables, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -349,8 +412,17 @@ object SparkSearcher {
           }.toArray)
       case _ => None
     }
-    // PQ stores codes only (no __vec): dim is re-derived from the codebooks
-    val d = pq match {
+    val sqB = searcher.strategy match {
+      case SqFlat | IvfSq(_) =>
+        val rows = spark.read.parquet(s"$path/sq_bounds").orderBy("i").collect()
+        Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
+      case _ => None
+    }
+    // the scoring "codebooks": PQ's fitted ones, or SQ's levels rebuilt
+    // from the persisted bounds
+    val cbooks = pq.orElse(sqB.map { case (mn, df) => SqIndex.levels(mn, df) })
+    // PQ/SQ store codes only (no __vec): dim is re-derived from the codebooks
+    val d = cbooks match {
       case Some(cbs) => cbs.length * cbs(0)(0).length
       case None      => indexed.select(size(col(VEC))).head().getInt(0)
     }
@@ -359,7 +431,7 @@ object SparkSearcher {
     val payload = indexed.columns
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES)).toSeq
     val centroids = searcher.strategy match {
-      case IvfFlat(_) | IvfPq(_, _) => Some(spark.read.parquet(s"$path/centroids")
+      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
@@ -377,7 +449,8 @@ object SparkSearcher {
       case _ => None
     }
     new SearcherModel(searcher,
-      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids, planes, pq)
+      indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids,
+      planes, cbooks, sqB)
   }
 
   private[search] val ITEM = "__item"
@@ -398,7 +471,8 @@ class SearcherModel private[search] (
     val dim: Int,
     private[search] val centroids: Option[Array[Array[Float]]],
     private[search] val lshPlanes: Option[Array[Array[Array[Float]]]],
-    private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]]) {
+    private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]],
+    private[search] val sqBounds: Option[(Array[Float], Array[Float])] = None) {
 
   import SparkSearcher._
   private def params = searcher.params
@@ -410,6 +484,7 @@ class SearcherModel private[search] (
     * deterministic functions of the fitted table). */
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
   def fittedCentroids: Option[Array[Array[Float]]] = centroids
+  def fittedSqBounds: Option[(Array[Float], Array[Float])] = sqBounds
 
   /** Truncate at feature separator: `str(x).split(sep)[0]`
     * (faiss_searcher.py:150-156). `substring_index` keeps everything before
@@ -434,8 +509,7 @@ class SearcherModel private[search] (
     val itemCol = params.itemCol.getOrElse(items.columns.head)
     require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
     val encoded0 = searcher.encoder.encode(items, itemCol, VEC)
-    val pqCos = (searcher.strategy.isInstanceOf[PqFlat] ||
-      searcher.strategy.isInstanceOf[IvfPq]) && params.measurement == "cos"
+    val pqCos = IndexStrategy.codesOnly(searcher.strategy) && params.measurement == "cos"
     val encoded =
       if ((params.normVec && params.measurement != "cos") || pqCos)
         encoded0.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
@@ -471,13 +545,26 @@ class SearcherModel private[search] (
           spark.sparkContext.defaultParallelism)
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
           .drop(VEC)
+      // SQ rows added after fit encode under the EXISTING bounds; values
+      // outside the trained range clamp to the edge levels (faiss SQ
+      // semantics — refit if the distribution moved)
+      case SqFlat =>
+        val (mn, df) = sqBounds.get
+        base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+          .drop(VEC)
+      case IvfSq(_) =>
+        val (mn, df) = sqBounds.get
+        IvfIndex.assignCells(base, VEC, centroids.get,
+          spark.sparkContext.defaultParallelism)
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+          .drop(VEC)
     }
     val combined = indexed.unionByName(newPart)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks)
+      lshPlanes, pqCodebooks, sqBounds)
   }
 
   /**
@@ -493,7 +580,7 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks)
+      lshPlanes, pqCodebooks, sqBounds)
   }
 
   /**
@@ -507,7 +594,7 @@ class SearcherModel private[search] (
       queryIdCol: Option[String] = None): DataFrame = {
     require(count > 0, "search before fit (faiss_searcher.py:187)")
     require(indexed.columns.contains(VEC),
-      "range search needs stored vectors (Flat/IVF/LSH; PQ keeps codes only)")
+      "range search needs stored vectors (Flat/IVF/LSH; PQ/SQ keep codes only)")
     val qItemCol = params.itemCol
       .filter(queries.columns.contains).getOrElse(queries.columns.head)
     val withId = queryIdCol match {
@@ -587,8 +674,7 @@ class SearcherModel private[search] (
     }
     val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
-    val pqCos = (searcher.strategy.isInstanceOf[PqFlat] ||
-      searcher.strategy.isInstanceOf[IvfPq]) && params.measurement == "cos"
+    val pqCos = IndexStrategy.codesOnly(searcher.strategy) && params.measurement == "cos"
     val qn =
       if ((params.normVec && params.measurement != "cos") || pqCos)
         // PQ + cos: queries must be materialized-normalized like the fitted
@@ -602,6 +688,10 @@ class SearcherModel private[search] (
       case LshTables(_, _) => lshTopK(qn, topK)
       case PqFlat(_)      => pqTopK(qn, topK)
       case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
+      // SQ codes score through the same ADC machinery: the fitted
+      // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
+      case SqFlat         => pqTopK(qn, topK)
+      case IvfSq(nlist)   => ivfPqTopK(qn, topK, nlist)
     }
 
     // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
@@ -810,7 +900,7 @@ class SearcherModel private[search] (
       // prunes at the storage layer (PartitionFilters) and touches only
       // the probed nprobe/nlist fraction — the at-rest analog of the
       // in-memory repartition(cell) co-location
-      case IvfFlat(_) | IvfPq(_, _) =>
+      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) =>
         itemsOut.write.mode("overwrite").partitionBy(IvfIndex.CID)
           .parquet(s"$path/items")
       case _ =>
@@ -830,12 +920,24 @@ class SearcherModel private[search] (
         yield (t, b, ps(t)(b).toSeq)).toDF("tbl", "bit", "plane")
         .write.mode("overwrite").parquet(s"$path/lsh_planes")
     }
-    pqCodebooks.foreach { cbs =>
-      val sp = spark
-      import sp.implicits._
-      (for (m <- cbs.indices; c <- cbs(m).indices)
-        yield (m, c, cbs(m)(c).toSeq)).toDF("sub", "cid", "centroid")
-        .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    // SQ persists its BOUNDS (2·dim floats), not the derived dim×256
+    // levels — load rebuilds levels from bounds, and add() after load
+    // encodes under the exact fitted bounds (no float drift)
+    searcher.strategy match {
+      case SqFlat | IvfSq(_) =>
+        val (mn, df) = sqBounds.get
+        val sp = spark
+        import sp.implicits._
+        mn.indices.map(i => (i, mn(i), df(i))).toDF("i", "vmin", "vdiff")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/sq_bounds")
+      case _ =>
+        pqCodebooks.foreach { cbs =>
+          val sp = spark
+          import sp.implicits._
+          (for (m <- cbs.indices; c <- cbs(m).indices)
+            yield (m, c, cbs(m)(c).toSeq)).toDF("sub", "cid", "centroid")
+            .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+        }
     }
     // params as a 1-row JSON written by Spark's writer (real escaping — a
     // separator containing quotes/backslashes round-trips) with every
