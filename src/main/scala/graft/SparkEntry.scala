@@ -271,6 +271,38 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // O6 graph-ANN access path: partition-local NSW graphs (faiss "HNSWm",
+    // faiss_searcher.py:100-102). Gated EXACTLY in the exhaustive-ef regime
+    // (efSearch ≥ group size ⇒ each graph's scan is provably exact ⇒ the
+    // brute-force cos oracle applies — the same trick as knn_ivf_cos's
+    // full probe); beam-traversal recall ≥ 0.95 is spec-gated in
+    // SearcherSpec ("HNSW graph ANN: out-of-box recall…")
+    "knn_hnsw" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW32", efSearch = Int.MaxValue))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // O9 on the RAW path (faiss_searcher.py:170-183 raw branch slices the
+    // aligned matrices per k): one searchRaw at max(k), each k an array
+    // truncation — exploded back to rows so every derived k hash-matches
+    // the exact top-k oracle
+    "knn_raw_multik" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = embSearcher(s, dir, "cos")
+      val byK = model.searchRawMulti(items.filter(col("vec_id") < 10),
+        Seq(3, 10), queryIdCol = Some("vec_id"))
+      byK.toSeq.sortBy(_._1).map { case (k, df) =>
+        df.select(lit(k).as("k"), col("vec_id").as("source_id"),
+          posexplode(arrays_zip(col("sim_items"), col("sim_vals"))).as(Seq("pos", "z")))
+          .select(col("k"), col("source_id"), col("pos").cast("int").as("pos"),
+            col("z.sim_items").cast("long").as("sim_id"),
+            col("z.sim_vals").as("sim_val"))
+      }.reduce(_ unionByName _).orderBy("k", "source_id", "pos")
+    }),
     // physical-path independence: the SAME query through the opt-in
     // window/WindowGroupLimit plan must hash-match the heap-aggregate
     // default (both share the brute-force cos oracle)
@@ -1167,6 +1199,19 @@ object SparkEntry {
     // IVF probing all cells ≡ exact ⇒ brute-force oracle applies
     "knn_ivf_cos" -> knnOracle("cos", 10),
     "knn_window_cos" -> knnOracle("cos", 10),
+    "knn_hnsw" -> knnOracle("cos", 10),
+    // raw multi-K: every derived k must equal the exact top-k (the slice of
+    // a rank-ordered max-K array IS the top-k, prefix property)
+    "knn_raw_multik" ->
+      s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+         |x AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         |s AS (SELECT q.vec_id source_id, x.vec_id sim_id,
+         |      list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) c
+         |      FROM q CROSS JOIN x),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY c DESC, sim_id) rn FROM s)
+         |SELECT k, source_id, CAST(rn - 1 AS INT) pos, sim_id, CAST(c AS FLOAT) sim_val
+         |FROM r CROSS JOIN (SELECT UNNEST([3, 10]) k) t WHERE rn <= k
+         |ORDER BY k, source_id, pos""".stripMargin.replace("\n", " "),
     "knn_ip_norm" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
         |n0 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) nrm FROM e),

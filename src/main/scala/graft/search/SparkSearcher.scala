@@ -32,6 +32,12 @@ import graft.functions.VectorFunctions.Metric
  *                  (faiss_searcher.py:154-156)
  * @param queryFeatureSep truncate query items likewise (150-152)
  * @param nprobe    IVF probes per query (ANN recall knob)
+ * @param efSearch  HNSW beam width per graph (graph-ANN recall knob; faiss
+ *                  `efSearch`). A value ≥ the per-graph row count makes the
+ *                  graph search provably exact (see [[NswGraph]])
+ * @param hnswGraphs number of partition-local NSW graphs; 0 (default) =
+ *                  the cluster's default parallelism — graph size is then
+ *                  corpus/parallelism, bounded per executor
  * @param broadcastThreshold max index rows to broadcast (payload join +
  *                  the opt-in window path)
  * @param exactPath physical shape of exact search: `"aggregate"` (default —
@@ -51,6 +57,8 @@ final case class SearcherParams(
     docFeatureSep: Option[String] = None,
     queryFeatureSep: Option[String] = None,
     nprobe: Int = 4,
+    efSearch: Int = 64,
+    hnswGraphs: Int = 0,
     broadcastThreshold: Long = 2000000L,
     exactPath: String = "aggregate")
 
@@ -64,16 +72,21 @@ final case class PqFlat(m: Int) extends IndexStrategy
 final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
 case object SqFlat extends IndexStrategy
 final case class IvfSq(nlist: Int) extends IndexStrategy
+final case class HnswGraph(m: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
   private val IvfWithPq = "IVF(\\d+),PQ(\\d+)".r
-  private val IvfWithSq = "IVF(\\d+),SQ(\\d+)".r
+  // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / …) so unsupported scalar
+  // quantizers raise instead of falling through to the uncompressed
+  // IVF(n) catch-all — a caller asking for compression must never be
+  // silently served exact floats
+  private val IvfWithSq = "IVF(\\d+),SQ(\\w+)".r
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
   private val Pq = "PQ(\\d+)".r
-  private val Sq = "SQ(\\d+)".r
+  private val Sq = "SQ(\\w+)".r
 
   /** Strategies that store byte codes instead of float vectors (PQ / SQ
     * families): these need queries/vectors MATERIALIZED-normalized for cos
@@ -83,13 +96,14 @@ object IndexStrategy {
     case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) => true
     case _ => false
   }
-  /** Parse the reference's index_param. HNSW (a graph ANN faiss special-cases
-    * at faiss_searcher.py:101-102) has no Spark-native analog; we map any ANN
-    * request to the IVF (cluster-pruned) strategy — same contract: approximate
-    * top-k, tunable recall. `LSH[t][xb]` (faiss's binary-LSH factory string,
-    * extended) maps to `t` sign-random-projection tables of `b` bits
-    * ([[SignLsh]]); with no explicit `b`, bits scale with corpus size at fit
-    * time (≈log2(n/16): bucket occupancy stays ~constant as n grows). */
+  /** Parse the reference's index_param. `HNSWm` (the graph ANN faiss
+    * special-cases at faiss_searcher.py:101-102) maps to partition-local
+    * NSW graphs with `m` out-links per node ([[NswGraph]]; faiss's default
+    * M=32 when unspecified). `LSH[t][xb]` (faiss's binary-LSH factory
+    * string, extended) maps to `t` sign-random-projection tables of `b`
+    * bits ([[SignLsh]]); with no explicit `b`, bits scale with corpus size
+    * at fit time (≈log2(n/16): bucket occupancy stays ~constant as n
+    * grows). */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
@@ -98,16 +112,7 @@ object IndexStrategy {
         "quantization is supported (SQ8 — one byte per dimension)")
       IvfSq(n.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
-    case Hnsw(_) =>
-      // honest translation, not a silent swap: the approximate-top-k
-      // contract is served, but by cluster pruning, whose recall/latency
-      // trade-offs differ from a graph ANN. Logged here and recorded as
-      // `effectiveIndex` in saved params (see SearcherModel.save).
-      log.warn(s"index_param '$param': HNSW graph ANN has no Spark-native " +
-        "analog; serving the approximate-top-k contract with IVF(64) " +
-        "cluster pruning instead — recall/latency characteristics differ " +
-        "from faiss HNSW")
-      IvfFlat(64)
+    case Hnsw(m)            => HnswGraph(if (m == null || m.isEmpty) 32 else m.toInt)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m)              => PqFlat(m.toInt)
@@ -145,17 +150,11 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
   val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
   val strategy: IndexStrategy = IndexStrategy.parse(params.indexParam)
 
-  /** nprobe the IVF search paths actually use. An HNSW request is served by
-    * IVF(64) cluster pruning (see [[IndexStrategy.parse]]); faiss-HNSW's
-    * default search profile is high-recall (efSearch ≈ 0.95+ recall@10), so
-    * the substitution floors nprobe at 24 of 64 cells — measured recall@10
-    * vs exact 0.88 at nprobe=24 vs 0.48 at the IVF default 4 (SearcherSpec
-    * HNSW probe; BASELINE.md) — unless the caller explicitly asked for
-    * more. Plain IVF requests keep their knob untouched. */
-  val effectiveNprobe: Int =
-    if (params.indexParam != null && params.indexParam.startsWith("HNSW"))
-      math.max(params.nprobe, 24)
-    else params.nprobe
+  /** nprobe the IVF search paths use — the caller's knob, untouched.
+    * (Rounds ≤4 served HNSW requests by IVF(64) pruning with a floored
+    * nprobe; HNSW is now a real partition-local graph ANN, [[NswGraph]],
+    * with `efSearch` as its own recall knob.) */
+  val effectiveNprobe: Int = params.nprobe
 
   /** Build the index: encode all items, assign row_id, materialize.
     * Reference `train()` (faiss_searcher.py:116-125). */
@@ -307,6 +306,22 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
           None, Some(SqIndex.levels(vmin, vdiff)), Some((vmin, vdiff)))
+      case HnswGraph(m) =>
+        val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "HNSW fit on empty/zero-dim vectors")
+        // one NSW graph per parallelism slot by default: graph size stays
+        // corpus/parallelism (bounded per executor), search fans out flat
+        val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
+          else base.sparkSession.sparkContext.defaultParallelism)
+        val indexed = NswGraph.buildGraphs(pre, VEC, ROW_ID, m,
+            efConstruction = math.max(64, 2 * m), numGraphs,
+            params.measurement, params.metricArg)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        pre.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None, None)
       case LshTables(numTables, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -394,9 +409,20 @@ object SparkSearcher {
       docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
       queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty),
       nprobe = lng("nprobe").toInt,
+      efSearch = lng("efSearch").toInt,
+      hnswGraphs = lng("hnswGraphs").toInt,
       broadcastThreshold = lng("broadcastThreshold"),
       exactPath = str("exactPath"))
-    val indexed = spark.read.parquet(s"$path/items").persist(StorageLevel.MEMORY_AND_DISK)
+    val read0 = spark.read.parquet(s"$path/items")
+    // HNSW graphs must be CO-LOCATED (a graph's adjacency is resolved
+    // within its task); parquet splits don't respect graph boundaries, so
+    // re-group by graph id once at load — the at-rest layout (partitioned
+    // by gpart) makes this a directory-aligned shuffle
+    val read = IndexStrategy.parse(str("indexParam")) match {
+      case HnswGraph(_) => read0.repartition(col(NswGraph.GPART))
+      case _            => read0
+    }
+    val indexed = read.persist(StorageLevel.MEMORY_AND_DISK)
     val n = indexed.count()
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
@@ -429,7 +455,8 @@ object SparkSearcher {
     require(d == lng("dim"),
       s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
     val payload = indexed.columns
-      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES)).toSeq
+      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
+        NswGraph.GPART, NswGraph.NBRS)).toSeq
     val centroids = searcher.strategy match {
       case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
@@ -558,6 +585,16 @@ class SearcherModel private[search] (
           spark.sparkContext.defaultParallelism)
           .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
           .drop(VEC)
+      // segment-style growth (the Lucene per-segment-HNSW shape): appended
+      // rows get FRESH graphs under gpart ids past the existing ones —
+      // built graphs are immutable, search fans out over old + new alike
+      case HnswGraph(m) =>
+        val offset = indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+        val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
+          else spark.sparkContext.defaultParallelism)
+        NswGraph.buildGraphs(base, VEC, ROW_ID, m,
+          efConstruction = math.max(64, 2 * m), numGraphs,
+          params.measurement, params.metricArg, gpartOffset = offset)
     }
     val combined = indexed.unionByName(newPart)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -685,6 +722,10 @@ class SearcherModel private[search] (
     val hits = searcher.strategy match {
       case ExactFlat      => exactTopK(qn, topK)
       case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, searcher.effectiveNprobe)
+      case HnswGraph(_)   =>
+        NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
+          .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
+          .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
       case LshTables(_, _) => lshTopK(qn, topK)
       case PqFlat(_)      => pqTopK(qn, topK)
       case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
@@ -748,6 +789,25 @@ class SearcherModel private[search] (
             coalesce(col("sim_items"), array().cast(rows.schema("sim_items").dataType)).as("sim_items"),
             coalesce(col("sim_vals"), array().cast(rows.schema("sim_vals").dataType)).as("sim_vals"))
     }
+  }
+
+  /** Multi-K on the RAW path (faiss_searcher.py:170-183: the raw branch
+    * slices the aligned matrices per k — `labels[:, :k]`, line 181): ONE
+    * [[searchRaw]] at `max(ks)`, each smaller k derived by truncating the
+    * rank-ordered arrays — `slice(·, 1, k)` is the columnar `[:, :k]`.
+    * The prefix property makes this exact: the arrays are rank-ordered,
+    * so the first k entries of the max-K result ARE the top-k result. */
+  def searchRawMulti(queries: DataFrame, topKs: Seq[Int],
+      queryIdCol: Option[String] = None): Map[Int, DataFrame] = {
+    require(topKs.nonEmpty, "topKs must be non-empty")
+    val full = searchRaw(queries, topKs.max, queryIdCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qc = queryIdCol.getOrElse("query_id")
+    topKs.map { k =>
+      k -> full.select(col(qc), col(SourceItem),
+        slice(col("sim_items"), 1, k).as("sim_items"),
+        slice(col("sim_vals"), 1, k).as("sim_vals"))
+    }.toMap
   }
 
   /** Exact brute-force top-k. Two physical shapes, chosen by index size
@@ -903,6 +963,12 @@ class SearcherModel private[search] (
       case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) =>
         itemsOut.write.mode("overwrite").partitionBy(IvfIndex.CID)
           .parquet(s"$path/items")
+      // HNSW persists partitioned by GRAPH: each graph's rows live in one
+      // directory, so load can re-co-locate a graph with one shuffle and a
+      // partial read touches whole graphs, never fragments of one
+      case HnswGraph(_) =>
+        itemsOut.write.mode("overwrite").partitionBy(NswGraph.GPART)
+          .parquet(s"$path/items")
       case _ =>
         itemsOut.write.mode("overwrite").parquet(s"$path/items")
     }
@@ -950,15 +1016,15 @@ class SearcherModel private[search] (
     import sp.implicits._
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
-        p.nprobe, p.exactPath, p.broadcastThreshold, count, dim,
+        p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold, count, dim,
         // the strategy actually SERVING the factory string — differs from
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
         // semantics survived
         searcher.strategy.toString))
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
-        "docFeatureSep", "queryFeatureSep", "nprobe", "exactPath",
-        "broadcastThreshold", "count", "dim", "effectiveIndex")
+        "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
+        "exactPath", "broadcastThreshold", "count", "dim", "effectiveIndex")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

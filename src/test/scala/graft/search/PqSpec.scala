@@ -187,6 +187,50 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 / IVF8,SQ8 save/load round-trip; add() encodes under fitted bounds") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val q = emb.filter(col("vec_id") < 5)
+    for (param <- Seq("SQ8", "IVF8,SQ8")) {
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "l2", indexParam = param, nprobe = 8)).fit(a)
+      val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+      val dir = java.nio.file.Files.createTempDirectory("graft-sq").toString
+      model.save(dir)
+      // sq_bounds round-trip: levels rebuilt from persisted bounds must
+      // reproduce the fitted search exactly
+      val loaded = SparkSearcher.load(spark, dir)
+      val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+      assert(after === before, s"param $param")
+      // add() after load: new rows encode under the EXISTING bounds
+      // (values outside the trained range clamp to the edge levels, faiss
+      // SQ semantics) — the grown index serves the full id space
+      val grown = loaded.add(b)
+      assert(grown.count === emb.count(), s"param $param")
+      val wide = grown.search(emb.filter(col("vec_id") >= 495), 3,
+        keepRankNo = true, queryIdCol = Some("vec_id"))
+      // each added query retrieves its own (clamp-encoded) vector at rank 0
+      assert(wide.filter(col("rank_no") === 0 &&
+        col("sim_item").cast("long") === col("vec_id")).count() === 5, s"param $param")
+      grown.unpersist()
+      model.unpersist()
+    }
+  }
+
+  test("unsupported scalar quantizers raise — never silently uncompressed") {
+    // 'IVF16,SQfp16' must NOT fall through to the IVF(16) catch-all and
+    // serve exact floats when the caller asked for compression
+    intercept[IllegalArgumentException](IndexStrategy.parse("SQfp16"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("SQ4"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQfp16"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ4"))
+    assert(IndexStrategy.parse("IVF16,SQ8") === IvfSq(16))
+  }
+
   test("PQ save/load round-trip: identical results from reloaded codes") {
     val model = fitPq("l2")
     val q = sf("embeddings").filter(col("vec_id") < 5)
