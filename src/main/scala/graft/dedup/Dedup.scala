@@ -37,6 +37,39 @@ object Dedup {
    * `[<keys…>, keep_id, n_dups]` where `keep_id` is the smallest id in the
    * group (deterministic survivor) and `n_dups` the group size.
    */
+  /** Rank each doc's shingles by global rarity `(df asc, s asc)` and keep
+    * only the prefix (`rk ≤ sz − ⌈t·sz⌉ + 1`): one hash exchange on the
+    * doc id, a partition-local sort, and a streaming rank pass — no Window
+    * buffering, and non-prefix rows never leave the scan. Input columns
+    * `(s, id, sz, df)` in any order; output `[id, sz, s, rk]`. */
+  private def prefixRank(joined: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val base = joined.select(col("id"), col("sz"), col("s"), col("df"))
+    val schema = StructType(
+      base.schema.fields.take(3) :+ StructField("rk", IntegerType, nullable = false))
+    val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      RowEncoder.encoderFor(schema)
+    val t = threshold
+    base.repartition(col("id"))
+      .sortWithinPartitions(col("id"), col("df"), col("s"))
+      .mapPartitions { it =>
+        var curId: Any = null
+        var started = false
+        var rk = 0
+        it.flatMap { r =>
+          val id = r.get(0)
+          if (!started || id != curId) { curId = id; started = true; rk = 0 }
+          rk += 1
+          val sz = r.getInt(1)
+          // same arithmetic as the SQL bound: sz − ceil(sz·t) + 1 in double
+          if (rk <= sz - math.ceil(sz * t) + 1)
+            Some(org.apache.spark.sql.Row(id, sz, r.get(2), rk))
+          else None
+        }
+      }(enc)
+  }
+
   def exact(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -76,17 +109,17 @@ object Dedup {
     val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     // one global rarity order: corpus-wide shingle document-frequency
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // ranking via the per-doc window (codegen'd partition sort) measured
-    // ~20% faster than a sort_array(collect_list) aggregate — the
-    // aggregate's per-group object buffers cost more than the sort saves
-    val w = Window.partitionBy(col("id")).orderBy(col("df").asc, col("s").asc)
+    // per-doc rarity rank WITHOUT the Window operator: repartition by doc,
+    // sort within partitions, assign ranks in one streaming mapPartitions
+    // pass that also applies the prefix bound — the Window formulation
+    // buffered every doc's full shingle group and carried the rank through
+    // an extra projection before filtering; this emits only the (small)
+    // prefix rows. Equivalent output: same (df asc, s asc) total order per
+    // doc, same ⌈·⌉ bound arithmetic (double ceil on both sides).
     // persisted: BOTH candidate-join sides consume it, and Catalyst does
-    // not reuse the window subtree across the self-join (measured: the
-    // explode+freq-join+window pass ran twice without this)
-    val prefix = ex.join(freq, "s")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "s", "rk")
+    // not reuse the subtree across the self-join (measured: the
+    // explode+freq-join pass ran twice without this)
+    val prefix = prefixRank(ex.join(freq, "s"), threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates: share a prefix shingle + size-compatible (t·max ≤ min) +
     // PPJoin POSITIONAL filter: matching at ranks (rk_a, rk_b) bounds the

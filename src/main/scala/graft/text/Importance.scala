@@ -31,14 +31,31 @@ import org.apache.spark.sql.functions._
  * corpus-sized shuffles are the (doc, token) count aggregation and the
  * final per-doc fold — no corpus-side sort, no driver collection.
  *
+ * `hashBuckets > 0` switches to DSIR's actual production shape — hashed
+ * buckets: tokens map to `xxhash64(token) mod hashBuckets`, so the
+ * broadcast profile is FIXED-WIDTH regardless of vocabulary size. The
+ * exact per-token profile (default) is the right tool up to natural-
+ * language vocabularies (~10⁷ distinct unigrams); a web-scale corpus full
+ * of noisy tokens can push the distinct vocabulary past broadcast limits,
+ * and the hashed profile caps it at `hashBuckets` rows by construction
+ * (collisions merge token statistics — the paper's accepted trade).
+ * Still fully deterministic: xxhash64 is seeded-fixed and the per-doc
+ * fold orders by bucket id.
+ *
  * Returns `[<idCol>, n_tok, score]`, one row per document with ≥1 token.
  */
 object Importance {
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column): DataFrame = {
-    val tk = df.select(col(idCol), isTarget.as("__is_t"),
-        explode(filter(split(lower(col(textCol)), "\\s+"),
-          t => length(t) > 0)).as("w"))
+      isTarget: Column, hashBuckets: Int = 0): DataFrame = {
+    // the "term" is the token itself (exact mode) or its hash bucket
+    // (fixed-width mode); everything downstream is term-agnostic
+    val raw = df.select(col(idCol), isTarget.as("__is_t"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        t => length(t) > 0)).as("__tok"))
+    val tk = (if (hashBuckets > 0)
+        raw.select(col(idCol), col("__is_t"),
+          pmod(xxhash64(col("__tok")), lit(hashBuckets.toLong)).as("w"))
+      else raw.withColumnRenamed("__tok", "w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prof = tk.groupBy(col("w")).agg(
       sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t"),

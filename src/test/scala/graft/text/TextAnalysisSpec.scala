@@ -236,4 +236,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a === b)
   }
+
+  test("importance weights, hashed profile: fixed width, deterministic, ≈exact sans collisions") {
+    val sp = spark
+    import sp.implicits._
+    // high-distinct-vocabulary corpus: every doc contributes unique noise
+    // tokens (the web-scale regime where the exact profile outgrows
+    // broadcast limits) plus shared signal tokens
+    val docs = (0L until 200L).map { i =>
+      val noise = (0 until 20).map(j => s"tok_${i}_$j").mkString(" ")
+      val signal = if (i % 2 == 0) "alpha alpha beta" else "gamma delta"
+      (i, s"$signal $noise", if (i % 2 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    def run(buckets: Int) = Importance.importanceWeights(docs, "doc_id",
+        "text", col("lang") === "en", hashBuckets = buckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // small bucket count: one row per doc, finite scores, deterministic
+    val h = run(64)
+    assert(h.length === 200)
+    assert(h.forall { case (_, n, s) => n > 0 && !s.isNaN && !s.isInfinite && s > 0 })
+    assert(h === run(64))
+    // a bucket space far larger than the vocabulary (~4k distinct tokens,
+    // 2^30 buckets → collision-free here, deterministically): bucket stats
+    // ≡ token stats and V (distinct terms) is unchanged, so scores match
+    // the exact profile up to fold-order float noise (bucket order ≠
+    // token order)
+    val exact: Map[Long, (Long, Double)] =
+      run(0).map { case (id, n, s) => id -> (n, s) }.toMap
+    val wide = run(1 << 30)
+    assert(wide.forall { case (id, n, s) =>
+      val (en, es) = exact(id)
+      n == en && math.abs(s - es) <= 1e-9 * math.max(1.0, math.abs(es))
+    })
+  }
 }
