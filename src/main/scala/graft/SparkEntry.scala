@@ -345,6 +345,18 @@ object SparkEntry {
     // Hash-match gate: the deterministically-fitted codebooks are embedded
     // into the oracle SQL (dynamicOracles); recall, compression, and
     // save/load identity are asserted in PqSpec
+    // O6 + OPQ pretransform (faiss "OPQm,PQm"): eigen-balanced rotation
+    // fitted from data moments, then PQ in rotated space — deterministic ⇒
+    // rotation + codebooks embed into the oracle (opqOracle)
+    "knn_opq_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "OPQ8,PQ8"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_pq_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -1832,6 +1844,37 @@ object SparkEntry {
        |${knnTail(k, ord)}""".stripMargin.replace("\n", " ")
   }
 
+  /** knn_opq_cos: OPQ8,PQ8 — the fitted rotation AND codebooks embed as
+    * literals; DuckDB reproduces normalize → rotate (per-row double dot,
+    * float-rounded — [[graft.search.OpqIndex.rotate]]) → PQ encode → ADC
+    * bit-for-bit. */
+  private def opqOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "OPQ8,PQ8"))
+      .fit(table(s, dir, "embeddings"))
+    val cbs = model.fittedCodebooks.get
+    val rot = model.fittedOpqRotation.get
+    model.unpersist()
+    val dsub = cbs(0)(0).length
+    val d = rot.length
+    val rotValues = rot.indices.map(j => s"($j, ${fArr(rot(j))})").mkString(", ")
+    s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
+       |rt(j, rw) AS (VALUES $rotValues),
+       |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v0 FROM embeddings),
+       |n0 AS (SELECT vec_id, label, v0, sqrt(list_dot_product(v0, v0)) nrm FROM e0),
+       |f0 AS (SELECT vec_id, label, CASE WHEN nrm = 0 THEN list_transform(v0, x -> (x::FLOAT)::DOUBLE)
+       |  ELSE list_transform(v0, x -> ((x / nrm)::FLOAT)::DOUBLE) END v FROM n0),
+       |rc AS (SELECT f0.vec_id, f0.label, rt.j, CAST(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(0, $d), i -> rt.rw[i+1] * f0.v[i+1])), (a, x) -> a + x) AS FLOAT)::DOUBLE yj
+       |  FROM f0 CROSS JOIN rt),
+       |f AS (SELECT vec_id, label, list(yj ORDER BY j) v FROM rc GROUP BY vec_id, label),
+       |${pqCodesCte(dsub)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |${adcCtes(dsub, s"q.v[codes.s*$dsub+i+1] * cb.cent[i+1]")},
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
   /** knn_ivfpq_cos: IVF16,PQ8 at nprobe=6 — cells and codes both live in
     * the normalized space; a code is scored only for queries probing its
     * cell ([[graft.search.IvfPqScorer.topK]]). */
@@ -2021,6 +2064,7 @@ object SparkEntry {
       val builders: Map[String, () => String] = Map(
         "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
+        "knn_opq_cos" -> (() => opqOracle(s, dir, 10)),
         "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
         "knn_sq8_cos" -> (() => sqOracle(s, dir, 10)),
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),

@@ -73,6 +73,7 @@ final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
 case object SqFlat extends IndexStrategy
 final case class IvfSq(nlist: Int) extends IndexStrategy
 final case class HnswGraph(m: Int) extends IndexStrategy
+final case class OpqPq(m: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
@@ -82,6 +83,7 @@ object IndexStrategy {
   // IVF(n) catch-all — a caller asking for compression must never be
   // silently served exact floats
   private val IvfWithSq = "IVF(\\d+),SQ(\\w+)".r
+  private val OpqWithPq = "OPQ(\\d+),PQ(\\d+)".r
   private val Ivf = "IVF(\\d+).*".r
   private val Hnsw = "HNSW(\\d*).*".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
@@ -93,7 +95,7 @@ object IndexStrategy {
     * (scoring is a raw asymmetric dot over codes — no full-vector cosine
     * kernel exists once the floats are dropped). */
   def codesOnly(s: IndexStrategy): Boolean = s match {
-    case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) => true
+    case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) | OpqPq(_) => true
     case _ => false
   }
   /** Parse the reference's index_param. `HNSWm` (the graph ANN faiss
@@ -111,6 +113,10 @@ object IndexStrategy {
       require(b == "8", s"index_param '$param': only 8-bit scalar " +
         "quantization is supported (SQ8 — one byte per dimension)")
       IvfSq(n.toInt)
+    case OpqWithPq(mo, mp) =>
+      require(mo == mp, s"index_param '$param': OPQ subspace count must " +
+        s"match PQ (got OPQ$mo,PQ$mp) — the rotation is balanced per subspace")
+      OpqPq(mp.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(m)            => HnswGraph(if (m == null || m.isEmpty) 32 else m.toInt)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
@@ -218,6 +224,35 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         val d = dimOf(indexed)
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents), None, None)
+      case OpqPq(m) =>
+        // OPQ pre-rotation (faiss "OPQm,PQm"): rotate into the fitted
+        // eigen-balanced basis, then ordinary PQ over the rotated floats.
+        // Rotation preserves dot/l2 exactly, so only those metrics qualify
+        require(Set("cos", "ip", "dot", "l2").contains(params.measurement),
+          s"OPQ serves rotation-invariant metrics (cos/ip/l2); " +
+            s"'${params.measurement}' is not preserved by a rotation — use PQ$m")
+        val pre0 =
+          if (params.measurement == "cos")
+            base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+          else base
+        val pre = pre0.persist(StorageLevel.MEMORY_AND_DISK)
+        val n = pre.count()
+        val d = dimOf(pre)
+        require(d > 0, "OPQ fit on empty/zero-dim vectors")
+        val rot = OpqIndex.fitRotation(pre, VEC, d, m)
+        val rotated = pre.withColumn(VEC, OpqIndex.rotateCol(col(VEC), rot))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rotated.count()
+        pre.unpersist()
+        val codebooks = PqIndex.fitCodebooks(rotated, VEC, m, d, n)
+        val indexed = rotated
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
+          .drop(VEC)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        indexed.count()
+        rotated.unpersist()
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
+          Some(codebooks), None, Some(rot))
       case PqFlat(m) =>
         // every metric has a subspace ADC decomposition (PqIndex.adcScorer);
         // cos needs MATERIALIZED normalization (ADC computes raw dot
@@ -428,7 +463,7 @@ object SparkSearcher {
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
     val searcher = new SparkSearcher(encoder, params)
     val pq = searcher.strategy match {
-      case PqFlat(_) | IvfPq(_, _) =>
+      case PqFlat(_) | IvfPq(_, _) | OpqPq(_) =>
         val rows = spark.read.parquet(s"$path/pq_codebooks")
           .orderBy("sub", "cid").collect()
         Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
@@ -475,9 +510,15 @@ object SparkSearcher {
         Some(grouped)
       case _ => None
     }
+    val rot = searcher.strategy match {
+      case OpqPq(_) =>
+        Some(spark.read.parquet(s"$path/opq_rotation").orderBy("j").collect()
+          .map(_.getAs[scala.collection.Seq[Float]]("row").toArray))
+      case _ => None
+    }
     new SearcherModel(searcher,
       indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids,
-      planes, cbooks, sqB)
+      planes, cbooks, sqB, rot)
   }
 
   private[search] val ITEM = "__item"
@@ -499,7 +540,8 @@ class SearcherModel private[search] (
     private[search] val centroids: Option[Array[Array[Float]]],
     private[search] val lshPlanes: Option[Array[Array[Array[Float]]]],
     private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]],
-    private[search] val sqBounds: Option[(Array[Float], Array[Float])] = None) {
+    private[search] val sqBounds: Option[(Array[Float], Array[Float])] = None,
+    private[search] val opqRotation: Option[Array[Array[Float]]] = None) {
 
   import SparkSearcher._
   private def params = searcher.params
@@ -512,6 +554,7 @@ class SearcherModel private[search] (
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
   def fittedCentroids: Option[Array[Array[Float]]] = centroids
   def fittedSqBounds: Option[(Array[Float], Array[Float])] = sqBounds
+  def fittedOpqRotation: Option[Array[Array[Float]]] = opqRotation
 
   /** Truncate at feature separator: `str(x).split(sep)[0]`
     * (faiss_searcher.py:150-156). `substring_index` keeps everything before
@@ -567,6 +610,10 @@ class SearcherModel private[search] (
       case PqFlat(_) =>
         base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
           .drop(VEC)
+      case OpqPq(_) =>
+        base.withColumn(VEC, OpqIndex.rotateCol(col(VEC), opqRotation.get))
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+          .drop(VEC)
       case IvfPq(_, _) =>
         IvfIndex.assignCells(base, VEC, centroids.get,
           spark.sparkContext.defaultParallelism)
@@ -601,7 +648,7 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds)
+      lshPlanes, pqCodebooks, sqBounds, opqRotation)
   }
 
   /**
@@ -617,7 +664,7 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds)
+      lshPlanes, pqCodebooks, sqBounds, opqRotation)
   }
 
   /**
@@ -728,6 +775,11 @@ class SearcherModel private[search] (
           .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
       case LshTables(_, _) => lshTopK(qn, topK)
       case PqFlat(_)      => pqTopK(qn, topK)
+      // queries rotate into the fitted basis, then ordinary ADC — the
+      // stored codes already live in rotated space
+      case OpqPq(_)       => pqTopK(qn.withColumn(QVEC,
+        OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
+          throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
       case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
       // SQ codes score through the same ADC machinery: the fitted
       // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
@@ -985,6 +1037,12 @@ class SearcherModel private[search] (
       (for (t <- ps.indices; b <- ps(t).indices)
         yield (t, b, ps(t)(b).toSeq)).toDF("tbl", "bit", "plane")
         .write.mode("overwrite").parquet(s"$path/lsh_planes")
+    }
+    opqRotation.foreach { rot =>
+      val sp = spark
+      import sp.implicits._
+      rot.indices.map(j => (j, rot(j).toSeq)).toDF("j", "row")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/opq_rotation")
     }
     // SQ persists its BOUNDS (2·dim floats), not the derived dim×256
     // levels — load rebuilds levels from bounds, and add() after load

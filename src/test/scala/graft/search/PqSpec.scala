@@ -221,6 +221,55 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("OPQ rotation: orthonormal, recall vs PQ8 compared, save/load identical") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val opq = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "OPQ8,PQ8")).fit(emb)
+    // fitted rotation is orthonormal: R·Rᵀ ≈ I (float storage ⇒ 1e-5 tol)
+    val rot = opq.fittedOpqRotation.get
+    val d = rot.length
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(i => rot(a)(i).toDouble * rot(b)(i)).sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-5, s"RRᵀ[$a][$b] = $dot")
+    }
+    def hits(m: SearcherModel) = m.search(q, 10, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+    val pq = fitPq("cos")
+    val e = hits(exact)
+    val rOpq = e.count(hits(opq).contains).toDouble / e.size
+    val rPq = e.count(hits(pq).contains).toDouble / e.size
+    info(f"recall@10 vs exact — OPQ8,PQ8: $rOpq%.3f, PQ8: $rPq%.3f")
+    // on near-uniform synthetic vectors the rotation can't add much (no
+    // correlation structure to exploit); it must at least not hurt
+    // materially, and must clear the PQ floor
+    assert(rOpq >= 0.5, s"OPQ recall $rOpq")
+    assert(rOpq >= rPq - 0.1, s"OPQ $rOpq far below PQ $rPq")
+    // save/load: rotation + codebooks round-trip to identical results
+    val before = opq.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-opq").toString
+    opq.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(after === before)
+    // guards: rotation-variant metrics and mismatched subspace counts fail fast
+    intercept[IllegalArgumentException](new SparkSearcher(
+      new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l1", indexParam = "OPQ8,PQ8")).fit(emb))
+    intercept[IllegalArgumentException](IndexStrategy.parse("OPQ4,PQ8"))
+    opq.unpersist(); pq.unpersist(); exact.unpersist(); loaded.unpersist()
+  }
+
   test("unsupported scalar quantizers raise — never silently uncompressed") {
     // 'IVF16,SQfp16' must NOT fall through to the IVF(16) catch-all and
     // serve exact floats when the caller asked for compression
