@@ -641,13 +641,25 @@ object Dedup {
    * the seed, so the whole pipeline has a bit-exact DuckDB oracle.
    */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numTables: Int = 12, bits: Int = 6,
+      threshold: Double, numTables: Int = 12, bits: Int = 0,
       seed: Long = 42L): DataFrame = {
     import graft.search.SignLsh
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
     val dim = base.select(size(col("v"))).head().getInt(0)
-    val planes = SignLsh.planes(numTables, bits, dim, seed)
+    // bits = 0 (default) auto-scales with corpus size, keeping expected
+    // bucket occupancy ~16 rows: candidate pairs per table stay ≈ n·16
+    // (linear) instead of n²/2^bits — the sf1 scale probe measured the
+    // fixed-6-bit default going quadratic-ish (0.62 → 16.7 s at 10×
+    // vectors, BASELINE.md). Same formula as the searcher's LSH index.
+    // Pin bits explicitly for cross-run determinism (the oracle gate does).
+    val resolvedBits =
+      if (bits > 0) bits
+      else {
+        val n = base.count()
+        math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+      }
+    val planes = SignLsh.planes(numTables, resolvedBits, dim, seed)
     val bucketed = base
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .select(col("id"), col("v"), col("nrm"),

@@ -108,6 +108,11 @@ object IndexStrategy {
     * grows). */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
+    // faiss `IDMap,…` wraps an index to carry caller-supplied ids
+    // (faiss_searcher.py:104 factory strings); this engine ALWAYS carries
+    // external ids (idCol / positional row_id), so the wrapper is the
+    // identity here — strip and parse the inner index
+    case p if p.startsWith("IDMap,") => parse(p.stripPrefix("IDMap,"))
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case IvfWithSq(n, b) =>
       require(b == "8", s"index_param '$param': only 8-bit scalar " +

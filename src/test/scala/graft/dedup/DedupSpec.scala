@@ -156,6 +156,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding near-dups: auto bits ≡ the explicit occupancy-16 setting") {
+    // bits=0 (default) resolves to ceil(log2(n/16)) floored at 4 — on the
+    // 500-vector corpus that is 5 bits; pinning 5 explicitly must give
+    // byte-identical pairs (auto-resolution changes no plane arithmetic)
+    val emb = sf("embeddings")
+    def run(bits: Int) = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+        threshold = 0.4, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = run(0)
+    assert(auto.nonEmpty)
+    assert(auto === run(5))
+  }
+
   test("duplicated-span docs: shared w-grams flagged, unique docs absent") {
     val sp = spark
     import sp.implicits._

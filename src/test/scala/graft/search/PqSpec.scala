@@ -278,6 +278,9 @@ class PqSpec extends SparkSpec {
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQfp16"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ4"))
     assert(IndexStrategy.parse("IVF16,SQ8") === IvfSq(16))
+    // faiss IDMap wrapper: identity here (external ids are always carried)
+    assert(IndexStrategy.parse("IDMap,Flat") === ExactFlat)
+    assert(IndexStrategy.parse("IDMap,IVF16,SQ8") === IvfSq(16))
   }
 
   test("PQ save/load round-trip: identical results from reloaded codes") {
