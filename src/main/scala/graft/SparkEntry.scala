@@ -357,6 +357,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // O6 + refine stage (faiss "…,RFlat" / IndexRefineFlat): ADC proposes
+    // k·4 candidates, kept floats re-rank exactly — gate reproduces both
+    // stages in SQL (refineOracle)
+    "knn_refine_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8,RFlat"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_pq_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -1875,6 +1887,31 @@ object SparkEntry {
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
   }
 
+  /** knn_refine_cos: PQ8,RFlat — stage 1 is the PQ ADC ranking (crn ≤
+    * k·4 candidates, same tie-breaks as the engine's TopKBuffer), stage 2
+    * re-scores candidates with the EXACT cosine over the kept normalized
+    * floats ([[graft.search.SparkSearcher.VEC]]) and takes the true top-k. */
+  private def refineOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PQ8,RFlat"))
+      .fit(table(s, dir, "embeddings"))
+    val cbs = model.fittedCodebooks.get
+    model.unpersist()
+    val dsub = cbs(0)(0).length
+    val kf = k * 4
+    s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
+       |$normCtes,
+       |${pqCodesCte(dsub)},
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |${adcCtes(dsub, s"q.v[codes.s*$dsub+i+1] * cb.cent[i+1]")},
+       |cand AS (SELECT sc.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, xid) crn FROM sc),
+       |ex AS (SELECT c.qid, c.xid,
+       |  list_dot_product(qq.v, x.v) / (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(x.v, x.v))) score
+       |  FROM cand c JOIN q qq ON qq.qid = c.qid JOIN f x ON x.vec_id = c.xid WHERE c.crn <= $kf),
+       |${knnTail(k, "DESC").replace("SELECT sc.*", "SELECT ex.*").replace("FROM sc)", "FROM ex)")}""".stripMargin.replace("\n", " ")
+  }
+
   /** knn_ivfpq_cos: IVF16,PQ8 at nprobe=6 — cells and codes both live in
     * the normalized space; a code is scored only for queries probing its
     * cell ([[graft.search.IvfPqScorer.topK]]). */
@@ -2065,6 +2102,7 @@ object SparkEntry {
         "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
         "knn_opq_cos" -> (() => opqOracle(s, dir, 10)),
+        "knn_refine_cos" -> (() => refineOracle(s, dir, 10)),
         "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
         "knn_sq8_cos" -> (() => sqOracle(s, dir, 10)),
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),

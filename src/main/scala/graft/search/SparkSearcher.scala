@@ -74,6 +74,11 @@ case object SqFlat extends IndexStrategy
 final case class IvfSq(nlist: Int) extends IndexStrategy
 final case class HnswGraph(m: Int) extends IndexStrategy
 final case class OpqPq(m: Int) extends IndexStrategy
+/** faiss `IndexRefineFlat` (factory suffix `,RFlat`): the inner code-based
+  * index proposes `k·kFactor` candidates, kept float vectors re-score them
+  * exactly. faiss's `k_factor` defaults to 1 (reorder only); 4 recovers
+  * candidates quantization pushed just past rank k — the usual setting. */
+final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrategy
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
@@ -96,7 +101,15 @@ object IndexStrategy {
     * kernel exists once the floats are dropped). */
   def codesOnly(s: IndexStrategy): Boolean = s match {
     case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) | OpqPq(_) => true
+    case Refined(inner, _) => codesOnly(inner)
     case _ => false
+  }
+
+  /** The strategy whose quantizers/codes drive fit and persistence — a
+    * refine wrapper delegates everything except the kept float vectors. */
+  def effective(s: IndexStrategy): IndexStrategy = s match {
+    case Refined(inner, _) => inner
+    case other => other
   }
   /** Parse the reference's index_param. `HNSWm` (the graph ANN faiss
     * special-cases at faiss_searcher.py:101-102) maps to partition-local
@@ -113,6 +126,14 @@ object IndexStrategy {
     // external ids (idCol / positional row_id), so the wrapper is the
     // identity here — strip and parse the inner index
     case p if p.startsWith("IDMap,") => parse(p.stripPrefix("IDMap,"))
+    // faiss `…,RFlat` refine stage: only meaningful over CODE-based inner
+    // indexes — Flat/IVF/LSH/HNSW already score exact floats
+    case p if p.endsWith(",RFlat") =>
+      val inner = parse(p.stripSuffix(",RFlat"))
+      require(codesOnly(inner), s"index_param '$p': RFlat refine applies " +
+        "to code-based indexes (PQ/SQ/OPQ families) — the inner index " +
+        "already scores exact float vectors")
+      Refined(inner, kFactor = 4)
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case IvfWithSq(n, b) =>
       require(b == "8", s"index_param '$param': only 8-bit scalar " +
@@ -210,7 +231,14 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     val base = withId.select((col(ROW_ID) +: col(itemCol).as(ITEM) +: col(VEC) +:
       payloadCols.map(col).toSeq): _*)
 
-    strategy match {
+    // a Refined wrapper fits exactly like its inner strategy but KEEPS the
+    // float vectors next to the codes (faiss IndexRefineFlat stores both):
+    // memory = floats + codes, search = cheap code scan + exact re-rank
+    val keepVec = strategy match { case Refined(_, _) => true; case _ => false }
+    def dropVecUnlessKept(df: DataFrame): DataFrame =
+      if (keepVec) df else df.drop(VEC)
+    IndexStrategy.effective(strategy) match {
+      case Refined(_, _) => throw new IllegalStateException("nested refine")
       case ExactFlat =>
         val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
@@ -245,14 +273,18 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val d = dimOf(pre)
         require(d > 0, "OPQ fit on empty/zero-dim vectors")
         val rot = OpqIndex.fitRotation(pre, VEC, d, m)
-        val rotated = pre.withColumn(VEC, OpqIndex.rotateCol(col(VEC), rot))
+        // rotated copy under its own name: codes come from rotated space,
+        // while a refine wrapper keeps the UNROTATED (normalized) vectors —
+        // exact re-rank must score in the query's own space
+        val rotated = pre.withColumn(VROT, OpqIndex.rotateCol(col(VEC), rot))
           .persist(StorageLevel.MEMORY_AND_DISK)
         rotated.count()
         pre.unpersist()
-        val codebooks = PqIndex.fitCodebooks(rotated, VEC, m, d, n)
+        val codebooks = PqIndex.fitCodebooks(rotated, VROT, m, d, n)
         val indexed = rotated
-          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
-          .drop(VEC)
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VROT), codebooks))
+          .drop(VROT)
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         rotated.unpersist()
@@ -276,7 +308,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         // the property that lets a 100 TB corpus stay cached
         val indexed = pre
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
-          .drop(VEC)
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -298,7 +330,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
-          .drop(VEC)
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -320,7 +352,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         // the PQ ADC machinery over the synthetic dim×256 level codebooks
         val indexed = pre
           .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
-          .drop(VEC)
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -340,7 +372,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
           .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
-          .drop(VEC)
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -410,6 +442,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
 object SparkSearcher {
   // internal column names, prefixed to dodge payload collisions
   private[search] val VEC = "__vec"
+  private[search] val VROT = "__vec_rot"
   private[search] val QVEC = "__qvec"
   private[search] val QID = "__qid"
   private[search] val DIST = "__dist"
@@ -467,7 +500,7 @@ object SparkSearcher {
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
     val searcher = new SparkSearcher(encoder, params)
-    val pq = searcher.strategy match {
+    val pq = IndexStrategy.effective(searcher.strategy) match {
       case PqFlat(_) | IvfPq(_, _) | OpqPq(_) =>
         val rows = spark.read.parquet(s"$path/pq_codebooks")
           .orderBy("sub", "cid").collect()
@@ -478,7 +511,7 @@ object SparkSearcher {
           }.toArray)
       case _ => None
     }
-    val sqB = searcher.strategy match {
+    val sqB = IndexStrategy.effective(searcher.strategy) match {
       case SqFlat | IvfSq(_) =>
         val rows = spark.read.parquet(s"$path/sq_bounds").orderBy("i").collect()
         Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
@@ -497,7 +530,7 @@ object SparkSearcher {
     val payload = indexed.columns
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
         NswGraph.GPART, NswGraph.NBRS)).toSeq
-    val centroids = searcher.strategy match {
+    val centroids = IndexStrategy.effective(searcher.strategy) match {
       case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
@@ -515,7 +548,7 @@ object SparkSearcher {
         Some(grouped)
       case _ => None
     }
-    val rot = searcher.strategy match {
+    val rot = IndexStrategy.effective(searcher.strategy) match {
       case OpqPq(_) =>
         Some(spark.read.parquet(s"$path/opq_rotation").orderBy("j").collect()
           .map(_.getAs[scala.collection.Seq[Float]]("row").toArray))
@@ -619,6 +652,27 @@ class SearcherModel private[search] (
         base.withColumn(VEC, OpqIndex.rotateCol(col(VEC), opqRotation.get))
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
           .drop(VEC)
+      // refine wrapper: codes under the fitted quantizers + the floats kept
+      case Refined(inner, _) => inner match {
+        case PqFlat(_) =>
+          base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+        case OpqPq(_) =>
+          base.withColumn(PqIndex.CODES, PqIndex.encodeCol(
+            OpqIndex.rotateCol(col(VEC), opqRotation.get), pqCodebooks.get))
+        case SqFlat =>
+          val (mn, df) = sqBounds.get
+          base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+        case IvfPq(_, _) =>
+          IvfIndex.assignCells(base, VEC, centroids.get,
+            spark.sparkContext.defaultParallelism)
+            .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+        case IvfSq(_) =>
+          val (mn, df) = sqBounds.get
+          IvfIndex.assignCells(base, VEC, centroids.get,
+            spark.sparkContext.defaultParallelism)
+            .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+        case other => throw new IllegalStateException(s"refine over $other")
+      }
       case IvfPq(_, _) =>
         IvfIndex.assignCells(base, VEC, centroids.get,
           spark.sparkContext.defaultParallelism)
@@ -771,26 +825,7 @@ class SearcherModel private[search] (
         q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
       else q
 
-    val hits = searcher.strategy match {
-      case ExactFlat      => exactTopK(qn, topK)
-      case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, searcher.effectiveNprobe)
-      case HnswGraph(_)   =>
-        NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
-          .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
-          .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
-      case LshTables(_, _) => lshTopK(qn, topK)
-      case PqFlat(_)      => pqTopK(qn, topK)
-      // queries rotate into the fitted basis, then ordinary ADC — the
-      // stored codes already live in rotated space
-      case OpqPq(_)       => pqTopK(qn.withColumn(QVEC,
-        OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
-          throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
-      case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
-      // SQ codes score through the same ADC machinery: the fitted
-      // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
-      case SqFlat         => pqTopK(qn, topK)
-      case IvfSq(nlist)   => ivfPqTopK(qn, topK, nlist)
-    }
+    val hits = dispatchTopK(searcher.strategy, qn, topK)
 
     // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
     val payloadSide = indexed.select(
@@ -846,6 +881,50 @@ class SearcherModel private[search] (
             coalesce(col("sim_items"), array().cast(rows.schema("sim_items").dataType)).as("sim_items"),
             coalesce(col("sim_vals"), array().cast(rows.schema("sim_vals").dataType)).as("sim_vals"))
     }
+  }
+
+  /** Strategy-dispatched top-k hits `(QID, SourceItem, ROW_ID, DIST,
+    * RANK)` — shared by [[search]] and the refine stage (which runs its
+    * INNER strategy at a widened k). */
+  private def dispatchTopK(s: IndexStrategy, qn: DataFrame, topK: Int): DataFrame = s match {
+    case ExactFlat      => exactTopK(qn, topK)
+    case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, searcher.effectiveNprobe)
+    case HnswGraph(_)   =>
+      NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
+        .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
+        .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+    case LshTables(_, _) => lshTopK(qn, topK)
+    case PqFlat(_)      => pqTopK(qn, topK)
+    // queries rotate into the fitted basis, then ordinary ADC — the
+    // stored codes already live in rotated space
+    case OpqPq(_)       => pqTopK(qn.withColumn(QVEC,
+      OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
+        throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
+    case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
+    // SQ codes score through the same ADC machinery: the fitted
+    // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
+    case SqFlat         => pqTopK(qn, topK)
+    case IvfSq(nlist)   => ivfPqTopK(qn, topK, nlist)
+    // faiss IndexRefineFlat (the `…,RFlat` factory suffix): the inner
+    // code-based index proposes topK·kFactor candidates cheaply, the kept
+    // float vectors re-score them EXACTLY, top-k of the exact scores wins.
+    // Candidate misses are the only recall loss left — quantization error
+    // no longer reorders the final ranking
+    case Refined(inner, kFactor) =>
+      val cand = dispatchTopK(inner, qn, topK * kFactor)
+      val exact = cand.select(col(QID), col(ROW_ID))
+        .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
+        .join(broadcast(qn.select(col(QID), col(QVEC))), QID)
+        .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+      exact
+        .groupBy(col(QID))
+        .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
+          asc = !metric.higherIsCloser).as("__hits"))
+        .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+        .select(col(QID), col("__hit.row_id").as(ROW_ID),
+          col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+        .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
+        .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
   /** Multi-K on the RAW path (faiss_searcher.py:170-183: the raw branch
@@ -1011,7 +1090,7 @@ class SearcherModel private[search] (
     * JSON (+ IVF centroids), Spark-ML style — no object serialization. */
   def save(path: String): Unit = {
     val itemsOut = indexed.withColumnRenamed(ITEM, ITEM_SAVED)
-    searcher.strategy match {
+    IndexStrategy.effective(searcher.strategy) match {
       // IVF-family indexes persist PARTITIONED BY CELL: on disk the cells
       // are directories, so any cell-filtered read of a saved 100 TB index
       // prunes at the storage layer (PartitionFilters) and touches only
@@ -1052,7 +1131,7 @@ class SearcherModel private[search] (
     // SQ persists its BOUNDS (2·dim floats), not the derived dim×256
     // levels — load rebuilds levels from bounds, and add() after load
     // encodes under the exact fitted bounds (no float drift)
-    searcher.strategy match {
+    IndexStrategy.effective(searcher.strategy) match {
       case SqFlat | IvfSq(_) =>
         val (mn, df) = sqBounds.get
         val sp = spark

@@ -270,6 +270,59 @@ class PqSpec extends SparkSpec {
     opq.unpersist(); pq.unpersist(); exact.unpersist(); loaded.unpersist()
   }
 
+  test("RFlat refine: floats kept, recall ≥ plain ADC, save/load identical, guards") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    def fitParam(param: String) = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = param)).fit(emb)
+    def hits(m: SearcherModel) = m.search(q, 10, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val e = hits(fitParam("Flat"))
+    val pq = hits(fitParam("PQ8"))
+    val ref = fitParam("PQ8,RFlat")
+    // faiss IndexRefineFlat shape: codes AND floats both stored
+    assert(ref.indexed.columns.contains("__vec"))
+    assert(ref.indexed.columns.contains(PqIndex.CODES))
+    val rh = hits(ref)
+    val rPq = e.count(pq.contains).toDouble / e.size
+    val rRef = e.count(rh.contains).toDouble / e.size
+    info(f"recall@10 vs exact — PQ8: $rPq%.3f, PQ8+RFlat(k·4): $rRef%.3f")
+    // candidates ⊇ the ADC top-10, and exact re-rank keeps every true
+    // top-10 member among them ⇒ refine recall can only be ≥ plain ADC
+    assert(rRef >= rPq, s"refine $rRef < plain $rPq")
+    // save/load: codes + floats + codebooks round-trip to identical results
+    val before = ref.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-rflat").toString
+    ref.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.searcher.strategy === Refined(PqFlat(8), 4))
+    val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(after === before)
+    // add(): appended rows get codes under the fitted quantizers AND keep
+    // their floats — the grown refine index self-retrieves the new rows
+    // exactly (refine re-ranks on true cosine, self-sim = 1.0 is maximal)
+    val grown = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PQ8,RFlat"))
+      .fit(emb.filter(col("vec_id") < 400))
+      .add(emb.filter(col("vec_id") >= 400))
+    assert(grown.count === emb.count())
+    val self = grown.search(emb.filter(col("vec_id") >= 495), 3,
+      keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(self.filter(col("rank_no") === 0 &&
+      col("sim_item").cast("long") === col("vec_id")).count() === 5)
+    // refine over OPQ composes; refine over float-storing indexes rejects
+    assert(IndexStrategy.parse("OPQ8,PQ8,RFlat") === Refined(OpqPq(8), 4))
+    intercept[IllegalArgumentException](IndexStrategy.parse("Flat,RFlat"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF8,RFlat"))
+    ref.unpersist(); loaded.unpersist(); grown.unpersist()
+  }
+
   test("unsupported scalar quantizers raise — never silently uncompressed") {
     // 'IVF16,SQfp16' must NOT fall through to the IVF(16) catch-all and
     // serve exact floats when the caller asked for compression
