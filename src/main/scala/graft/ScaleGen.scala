@@ -53,17 +53,31 @@ object ScaleGen {
     write(scaled("orders", Seq("o_orderkey", "o_custkey"))(), "orders")
     write(scaled("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")
     write(scaled("events", Seq("event_id", "user_id"))(), "events")
+    // copies must be neither exact nor NEAR duplicates of each other, or
+    // the probe measures an every-doc-has-9-clones corpus instead of a
+    // bigger one. A 2-token suffix is NOT enough (54-token median docs ⇒
+    // copy-pair Jaccard ≈ 0.93 ≫ the 0.5 dedup threshold); interleaving a
+    // copy-specific marker after every 4th word caps shared w=3 shingles
+    // at the intra-run windows: J ≈ 0.5T / (1.75T) ≈ 0.29 < 0.5
     write(scaled("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" zcopy$i zz$i")))
+      else d.withColumn("text", array_join(
+          transform(split(col("text"), "\\s+"), (w, p) =>
+            when(pmod(p, lit(4)) === 3, concat(w, lit(s" zc$i"))).otherwise(w)),
+          " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")
+    // same requirement for vectors: a ±0.001-per-dim offset left
+    // cos(copy0, copy9) ≈ 0.98 ≫ the 0.4 near-dup threshold. Add
+    // deterministic hash-uniform noise of ~10× the signal energy
+    // (unit-norm dim-64 inputs): cos(copy, original) ≈ 0.3, copies are
+    // ordinary distinct vectors, not a 10-way clone cluster
     write(scaled("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding",
         transform(col("embedding"), (x, pos) =>
-          (x + lit(i * 0.0013f) * (pmod(pos, lit(7)) - lit(3)).cast("float"))
-            .cast("float")))
+          (x + (pmod(hash(col("vec_id"), pos, lit(i)), lit(1000))
+            .cast("double") / 1000.0 - 0.5) * 1.4).cast("float")))
     }, "embeddings")
     println(s"[scalegen] wrote $copies x $src -> $out")
     spark.stop()

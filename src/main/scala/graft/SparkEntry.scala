@@ -1824,8 +1824,9 @@ object SparkEntry {
        |sc AS (SELECT qid, xid, list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY s)), (a, x) -> a + x) score
        |  FROM ct GROUP BY qid, xid)""".stripMargin
 
-  private def knnTail(k: Int, ord: String): String =
-    s"""r AS (SELECT sc.*, row_number() OVER (PARTITION BY qid ORDER BY score $ord, xid) rn FROM sc)
+  /** Final rank-and-project tail over a score CTE `src(qid, xid, score)`. */
+  private def knnTail(k: Int, ord: String, src: String = "sc"): String =
+    s"""r AS (SELECT $src.*, row_number() OVER (PARTITION BY qid ORDER BY score $ord, xid) rn FROM $src)
        |SELECT r.qid source_id, CAST(rn - 1 AS INT) rank_no, r.xid sim_id, f.label sim_label, CAST(score AS FLOAT) sim_val
        |FROM r JOIN f ON f.vec_id = r.xid WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin
 
@@ -1909,7 +1910,7 @@ object SparkEntry {
        |ex AS (SELECT c.qid, c.xid,
        |  list_dot_product(qq.v, x.v) / (sqrt(list_dot_product(qq.v, qq.v)) * sqrt(list_dot_product(x.v, x.v))) score
        |  FROM cand c JOIN q qq ON qq.qid = c.qid JOIN f x ON x.vec_id = c.xid WHERE c.crn <= $kf),
-       |${knnTail(k, "DESC").replace("SELECT sc.*", "SELECT ex.*").replace("FROM sc)", "FROM ex)")}""".stripMargin.replace("\n", " ")
+       |${knnTail(k, "DESC", src = "ex")}""".stripMargin.replace("\n", " ")
   }
 
   /** knn_ivfpq_cos: IVF16,PQ8 at nprobe=6 — cells and codes both live in

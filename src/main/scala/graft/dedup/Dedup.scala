@@ -649,10 +649,15 @@ object Dedup {
     val dim = base.select(size(col("v"))).head().getInt(0)
     // bits = 0 (default) auto-scales with corpus size, keeping expected
     // bucket occupancy ~16 rows: candidate pairs per table stay ≈ n·16
-    // (linear) instead of n²/2^bits — the sf1 scale probe measured the
-    // fixed-6-bit default going quadratic-ish (0.62 → 16.7 s at 10×
-    // vectors, BASELINE.md). Same formula as the searcher's LSH index.
-    // Pin bits explicitly for cross-run determinism (the oracle gate does).
+    // (linear) instead of n²/2^bits growing with n (fixed bits ⇒ 10×
+    // corpus ⇒ 100× candidate dots; the sf1 probe in BASELINE.md measures
+    // the fixed-cell twin of this failure on the blocked variant). Same
+    // growth term as the searcher's LSH index auto-bits, with a lower
+    // floor (4 vs the index's 8): near-dup mining WANTS denser buckets on
+    // small corpora — more candidate pairs is recall, not waste — while a
+    // top-k index wants selectivity. The resolution costs one count()
+    // pass over the input. Pin bits explicitly for cross-run determinism
+    // (the oracle gate does).
     val resolvedBits =
       if (bits > 0) bits
       else {
@@ -708,14 +713,24 @@ object Dedup {
    * `nprobe` for recall (2 catches most boundary pairs).
    */
   def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 64, nprobe: Int = 2): DataFrame = {
+      threshold: Double, nlist: Int = 0, nprobe: Int = 2): DataFrame = {
     import graft.search.IvfIndex
     val vecs = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = vecs.count()
+    // nlist = 0 (default) auto-scales the cell count with corpus size,
+    // keeping expected cell occupancy ~64: per-row candidate dots stay
+    // ≈ occupancy·nprobe (linear) instead of (n/nlist)·nprobe growing
+    // with n — the sf1 probe measured the old fixed-64-cell default going
+    // quadratic-ish on an UNclustered 10× corpus (0.96 → 30.5 s,
+    // BASELINE.md; same failure mode the LSH auto-bits fix closed). Pin
+    // nlist explicitly for cross-run determinism (the oracle gates do).
+    val resolvedNlist =
+      if (nlist > 0) nlist
+      else math.max(16L, total / 64L).toInt
     val cents = IvfIndex.fitCentroids(vecs, "v",
-      math.min(nlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
+      math.min(resolvedNlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
     val celled = vecs
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .withColumn("cell",

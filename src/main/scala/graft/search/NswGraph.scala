@@ -281,11 +281,6 @@ object NswGraph {
     if (chunkPartials.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], PqIndex.hitSchema)
         .withColumn(RANK, lit(1).cast("int"))
-    chunkPartials.reduce(_ union _)
-      .groupBy(col(QID))
-      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK, asc).as("__hits"))
-      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
-      .select(col(QID), col("__hit.row_id").as(ROW_ID),
-        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+    TopKAggregate.mergeHits(chunkPartials.reduce(_ union _), topK, asc)
   }
 }

@@ -92,26 +92,49 @@ object OpqIndex {
       (es.eigenvalues(c), vec)
     }
     // allocate eigen-directions (variance descending) to the m subspaces,
-    // greedily evening out each subspace's log-variance product — ties go
-    // to the lowest bucket index (deterministic)
-    val ordered = eig.zipWithIndex.sortBy { case ((l, _), idx) => (-l, idx) }.map(_._1)
-    val dsub = dim / m
-    val bucketLog = new Array[Double](m)
+    // greedily evening out each subspace's log-variance product
+    val ordered = eig.zipWithIndex.sortBy { case ((l, _), idx) => (-l, idx) }
+    val buckets = allocate(ordered.map(_._1._1), m)
+    val byBucket = buckets.map(_.map(i => ordered(i)._1._2))
+    byBucket.flatten.map(_.map(_.toFloat))
+  }
+
+  /**
+   * Balanced-product allocation: assign `eigenvalues` (MUST be sorted
+   * descending; indices into that order are returned, `m` buckets of equal
+   * size) so the per-bucket log-variance products even out — each value
+   * goes to the non-full bucket with the smallest running sum, ties to the
+   * lowest bucket index.
+   *
+   * The sums compare SHIFTED logs, `log λ − log λ_min + ε`: raw `log λ`
+   * goes negative for λ < 1 (an unnormalized second-moment spectrum does
+   * this whenever n ≲ d), and a negative contribution makes the bucket
+   * holding the LARGEST eigenvalue compare below an empty bucket — the
+   * greedy then block-fills bucket 0 with the entire spectrum head, the
+   * maximally UNbalanced outcome. Shifting every log non-negative (ε keeps
+   * non-empty buckets strictly above empty ones) restores the intended
+   * round-robin-like spread; a constant shift per item changes no relative
+   * ordering between equal-fill buckets, so balance is preserved exactly.
+   */
+  private[search] def allocate(eigenvalues: Array[Double], m: Int): Array[Array[Int]] = {
+    val dsub = eigenvalues.length / m
+    val minLog = eigenvalues.map(l => math.log(math.max(l, 1e-12))).min
+    val bucketSum = new Array[Double](m)
     val bucketFill = new Array[Int](m)
-    val assign = Array.fill(m)(Array.newBuilder[Array[Double]])
-    ordered.foreach { case (l, vec) =>
+    val assign = Array.fill(m)(Array.newBuilder[Int])
+    eigenvalues.indices.foreach { i =>
       var best = -1
       var b = 0
       while (b < m) {
-        if (bucketFill(b) < dsub && (best < 0 || bucketLog(b) < bucketLog(best)))
+        if (bucketFill(b) < dsub && (best < 0 || bucketSum(b) < bucketSum(best)))
           best = b
         b += 1
       }
-      assign(best) += vec
-      bucketLog(best) += math.log(math.max(l, 1e-12))
+      assign(best) += i
+      bucketSum(best) += math.log(math.max(eigenvalues(i), 1e-12)) - minLog + 1e-9
       bucketFill(best) += 1
     }
-    assign.flatMap(_.result()).map(_.map(_.toFloat))
+    assign.map(_.result())
   }
 }
 

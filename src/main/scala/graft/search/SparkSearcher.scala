@@ -90,7 +90,10 @@ object IndexStrategy {
   private val IvfWithSq = "IVF(\\d+),SQ(\\w+)".r
   private val OpqWithPq = "OPQ(\\d+),PQ(\\d+)".r
   private val Ivf = "IVF(\\d+).*".r
-  private val Hnsw = "HNSW(\\d*).*".r
+  // exact match (+ the canonical ',Flat' storage suffix): a quantizer
+  // suffix like 'HNSW32,SQ8' must NOT be silently swallowed into an
+  // uncompressed float graph — it falls through to the catch-all error
+  private val Hnsw = "HNSW(\\d*)(?:,Flat)?".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
   private val Pq = "PQ(\\d+)".r
   private val Sq = "SQ(\\w+)".r
@@ -586,6 +589,17 @@ class SearcherModel private[search] (
   private def metric = searcher.metric
   private val spark = indexed.sparkSession
 
+  // frames this model persisted on the caller's behalf (the multi-K
+  // max-K results): released by unpersist() so a long-lived session
+  // doesn't accumulate one cached DataFrame per searchMulti call — the
+  // cache-leak class round 4 closed for the pipelines (CacheDiscipline)
+  private val auxPersisted =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def trackPersist(df: DataFrame): DataFrame = {
+    auxPersisted.synchronized { auxPersisted += df }
+    df
+  }
+
   /** Fitted model parameters, exposed for data-dependent oracle building
     * (the correctness gate embeds them as SQL literals — they are
     * deterministic functions of the fitted table). */
@@ -717,6 +731,17 @@ class SearcherModel private[search] (
    * removal scales with the index, not the id list.
    */
   def remove(ids: DataFrame, idCol: String): SearcherModel = {
+    // faiss raises "remove_ids not implemented" for HNSW too: deleting
+    // graph nodes invalidates the adjacency their neighbors route through
+    // (and the anti-join would scatter graph co-location). Mirror faiss:
+    // reject, refit (or filter results downstream) instead
+    searcher.strategy match {
+      case HnswGraph(_) => throw new UnsupportedOperationException(
+        "remove() is not supported on HNSW graph indexes (faiss raises " +
+          "'remove_ids not implemented' for IndexHNSW as well) — refit " +
+          "without the rows, or anti-join the search results")
+      case _ => ()
+    }
     val combined = indexed
       .join(ids.select(col(idCol).cast(LongType).as(ROW_ID)), Seq(ROW_ID), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -916,13 +941,7 @@ class SearcherModel private[search] (
         .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
         .join(broadcast(qn.select(col(QID), col(QVEC))), QID)
         .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
-      exact
-        .groupBy(col(QID))
-        .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
-          asc = !metric.higherIsCloser).as("__hits"))
-        .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
-        .select(col(QID), col("__hit.row_id").as(ROW_ID),
-          col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+      TopKAggregate.mergeHits(exact, topK, ascending = !metric.higherIsCloser)
         .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
         .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
@@ -936,8 +955,8 @@ class SearcherModel private[search] (
   def searchRawMulti(queries: DataFrame, topKs: Seq[Int],
       queryIdCol: Option[String] = None): Map[Int, DataFrame] = {
     require(topKs.nonEmpty, "topKs must be non-empty")
-    val full = searchRaw(queries, topKs.max, queryIdCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = trackPersist(searchRaw(queries, topKs.max, queryIdCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val qc = queryIdCol.getOrElse("query_id")
     topKs.map { k =>
       k -> full.select(col(qc), col(SourceItem),
@@ -980,16 +999,11 @@ class SearcherModel private[search] (
 
   private[search] def exactTopKAggregate(q: DataFrame, topK: Int): DataFrame = {
     val slim = indexed.select(col(ROW_ID), col(VEC))
-    val hits = slim
+    val scored = slim
       .crossJoin(broadcast(q.select(col(QID), col(QVEC))))
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
-      .groupBy(col(QID))
-      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
-        asc = !metric.higherIsCloser).as("__hits"))
-      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
-      .select(col(QID), col("__hit.row_id").as(ROW_ID),
-        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
-    hits.join(broadcast(q.select(col(QID), col(SourceItem))), QID)
+    TopKAggregate.mergeHits(scored, topK, ascending = !metric.higherIsCloser)
+      .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
@@ -1016,13 +1030,7 @@ class SearcherModel private[search] (
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
     // bounded-heap top-k tail (same as the exact aggregate path): shuffles
     // k rows per query per partition instead of sorting all candidates
-    scored
-      .groupBy(col(QID))
-      .agg(TopKAggregate.top_k(struct(col(ROW_ID), col(DIST)), topK,
-        asc = !metric.higherIsCloser).as("__hits"))
-      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
-      .select(col(QID), col("__hit.row_id").as(ROW_ID),
-        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+    TopKAggregate.mergeHits(scored, topK, ascending = !metric.higherIsCloser)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
@@ -1072,8 +1080,8 @@ class SearcherModel private[search] (
       queryIdCol: Option[String] = None): Map[Int, DataFrame] = {
     require(topKs.nonEmpty, "topKs must be non-empty")
     val maxK = topKs.max
-    val full = search(queries, maxK, keepRankNo = true, queryIdCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val full = trackPersist(search(queries, maxK, keepRankNo = true, queryIdCol)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     topKs.map { k =>
       val filtered = full.filter(col(RankNo) < k)
       k -> (if (keepRankNo) filtered else filtered.drop(RankNo))
@@ -1174,5 +1182,13 @@ class SearcherModel private[search] (
     * (e.g. [[graft.streaming.StreamingOps.scoreStream]]). */
   def indexedSlim: DataFrame = indexed.select(col(ROW_ID), col(VEC))
 
-  def unpersist(): Unit = indexed.unpersist()
+  /** Release the cached index AND every frame persisted on the caller's
+    * behalf (multi-K max-K results). */
+  def unpersist(): Unit = {
+    auxPersisted.synchronized {
+      auxPersisted.foreach(_.unpersist(blocking = false))
+      auxPersisted.clear()
+    }
+    indexed.unpersist()
+  }
 }

@@ -138,4 +138,20 @@ object TopKAggregate {
   /** Column DSL: aggregate a `struct(row_id, dist)` column to the k best. */
   def top_k(hit: Column, k: Int, asc: Boolean): Column =
     column(TopKByDistance(expression(hit), k, asc).toAggregateExpression())
+
+  /** The shared merge tail: per-partition partial hits `(QID, ROW_ID,
+    * DIST, …)` → global top-k per query with dense 1-based RANK. One
+    * definition so the tie-break and rank conventions cannot drift between
+    * the exact, LSH, PQ-family, graph, and refine paths. */
+  def mergeHits(partials: org.apache.spark.sql.DataFrame, k: Int,
+      ascending: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import SparkSearcher.{QID, ROW_ID, DIST, RANK}
+    partials
+      .groupBy(col(QID))
+      .agg(top_k(struct(col(ROW_ID), col(DIST)), k, ascending).as("__hits"))
+      .select(col(QID), posexplode(col("__hits")).as(Seq("__pos", "__hit")))
+      .select(col(QID), col("__hit.row_id").as(ROW_ID),
+        col("__hit.dist").as(DIST), (col("__pos") + 1).cast("int").as(RANK))
+  }
 }

@@ -144,6 +144,12 @@ class DedupSpec extends SparkSpec {
     assert(blocked.subsetOf(brute)) // never false positives (exact verify)
     val recall = (brute intersect blocked).size.toDouble / brute.size
     assert(recall >= 0.8, s"blocked recall $recall")
+    // auto cell count (nlist=0 default) resolves to max(16, n/64) = 16 on
+    // this 500-vector corpus — byte-identical to the pinned setting
+    val auto = Dedup.embeddingNearDupsBlocked(emb, "vec_id", "embedding", 0.4,
+        nprobe = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === blocked)
   }
 
   test("embedding near-dups: symmetric pairs, id_a < id_b, cos >= threshold") {

@@ -270,6 +270,23 @@ class PqSpec extends SparkSpec {
     opq.unpersist(); pq.unpersist(); exact.unpersist(); loaded.unpersist()
   }
 
+  test("OPQ balanced allocation spreads the spectrum head across subspaces, any λ scale") {
+    // λ < 1 (unnormalized moments with n ≲ d) made the old raw-log greedy
+    // block-fill bucket 0 with the largest eigenvalues — the maximally
+    // unbalanced outcome. The shifted-log greedy must interleave instead,
+    // identically at every scale of the same spectrum shape
+    for (scale <- Seq(1.0, 0.01, 100.0)) {
+      val lambda = Array(0.9, 0.8, 0.7, 0.6).map(_ * scale)
+      val buckets = OpqIndex.allocate(lambda, m = 2)
+      // balanced product: {0.9, 0.6} and {0.8, 0.7} — never {0.9, 0.8}
+      assert(buckets.map(_.toSet).toSet === Set(Set(0, 3), Set(1, 2)),
+        s"scale $scale: ${buckets.map(_.mkString("[", ",", "]")).mkString(" ")}")
+    }
+    // degenerate flat spectrum: any allocation is optimal; just total
+    val flat = OpqIndex.allocate(Array.fill(8)(0.5), m = 4)
+    assert(flat.flatten.sorted.toSeq === (0 until 8))
+  }
+
   test("RFlat refine: floats kept, recall ≥ plain ADC, save/load identical, guards") {
     val emb = sf("embeddings")
     val q = emb.filter(col("vec_id") < 20)

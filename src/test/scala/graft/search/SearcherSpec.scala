@@ -529,6 +529,39 @@ class SearcherSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("HNSW guards: remove() rejects (faiss parity); quantizer suffixes never swallowed") {
+    // faiss raises 'remove_ids not implemented' for IndexHNSW — deleting
+    // nodes would break the adjacency their neighbors route through
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2))
+      .fit(sf("embeddings").filter(col("vec_id") < 100))
+    val sp = spark
+    import sp.implicits._
+    intercept[UnsupportedOperationException](
+      model.remove(Seq(1L).toDF("vec_id"), "vec_id"))
+    model.unpersist()
+    // 'HNSW32,SQ8' must not silently become an uncompressed float graph
+    // (same never-silently-uncompressed rule as the IVFn,SQ* parse)
+    assert(IndexStrategy.parse("HNSW32,Flat") === HnswGraph(32)) // canonical faiss spelling
+    intercept[IllegalArgumentException](IndexStrategy.parse("HNSW32,SQ8"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("HNSW32,PQ8"))
+  }
+
+  test("searchMulti/searchRawMulti persists are released by model.unpersist()") {
+    val emb = sf("embeddings")
+    val model = embModel()
+    val q = emb.filter(col("vec_id") < 3)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    model.searchMulti(q, Seq(2, 4), queryIdCol = Some("vec_id"))(4).count()
+    model.searchRawMulti(q, Seq(2, 4), queryIdCol = Some("vec_id"))(4).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before)
+    model.unpersist()
+    // the max-K frames AND the index itself are gone — a long-lived
+    // session calling multi-K per request must not accumulate cache
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
+  }
+
   test("HNSW add(): segment graphs — grown index searches like the union at full ef") {
     val emb = sf("embeddings")
     val a = emb.filter(col("vec_id") < 400)
