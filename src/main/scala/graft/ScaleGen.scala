@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
  * measurement (BASELINE.md scale table). Deterministic — no RNG:
  *
  *  - dimension tables (region, nation) keep their TPC-H-fixed cardinality;
- *  - documents get a per-copy two-token suffix so copies are neither exact
- *    nor near duplicates (dedup selectivity stays realistic instead of
- *    every doc gaining 9 clones);
- *  - embeddings get a small deterministic per-copy, per-dimension offset
- *    for the same reason (near-dup/ANN density, not 10-way ties).
+ *  - documents interleave a copy-specific marker token after every 4th
+ *    word (and after the last word, covering short docs), capping
+ *    copy-pair shingle Jaccard well below near-dup thresholds — copies
+ *    are ordinary distinct documents, not a 10-way clone cluster;
+ *  - embeddings add deterministic hash-uniform noise of ~10× the signal
+ *    energy per copy for the same reason (cos(copy, original) ≈ 0.3).
  *
  * Usage: runMain graft.ScaleGen <srcDir> <outDir> <copies>
  */
@@ -59,11 +60,15 @@ object ScaleGen {
     // copy-pair Jaccard ≈ 0.93 ≫ the 0.5 dedup threshold); interleaving a
     // copy-specific marker after every 4th word caps shared w=3 shingles
     // at the intra-run windows: J ≈ 0.5T / (1.75T) ≈ 0.29 < 0.5
+    // the marker also lands after the LAST word: a 1–3-token doc would
+    // otherwise get no marker and its copies would stay exact duplicates
     write(scaled("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("text", array_join(
           transform(split(col("text"), "\\s+"), (w, p) =>
-            when(pmod(p, lit(4)) === 3, concat(w, lit(s" zc$i"))).otherwise(w)),
+            when(pmod(p, lit(4)) === 3 ||
+                 p === size(split(col("text"), "\\s+")) - 1,
+              concat(w, lit(s" zc$i"))).otherwise(w)),
           " "))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, "documents")

@@ -726,9 +726,9 @@ object Dedup {
     // quadratic-ish on an UNclustered 10× corpus (0.96 → 30.5 s,
     // BASELINE.md; same failure mode the LSH auto-bits fix closed). Pin
     // nlist explicitly for cross-run determinism (the oracle gates do).
-    val resolvedNlist =
+    val resolvedNlist = // clamp in Long: total/64 overflows Int past 2^37 rows
       if (nlist > 0) nlist
-      else math.max(16L, total / 64L).toInt
+      else math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
     val cents = IvfIndex.fitCentroids(vecs, "v",
       math.min(resolvedNlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
     val celled = vecs

@@ -89,10 +89,11 @@ object IndexStrategy {
   // silently served exact floats
   private val IvfWithSq = "IVF(\\d+),SQ(\\w+)".r
   private val OpqWithPq = "OPQ(\\d+),PQ(\\d+)".r
-  private val Ivf = "IVF(\\d+).*".r
-  // exact match (+ the canonical ',Flat' storage suffix): a quantizer
-  // suffix like 'HNSW32,SQ8' must NOT be silently swallowed into an
-  // uncompressed float graph — it falls through to the catch-all error
+  // exact match (+ the canonical ',Flat' storage suffix) for BOTH IVF and
+  // HNSW: an unrecognized quantizer suffix ('IVF16,PQ8x4fs', 'HNSW32,SQ8')
+  // must NOT be silently swallowed into an uncompressed float index — it
+  // falls through to the catch-all error instead
+  private val Ivf = "IVF(\\d+)(?:,Flat)?".r
   private val Hnsw = "HNSW(\\d*)(?:,Flat)?".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
   private val Pq = "PQ(\\d+)".r
@@ -133,9 +134,10 @@ object IndexStrategy {
     // indexes — Flat/IVF/LSH/HNSW already score exact floats
     case p if p.endsWith(",RFlat") =>
       val inner = parse(p.stripSuffix(",RFlat"))
-      require(codesOnly(inner), s"index_param '$p': RFlat refine applies " +
-        "to code-based indexes (PQ/SQ/OPQ families) — the inner index " +
-        "already scores exact float vectors")
+      require(codesOnly(inner) && !inner.isInstanceOf[Refined],
+        s"index_param '$p': RFlat refine applies once, to a code-based " +
+          "index (PQ/SQ/OPQ families) — a float-scoring inner index " +
+          "needs no refine, and refine-of-refine is meaningless")
       Refined(inner, kFactor = 4)
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case IvfWithSq(n, b) =>
@@ -278,8 +280,11 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val rot = OpqIndex.fitRotation(pre, VEC, d, m)
         // rotated copy under its own name: codes come from rotated space,
         // while a refine wrapper keeps the UNROTATED (normalized) vectors —
-        // exact re-rank must score in the query's own space
+        // exact re-rank must score in the query's own space. Plain OPQ
+        // drops VEC BEFORE this persist: only one corpus-sized float
+        // column is ever cached (two only when refine keeps the floats)
         val rotated = pre.withColumn(VROT, OpqIndex.rotateCol(col(VEC), rot))
+          .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         rotated.count()
         pre.unpersist()

@@ -333,10 +333,12 @@ class PqSpec extends SparkSpec {
       keepRankNo = true, queryIdCol = Some("vec_id"))
     assert(self.filter(col("rank_no") === 0 &&
       col("sim_item").cast("long") === col("vec_id")).count() === 5)
-    // refine over OPQ composes; refine over float-storing indexes rejects
+    // refine over OPQ composes; refine over float-storing indexes and
+    // refine-of-refine reject AT PARSE (not as a late fit-time error)
     assert(IndexStrategy.parse("OPQ8,PQ8,RFlat") === Refined(OpqPq(8), 4))
     intercept[IllegalArgumentException](IndexStrategy.parse("Flat,RFlat"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF8,RFlat"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("PQ8,RFlat,RFlat"))
     ref.unpersist(); loaded.unpersist(); grown.unpersist()
   }
 
@@ -351,6 +353,11 @@ class PqSpec extends SparkSpec {
     // faiss IDMap wrapper: identity here (external ids are always carried)
     assert(IndexStrategy.parse("IDMap,Flat") === ExactFlat)
     assert(IndexStrategy.parse("IDMap,IVF16,SQ8") === IvfSq(16))
+    // the IVF catch-all must not swallow unknown quantizer suffixes into
+    // an uncompressed IvfFlat (e.g. faiss fast-scan strings we don't serve)
+    assert(IndexStrategy.parse("IVF16,Flat") === IvfFlat(16))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,PQ8x4fs"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,Foo"))
   }
 
   test("PQ save/load round-trip: identical results from reloaded codes") {
