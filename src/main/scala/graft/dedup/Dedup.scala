@@ -662,7 +662,10 @@ object Dedup {
       if (bits > 0) bits
       else {
         val n = base.count()
-        math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+        val b = math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+        ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
+          s"(occupancy ~${n >> b} rows/bucket, $numTables tables)")
+        b
       }
     val planes = SignLsh.planes(numTables, resolvedBits, dim, seed)
     val bucketed = base
@@ -728,7 +731,12 @@ object Dedup {
     // nlist explicitly for cross-run determinism (the oracle gates do).
     val resolvedNlist = // clamp in Long: total/64 overflows Int past 2^37 rows
       if (nlist > 0) nlist
-      else math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
+      else {
+        val nl = math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
+        ccLog.info(s"embeddingNearDupsBlocked auto-nlist: n=$total -> nlist=$nl " +
+          s"(occupancy ~${total / math.max(1, nl)} rows/cell, nprobe=$nprobe)")
+        nl
+      }
     val cents = IvfIndex.fitCentroids(vecs, "v",
       math.min(resolvedNlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
     val celled = vecs

@@ -83,6 +83,10 @@ object IvfIndex {
     * distributed k-means would schedule per iteration. Deterministic:
     * fixed-seed sample, k-means++-lite init from the sample order. */
   def fitCentroids(df: DataFrame, vecCol: String, nlist: Int, total: Long): Array[Array[Float]] = {
+    // callers resolve auto-sizing (IndexStrategy.resolveNlist / the dedup
+    // occupancy formula) BEFORE this point; nlist=0 here would degenerate
+    // to a zero-centroid Lloyd, so fail fast instead
+    require(nlist > 0, s"fitCentroids needs a resolved nlist > 0, got $nlist")
     val fraction = if (total <= MaxTrainRows) 1.0 else MaxTrainRows.toDouble / total
     val sample = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
       .select(col(vecCol).cast(ArrayType(FloatType)))
@@ -185,14 +189,16 @@ object IvfIndex {
     * partition instead of sorting all nprobe·n/nlist candidates per query
     * (the window `row_number` tail this replaced). A row lives in exactly
     * one cell, so candidate (query, row) pairs are already distinct. */
-  def ivfTopK(model: SearcherModel, q: DataFrame, topK: Int, nlist: Int,
+  def ivfTopK(model: SearcherModel, q: DataFrame, topK: Int,
       nprobe: Int): DataFrame = {
     import SparkSearcher._
     val metric = model.searcher.metric
     val cents = model.centroids.getOrElse(
       throw new IllegalStateException("IVF search without fitted centroids"))
+    // nprobe clamps to the FITTED cell count (auto-sized `IVF0` models
+    // parse as nlist=0; the fit may also clamp below the requested nlist)
     val probes = q.withColumn(CID,
-      explode(nearestCentroidsCol(col(QVEC), cents, math.min(nprobe, nlist))))
+      explode(nearestCentroidsCol(col(QVEC), cents, math.min(nprobe, cents.length))))
     val slim = model.indexed.select(col(ROW_ID), col(VEC), col(CID))
     val scored = probes.join(slim, CID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))

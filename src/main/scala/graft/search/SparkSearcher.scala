@@ -122,7 +122,9 @@ object IndexStrategy {
     * string, extended) maps to `t` sign-random-projection tables of `b`
     * bits ([[SignLsh]]); with no explicit `b`, bits scale with corpus size
     * at fit time (≈log2(n/16): bucket occupancy stays ~constant as n
-    * grows). */
+    * grows). `IVF0…` requests the same fit-time auto-sizing for the cell
+    * count ([[resolveNlist]]): a fixed nlist chosen at small scale turns
+    * quadratic-ish when the corpus grows past it. */
   def parse(param: String): IndexStrategy = param match {
     case null | "" | "Flat" => ExactFlat
     // faiss `IDMap,…` wraps an index to carry caller-supplied ids
@@ -160,6 +162,27 @@ object IndexStrategy {
     case other => throw new IllegalArgumentException(
       s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8)")
   }
+
+  /** Fit-time nlist for the IVF family. `nlist > 0` is the caller's pinned
+    * choice, untouched. `nlist == 0` (the `IVF0` factory string) resolves
+    * to ~√n cells, clamped to [16, 65536]: √n balances the two per-query
+    * costs (centroid scan ∝ nlist, cell scan ∝ nprobe·n/nlist) and is the
+    * standard faiss guidance, while the 65536 cap keeps the broadcast
+    * centroid table executor-trivial at any corpus size. The dedup side's
+    * blocking uses occupancy-based n/64 instead — near-dup mining wants
+    * bounded CELL size (its cost is pairs within a cell); a top-k index
+    * wants the scan/probe balance. Logged once per fit: the resolved value
+    * is data-dependent, and a reproducible run needs it on record. */
+  def resolveNlist(nlist: Int, n: Long): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    if (nlist > 0) nlist
+    else {
+      val auto = math.max(16L, math.min(65536L,
+        math.ceil(math.sqrt(math.max(1L, n).toDouble)).toLong)).toInt
+      log.info(s"IVF auto-nlist: n=$n -> nlist=$auto (~sqrt(n), occupancy ~${n / math.max(1, auto)})")
+      auto
+    }
+  }
 }
 
 /**
@@ -183,6 +206,8 @@ object IndexStrategy {
  */
 class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherParams()) {
   import SparkSearcher._
+
+  private lazy val fitLog = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
 
   val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
   val strategy: IndexStrategy = IndexStrategy.parse(params.indexParam)
@@ -252,7 +277,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
       case IvfFlat(nlist) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
-        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        val cents = IvfIndex.fitCentroids(pre, VEC,
+          IndexStrategy.resolveNlist(nlist, n), n)
         // store each row's cell and co-partition by it, so query-time probes
         // scan only their nprobe cells (partition pruning at cluster scale)
         val indexed = IvfIndex
@@ -331,7 +357,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "IVF,PQ fit on empty/zero-dim vectors")
-        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        val cents = IvfIndex.fitCentroids(pre, VEC,
+          IndexStrategy.resolveNlist(nlist, n), n)
         val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n)
         // cells for pruning AND byte codes for memory: the canonical
         // faiss IVFn,PQm composition
@@ -375,7 +402,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "IVF,SQ fit on empty/zero-dim vectors")
-        val cents = IvfIndex.fitCentroids(pre, VEC, nlist, n)
+        val cents = IvfIndex.fitCentroids(pre, VEC,
+          IndexStrategy.resolveNlist(nlist, n), n)
         val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
@@ -407,9 +435,13 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "LSH fit on empty/zero-dim vectors")
-        // auto bits: keep expected bucket occupancy ~16 rows as n grows
-        val bits = bitsOpt.getOrElse(math.max(8,
-          math.ceil(math.log(n / 16.0) / math.log(2)).toInt))
+        // auto bits: keep expected bucket occupancy ~16 rows as n grows;
+        // resolved value logged — auto runs must be reproducible from logs
+        val bits = bitsOpt.getOrElse {
+          val b = math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt)
+          fitLog.info(s"LSH auto-bits: n=$n -> bits=$b (occupancy ~${n >> b} rows/bucket)")
+          b
+        }
         val planes = SignLsh.planes(numTables, bits, d)
         // store each row's per-table bucket keys; search is an equi-join on
         // (table, bucket) — candidates only, never the full corpus
@@ -478,22 +510,32 @@ object SparkSearcher {
   def load(spark: SparkSession, path: String,
       encoder: Encoder = new PassthroughEncoder("embedding")): SearcherModel = {
     val kv = spark.read.json(s"$path/params.json").head()
-    def str(n: String) = kv.getAs[String](n)
+    // TOLERANT field reads: params.json written by an older build predates
+    // fields added since (efSearch/hnswGraphs arrived with the graph ANN;
+    // exactPath with the dual exact shapes). A missing field means "the
+    // writer didn't know the knob" — the current default is the right
+    // reading, not a load failure. count/dim/indexParam stay STRICT below:
+    // they are invariants of the saved index, not tunables.
+    val fields = kv.schema.fieldNames.toSet
+    def has(n: String) = fields.contains(n) && !kv.isNullAt(kv.fieldIndex(n))
+    def str(n: String) = if (has(n)) kv.getAs[String](n) else null
     def lng(n: String) = kv.getAs[Long](n)
+    val dflt = SearcherParams()
+    def lngOr(n: String, d: Long) = if (has(n)) kv.getAs[Long](n) else d
     val params = SearcherParams(
       itemCol = Option(str("itemCol")).filter(_.nonEmpty),
       idCol = None, // ids already materialized in the saved table
       indexParam = str("indexParam"),
-      measurement = str("measurement"),
-      metricArg = kv.getAs[Double]("metricArg"),
-      normVec = kv.getAs[Boolean]("normVec"),
+      measurement = Option(str("measurement")).getOrElse(dflt.measurement),
+      metricArg = if (has("metricArg")) kv.getAs[Double]("metricArg") else dflt.metricArg,
+      normVec = if (has("normVec")) kv.getAs[Boolean]("normVec") else dflt.normVec,
       docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
       queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty),
-      nprobe = lng("nprobe").toInt,
-      efSearch = lng("efSearch").toInt,
-      hnswGraphs = lng("hnswGraphs").toInt,
-      broadcastThreshold = lng("broadcastThreshold"),
-      exactPath = str("exactPath"))
+      nprobe = lngOr("nprobe", dflt.nprobe).toInt,
+      efSearch = lngOr("efSearch", dflt.efSearch).toInt,
+      hnswGraphs = lngOr("hnswGraphs", dflt.hnswGraphs).toInt,
+      broadcastThreshold = lngOr("broadcastThreshold", dflt.broadcastThreshold),
+      exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath))
     val read0 = spark.read.parquet(s"$path/items")
     // HNSW graphs must be CO-LOCATED (a graph's adjacency is resolved
     // within its task); parquet splits don't respect graph boundaries, so
@@ -786,12 +828,16 @@ class SearcherModel private[search] (
     // lives in exactly one cell, so hits stay distinct); full probe ≡ the
     // exact scan (spec-gated). Other strategies scan exactly.
     val scored = searcher.strategy match {
-      case IvfFlat(nlist) =>
+      case IvfFlat(_) =>
         val cents = centroids.getOrElse(
           throw new IllegalStateException("IVF search without fitted centroids"))
+        // clamp against the FITTED cell count, not the parsed nlist — an
+        // auto-sized model (`IVF0`) parses as nlist=0, but cents.length is
+        // always the real cell count (fit clamps to the train-sample size
+        // too, so the parsed number can overstate the cells that exist)
         val probes = qn.withColumn(IvfIndex.CID,
           explode(IvfIndex.nearestCentroidsCol(col(QVEC), cents,
-            math.min(searcher.effectiveNprobe, nlist))))
+            math.min(searcher.effectiveNprobe, cents.length))))
         indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)
@@ -918,7 +964,7 @@ class SearcherModel private[search] (
     * INNER strategy at a widened k). */
   private def dispatchTopK(s: IndexStrategy, qn: DataFrame, topK: Int): DataFrame = s match {
     case ExactFlat      => exactTopK(qn, topK)
-    case IvfFlat(nlist) => IvfIndex.ivfTopK(this, qn, topK, nlist, searcher.effectiveNprobe)
+    case IvfFlat(_)     => IvfIndex.ivfTopK(this, qn, topK, searcher.effectiveNprobe)
     case HnswGraph(_)   =>
       NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
         .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)

@@ -180,6 +180,65 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalArgumentException](SparkSearcher.load(spark, dir2))
   }
 
+  test("load tolerates params.json from an older writer (missing fields -> defaults)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-oldidx").toString
+    val model = embModel()
+    model.save(dir)
+    // replace the Spark-written params.json DIRECTORY with one plain file
+    // holding only the fields an older writer knew — efSearch / hnswGraphs /
+    // exactPath absent entirely (the pre-r5 shape the tolerant read serves)
+    val pdir = java.nio.file.Paths.get(s"$dir/params.json")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val it = java.nio.file.Files.list(p).iterator()
+        while (it.hasNext) rm(it.next())
+      }
+      java.nio.file.Files.delete(p)
+    }
+    rm(pdir)
+    val old = s"""{"itemCol":"vec_id","indexParam":"Flat","measurement":"cos","metricArg":2.0,"normVec":false,"nprobe":4,"broadcastThreshold":2000000,"count":${model.count},"dim":${model.dim}}"""
+    java.nio.file.Files.write(pdir, old.getBytes("UTF-8"))
+    spark.catalog.refreshByPath(s"$dir/params.json")
+    val loaded = SparkSearcher.load(spark, dir)
+    val dflt = SearcherParams()
+    assert(loaded.searcher.params.efSearch === dflt.efSearch)
+    assert(loaded.searcher.params.hnswGraphs === dflt.hnswGraphs)
+    assert(loaded.searcher.params.exactPath === dflt.exactPath)
+    assert(loaded.searcher.params.nprobe === 4)
+    val res = loaded.search(sf("embeddings").filter(col("vec_id") < 2),
+      topK = 2, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(res.count() === 4)
+  }
+
+  test("IVF0 auto-nlist: ~sqrt(n) cells fitted, full-probe exact, save/load round-trip") {
+    val emb = sf("embeddings")
+    val n = emb.count()
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        indexParam = "IVF0", nprobe = 1 << 20)).fit(emb)
+    val expected = IndexStrategy.resolveNlist(0, n)
+    assert(model.centroids.get.length === math.min(expected.toLong, n).toInt)
+    val q = emb.filter(col("vec_id") < 3)
+    // nprobe >= cells -> every cell probed -> exact: must equal Flat's result
+    val exact = embModel().search(q, topK = 5, keepRankNo = true,
+      queryIdCol = Some("vec_id")).orderBy("vec_id", "rank_no").collect()
+    val auto = model.search(q, topK = 5, keepRankNo = true,
+      queryIdCol = Some("vec_id")).orderBy("vec_id", "rank_no").collect()
+    assert(auto === exact)
+    // round-trip: the auto-sized model persists its fitted centroids and
+    // reloads as the same index (indexParam string "IVF0" re-parses fine)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf0").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.centroids.get.length === model.centroids.get.length)
+    val again = loaded.search(q, topK = 5, keepRankNo = true,
+      queryIdCol = Some("vec_id")).orderBy("vec_id", "rank_no").collect()
+    assert(again === exact)
+    // fitCentroids itself refuses an unresolved nlist
+    intercept[IllegalArgumentException](
+      IvfIndex.fitCentroids(emb.select(col("embedding").cast("array<float>").as("v")), "v", 0, n))
+  }
+
   test("multi-K invariant holds on the approximate strategies too") {
     // res(k) ≡ res(maxK).filter(rank < k) is implemented once above the
     // strategy dispatch — assert it survives the IVF and PQ paths
