@@ -634,8 +634,17 @@ object SparkEntry {
         n = 5, numHashes = 64, bands = 8, threshold = 0.5),
       "id_a", "id_b")
       .orderBy("id")),
-    // dedup: SimHash hamming-band pairs (no SQL oracle: xxhash64)
+    // dedup: SimHash hamming-band pairs, block count PINNED at the old
+    // fixed policy (maxHamming+1 single-block bands) for plan determinism
     "dedup_simhash" -> ((s, dir) => Dedup.simHashNearDups(
+      table(s, dir, "documents"), "doc_id", "text", maxHamming = 3, chunks = 4)
+      .orderBy("id_a", "id_b")),
+    // corpus-scaled banding (the 100 TB default): chunks=0 resolves the
+    // block count from n (simHashAutoChunks). The RESULT is invariant to
+    // the block count — generalized pigeonhole is exact — so the same
+    // static oracle gates both; this twin keeps the official bench honest
+    // about the auto path's cost
+    "dedup_simhash_auto" -> ((s, dir) => Dedup.simHashNearDups(
       table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")),
     // dedup: embedding-cosine near-dup pairs
@@ -649,6 +658,15 @@ object SparkEntry {
     "dedup_embedding_blocked" -> ((s, dir) => Dedup.embeddingNearDupsBlocked(
       table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
       nlist = 16, nprobe = 4)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
+    // auto-nlist twin (nlist=0 -> occupancy-64 resolution): the operator
+    // DEFAULT the 100 TB path runs — the pinned-16 gate above measures a
+    // config the sf1 probe showed going ~100× on candidate dots. Resolved
+    // nlist is a deterministic function of n, so the dynamic-oracle
+    // machinery (refit centroids, embed as literals) hash-gates it exactly
+    "dedup_embedding_blocked_auto" -> ((s, dir) => Dedup.embeddingNearDupsBlocked(
+      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
     // same machinery gated EXACTLY: nprobe = nlist ⇒ every pair shares a
@@ -963,6 +981,14 @@ object SparkEntry {
       numTables = 12, bits = 6, seed = 42L)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
+    // auto-bits twin (bits=0 -> occupancy-16 resolution): the operator
+    // DEFAULT the 100 TB path runs. The resolved bits are a deterministic
+    // function of n, so the dynamic-oracle machinery hash-gates it exactly
+    "dedup_embedding_lsh_auto" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
+      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
+      numTables = 12, seed = 42L)
+      .withColumn("cos", col("cos").cast("float"))
+      .orderBy("id_a", "id_b")),
     // as-of join: each event joined to the user's latest prior purchase
     // (union + one window pass — single shuffle, no range explosion)
     "q_asof_join" -> ((s, dir) => {
@@ -996,6 +1022,14 @@ object SparkEntry {
     // exact discrete percentiles by rank selection (values, not
     // interpolations — bit-exact, order-independent)
     "q_percentiles" -> ((s, dir) => graft.operators.Relational.exactPercentiles(
+      table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5, 0.9, 0.99))
+      .orderBy("l_returnflag")),
+    // same percentiles via two-pass histogram narrowing (the 100 TB path:
+    // no full per-group sort — two hash aggs + a window over only the
+    // rank-candidate buckets). Rank selection is identical, so the twin
+    // shares q_percentiles' oracle
+    "q_percentiles_hist" -> ((s, dir) => graft.operators.Relational.exactPercentilesHist(
       table(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
       Seq(0.5, 0.9, 0.99))
       .orderBy("l_returnflag")),
@@ -1290,6 +1324,9 @@ object SparkEntry {
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
+    // the result set is banding-invariant (exact pigeonhole), so the same
+    // oracle gates the corpus-scaled auto-banding twin
+    "dedup_simhash_auto" -> simhashOracle(maxHamming = 3),
     "multimodal_features" ->
       """WITH m AS (SELECT doc_id media_id, 'text' modality,
         |  octet_length(encode(text)) payload_bytes, text FROM documents),
@@ -1735,6 +1772,15 @@ object SparkEntry {
         |SELECT user_id, CAST(sid AS BIGINT) session_no, min(ts) start_ts, max(ts) end_ts,
         |  count(*) n_events, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_percentiles_hist" -> // identical rank selection, different plan
+      """WITH r AS (SELECT l_returnflag, l_extendedprice v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) n
+        |  FROM lineitem)
+        |SELECT l_returnflag, max(CASE WHEN rn = ceil(0.5 * n) THEN v END) p50,
+        |  max(CASE WHEN rn = ceil(0.9 * n) THEN v END) p90,
+        |  max(CASE WHEN rn = ceil(0.99 * n) THEN v END) p99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", " "),
     "q_percentiles" ->
       """WITH r AS (SELECT l_returnflag, l_extendedprice v,
         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) rn,
@@ -2048,27 +2094,60 @@ object SparkEntry {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " ")
   }
 
-  /** dedup_embedding_blocked: nlist=16/nprobe=4 cell blocking + exact cos
-    * verify of co-celled pairs, mirroring
-    * [[graft.dedup.Dedup.embeddingNearDupsBlocked]]. */
-  private def blockedOracle(s: SparkSession, dir: String): String = {
+  /** dedup_embedding_blocked[_auto]: cell blocking + exact cos verify of
+    * co-celled pairs, mirroring
+    * [[graft.dedup.Dedup.embeddingNearDupsBlocked]]. `nlist = 0` resolves
+    * the occupancy-64 auto formula EXACTLY as the operator does (same
+    * arithmetic, same clamps), so the refit centroids — and therefore the
+    * gated pair set — are bit-identical to the auto gate's run. */
+  private def blockedOracle(s: SparkSession, dir: String,
+      nlist: Int = 16, nprobe: Int = 4): String = {
     import graft.search.IvfIndex
     val vecs = table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
     val total = vecs.count()
+    val resolvedNlist =
+      if (nlist > 0) nlist.toLong
+      else math.min(math.max(16L, total / 64L), Int.MaxValue.toLong)
     val cents = IvfIndex.fitCentroids(vecs, "v",
-      math.min(16L, total max 1L).toInt, total)
+      math.min(resolvedNlist, total max 1L).toInt, total)
     s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
        |x AS (SELECT vec_id, embedding::DOUBLE[] v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm FROM embeddings),
        |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
        |  FROM x CROSS JOIN ce),
-       |celled AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn <= 4),
+       |celled AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn <= $nprobe),
        |pairs AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM celled ca JOIN celled cb ON ca.cell = cb.cell
        |  JOIN x a ON a.vec_id = ca.vec_id JOIN x b ON b.vec_id = cb.vec_id WHERE a.vec_id < b.vec_id),
        |scored AS (SELECT id_a, id_b, CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
        |  ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END cos
        |  FROM pairs JOIN x a ON a.vec_id = id_a JOIN x b ON b.vec_id = id_b)
        |SELECT id_a, id_b, CAST(cos AS FLOAT) cos FROM scored WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+  }
+
+  /** dedup_embedding_lsh_auto: sign-LSH near-dup with the operator's
+    * auto-bits resolution (occupancy ~16; deterministic function of n),
+    * planes embedded as literals — same SQL shape as the static pinned
+    * oracle, bits recomputed with the operator's exact arithmetic. */
+  private def lshAutoOracle(s: SparkSession, dir: String): String = {
+    val base = table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
+    val n = base.count()
+    val dim = base.select(size(col("v"))).head().getInt(0)
+    val bits = math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+    val planes = graft.search.SignLsh.planes(numTables = 12, bits = bits, dim = dim, seed = 42L)
+    val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, $bucketExprs bs FROM e),
+       |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM n0 CROSS JOIN range(0, 12) r),
+       |cd AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a JOIN bk b
+       |  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |vr AS (SELECT id_a, id_b,
+       |  CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
+       |    ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END c
+       |  FROM cd JOIN n0 na ON na.vec_id = cd.id_a JOIN n0 nb ON nb.vec_id = cd.id_b)
+       |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM vr WHERE c >= 0.4
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
@@ -2110,6 +2189,8 @@ object SparkEntry {
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
+        "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),
+        "dedup_embedding_lsh_auto" -> (() => lshAutoOracle(s, dir)),
         "whitening_transform" -> (() => whiteningOracle(s, dir)))
       builders
         .filter { case (name, _) => oracleNameFilter.forall(_.contains(name)) }

@@ -404,35 +404,85 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
-  /** SimHash near-dup pairs within `maxHamming`: band the 62-bit space into
-    * `maxHamming+1` chunks (pigeonhole: a pair within the distance agrees
-    * exactly on ≥1 chunk), equi-join per chunk, verify with bit_count(xor).
+  /** Block count for [[simHashNearDups]] scaled to the corpus: smallest
+    * `c` in `[maxHamming+1, 8]` whose join-key width `62·(c−maxHamming)/c`
+    * reaches ~`log2(n)+4` bits, i.e. expected RANDOM collisions per row
+    * stay ≤ 1/16 as n grows. `c = maxHamming+1` (single-block keys, the
+    * old fixed policy) holds to ~50k docs; a 10× corpus then moves to
+    * c=5 (two-block ~25-bit keys) instead of paying ~n²/2^15.5 candidate
+    * verifies — the measured 15× super-linearity of the fixed width. The
+    * price is C(c, c−maxHamming) band keys per row (4 → 10 at the first
+    * step), linear in n. Capped at 8 blocks (56 keys/row, ≥38-bit keys —
+    * enough for ~2^42 docs). */
+  def simHashAutoChunks(n: Long, maxHamming: Int): Int = {
+    val k = maxHamming
+    val target = math.min(48.0,
+      math.log(math.max(2.0, n.toDouble)) / math.log(2) + 4.0)
+    (k + 1 to 8).find(c => 62.0 * (c - k) / c >= target).getOrElse(8)
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`, generalized pigeonhole
+    * banding (Manku et al., WWW'07 §3): split the 62-bit space into
+    * `chunks ≥ maxHamming+1` blocks; a pair within the distance has all
+    * its differing bits inside ≤ maxHamming blocks, so SOME
+    * `chunks−maxHamming` blocks agree exactly — equi-join on the
+    * concatenated key of every (chunks−maxHamming)-block combination,
+    * verify with bit_count(xor). The result set is EXACTLY the pairs
+    * within `maxHamming`, independent of `chunks` — the block count only
+    * tunes the candidate volume (more blocks = wider keys = fewer random
+    * collisions, more band keys per row). `chunks = 0` (default) resolves
+    * by corpus size ([[simHashAutoChunks]], one count() pass); pin it for
+    * cross-run plan determinism (the pinned gate does).
     * Returns `[id_a, id_b, hamming]`.
     *
-    * A near-dup pair collides on SEVERAL chunks (exact duplicates on all of
+    * A near-dup pair collides on SEVERAL bands (exact duplicates on all of
     * them), so the join emits duplicates; instead of a `distinct()` shuffle
     * over every candidate (the round-2 hotspot: 575k candidate rows for 2k
     * result pairs on a dup-heavy corpus), each pair is kept only where the
-    * matched chunk is its FIRST agreeing chunk — a codegen filter on the
+    * matched band is its FIRST agreeing band — a codegen filter on the
     * two fingerprints already in hand, no extra shuffle. The hamming filter
     * runs before anything else downstream sees the row. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
+      maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val c =
+      if (chunks > 0) {
+        require(chunks > maxHamming,
+          s"chunks=$chunks cannot pigeonhole maxHamming=$maxHamming " +
+            "(need at least maxHamming+1 blocks for an untouched block to exist)")
+        chunks
+      } else {
+        val n = df.count()
+        val auto = simHashAutoChunks(n, maxHamming)
+        ccLog.info(s"simHashNearDups auto-chunks: n=$n maxHamming=$maxHamming " +
+          s"-> blocks=$auto (~${62 * (auto - maxHamming) / auto}-bit keys)")
+        auto
+      }
     val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
-    val chunkSpec = simHashChunks(chunks)
-    def chunkKey(c: Column, off: Int, width: Int): Column =
-      shiftright(c, off).bitwiseAND(lit((1L << width) - 1))
+    val blockSpec = simHashChunks(c)
+    // all (c − maxHamming)-block combinations, in combinations() order —
+    // the oracle builder enumerates the same order
+    val subsets: Seq[Seq[Int]] =
+      blockSpec.indices.combinations(c - maxHamming).map(_.toSeq).toSeq
+    def blockKey(fp: Column, off: Int, width: Int): Column =
+      shiftright(fp, off).bitwiseAND(lit((1L << width) - 1))
+    // band key = block keys concatenated ascending; total width
+    // 62·(c−k)/c < 62 bits, always fits a long
+    def bandKey(fp: Column, si: Seq[Int]): Column =
+      si.foldLeft(lit(0L): Column) { case (acc, bi) =>
+        val (off, width) = blockSpec(bi)
+        shiftleft(acc, width).bitwiseOR(blockKey(fp, off, width))
+      }
     val banded = sh.select(col("id"), col("sh"), posexplode(
-      array(chunkSpec.map { case (off, width) => chunkKey(col("sh"), off, width) }: _*))
+      array(subsets.map(s => bandKey(col("sh"), s)): _*))
       .as(Seq("chunk", "key")))
     val l = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // first-agreeing-chunk: every earlier chunk key must DIFFER
-    val firstMatch = chunkSpec.zipWithIndex.foldLeft(lit(true)) {
-      case (acc, ((off, width), ci)) =>
+    // first-agreeing-band: every earlier band key must DIFFER
+    val firstMatch = subsets.zipWithIndex.foldLeft(lit(true): Column) {
+      case (acc, (s, ci)) =>
         acc && (col("chunk") <= ci ||
-          chunkKey(col("sh_a"), off, width) =!= chunkKey(col("sh_b"), off, width))
+          bandKey(col("sh_a"), s) =!= bandKey(col("sh_b"), s))
     }
     l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
       .filter(firstMatch)

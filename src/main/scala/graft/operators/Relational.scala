@@ -85,6 +85,99 @@ object Relational {
       .as(s"p${(p * 100).round}")
 
   /**
+   * Exact discrete percentiles via TWO-PASS HISTOGRAM NARROWING — the
+   * 100 TB path for LOW-cardinality group sets, where [[exactPercentiles]]'s
+   * full per-group sort (one window over every row) is the bottleneck:
+   * sorting n rows costs n·log n and a full shuffle, while this plan is
+   * two hash aggregations plus a window over only the ~n/bins rows that
+   * land in rank-candidate buckets.
+   *
+   * Pass 1 aggregates per-group (count, min, max); pass 2 histograms the
+   * values into `bins` equal-width buckets per group; the driver walks the
+   * cumulative counts to find, for each percentile, the bucket holding the
+   * target rank `ceil(p·n)` and the rank offset within it; a final window
+   * sorts ONLY the candidate buckets and picks the value at that offset.
+   * The picked value is identical to [[exactPercentiles]]'s rank selection
+   * (equal values always share a bucket, so the in-bucket rank is
+   * well-defined on ties), and the same SQL oracle applies.
+   *
+   * Bounds: `valueCol` must be non-null (null rows would count toward n
+   * but fall out of every bucket; the window variant ranks them first).
+   * The driver collects ≤ groups·bins histogram rows — intended
+   * for the analytics shape (percentiles per flag/category/source, G in
+   * the hundreds). For high-cardinality groups use [[exactPercentiles]]:
+   * each group is then small, and the per-group sort is the right plan.
+   * Degenerate distributions (one bucket holding a whole group, e.g. all
+   * values equal) fall back to sorting that bucket — correct, at the
+   * window variant's cost for that group only.
+   */
+  def exactPercentilesHist(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[Double], bins: Int = 8192): DataFrame = {
+    require(bins > 1, s"bins must be > 1, got $bins")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"percentiles must lie in (0, 1], got $ps")
+    val spark = df.sparkSession
+    val g = groupCols.map(col)
+    val v = col(valueCol)
+    // pass 1: per-group count/min/max — one narrow aggregation, G rows
+    val statsDf = df.groupBy(g: _*).agg(
+      count(lit(1)).as("__n"), min(v).as("__mn"), max(v).as("__mx"))
+    // equal-width bucket of the value against its group's range; the
+    // double cast only steers CANDIDATE selection (exactness comes from
+    // the rank pick below), so decimal/float inputs are safe
+    val vd = v.cast("double")
+    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+      least(lit(bins - 1),
+        floor((vd - col("__mn").cast("double")) /
+          (col("__mx").cast("double") - col("__mn").cast("double")) * bins)
+          .cast("int")))
+    val bucketed = df.join(broadcast(statsDf), groupCols)
+      .withColumn("__b", bucket)
+    // pass 2: per-(group, bucket) counts — collected, ≤ G·bins rows
+    val hist = bucketed.groupBy((g :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__c")).collect()
+    val nG = groupCols.length
+    val byGroup = hist.groupBy(r => Seq.range(0, nG).map(r.get))
+    val labels = ps.map(p => s"p${(p * 100).round}")
+    // driver: cumulative walk per group -> (bucket, in-bucket rank) per p
+    val candRows = byGroup.toSeq.flatMap { case (gKey, rs) =>
+      val counts = rs.map(r => (r.getInt(nG), r.getLong(nG + 1))).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      ps.zip(labels).map { case (p, label) =>
+        val target = math.ceil(p * n).toLong
+        var cum = 0L
+        var bi = 0
+        while (bi < counts.length && cum + counts(bi)._2 < target) {
+          cum += counts(bi)._2; bi += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          gKey ++ Seq(counts(bi)._1, label, target - cum))
+      }
+    }
+    val candSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(c => df.schema(c)) ++ Seq(
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__p",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__r",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val cands = spark.createDataFrame(
+      spark.sparkContext.parallelize(candRows, 1), candSchema)
+    // final: sort ONLY candidate-bucket rows (~n/bins per group per p),
+    // pick the in-bucket rank. Ties in value share a bucket and a value,
+    // so any tie order yields the same picked value.
+    val candKeys = cands.select((g :+ col("__b")): _*).distinct()
+    val w = Window.partitionBy((g :+ col("__b")): _*).orderBy(v)
+    val picked = bucketed
+      .join(broadcast(candKeys), groupCols :+ "__b")
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(cands), groupCols :+ "__b")
+      .filter(col("__rn") === col("__r"))
+    picked.groupBy(g: _*).pivot("__p", labels).agg(first(v))
+  }
+
+  /**
    * Batch sessionization: gap-based session assignment via lag + running
    * sum — the batch twin of the streaming `flatMapGroupsWithState`
    * sessionizer ([[graft.streaming.StreamingOps.sessionize]]). One shuffle

@@ -86,6 +86,31 @@ class DedupSpec extends SparkSpec {
     assert(rows(0).getLong(0) === rows(1).getLong(0))
   }
 
+  test("simhash banding-invariance: pair set identical for every block count (pigeonhole exact)") {
+    val base = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3, chunks = 4)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // wider bands (the corpus-scaled policy's choices) and the auto default
+    // must produce the EXACT same pair set — banding only tunes candidates
+    for (c <- Seq(5, 6, 8)) {
+      val got = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3, chunks = c)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === base, s"chunks=$c")
+    }
+    val auto = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto === base)
+    // auto policy: fixed-width holds at small n, widens as n grows
+    assert(Dedup.simHashAutoChunks(500, 3) === 4)
+    assert(Dedup.simHashAutoChunks(50000, 3) === 5)
+    assert(Dedup.simHashAutoChunks(5000000, 3) === 6)
+    // too few blocks to pigeonhole -> fail fast
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3, chunks = 3))
+  }
+
   test("fuzz: in-kernel text simhash ≡ array formulation (ASCII fast path + unicode fallback)") {
     val sp = spark
     import sp.implicits._

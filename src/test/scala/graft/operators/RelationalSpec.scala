@@ -34,6 +34,31 @@ class RelationalSpec extends SparkSpec {
     assert(r.getDouble(3) === 99.0) // 0.99*100 rounds to exactly 99.0 in IEEE double
   }
 
+  test("exactPercentilesHist ≡ exactPercentiles: known distribution, ties, degenerate group, real table") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Relational.exactPercentilesHist(df, Seq("g"), "v", Seq(0.5, 0.9, 0.99), bins = 16)
+      .head()
+    assert(r.getDouble(1) === 50.0 && r.getDouble(2) === 90.0 && r.getDouble(3) === 99.0)
+    // heavy ties + an all-equal group (single-bucket degenerate path) +
+    // a tiny group: histogram pick must match the window rank selection
+    val messy = ((1 to 50).map(i => ("a", (i % 5).toDouble)) ++
+      (1 to 30).map(_ => ("b", 7.0)) ++ Seq(("c", 3.0), ("c", 9.0))).toDF("g", "v")
+    val want = Relational.exactPercentiles(messy, Seq("g"), "v", Seq(0.25, 0.5, 1.0))
+      .orderBy("g").collect()
+    val got = Relational.exactPercentilesHist(messy, Seq("g"), "v", Seq(0.25, 0.5, 1.0), bins = 8)
+      .orderBy("g").collect()
+    assert(got === want)
+    // real table, decimal values, multiple groups
+    val li = sf("lineitem")
+    val w2 = Relational.exactPercentiles(li, Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5, 0.9, 0.99)).orderBy("l_returnflag").collect()
+    val g2 = Relational.exactPercentilesHist(li, Seq("l_returnflag"), "l_extendedprice",
+      Seq(0.5, 0.9, 0.99)).orderBy("l_returnflag").collect()
+    assert(g2 === w2)
+  }
+
   test("saltedEquiJoin: output equals the plain join") {
     val li = sf("lineitem").select("l_orderkey", "l_extendedprice")
     val o = sf("orders").select("o_orderkey", "o_orderpriority")
