@@ -203,6 +203,17 @@ object NswGraph {
    * partition, merge globally with the exact path's heap aggregate. When
    * `efSearch ≥` a group's size that group is scanned exhaustively (exact
    * by construction — see the object doc).
+   *
+   * Chunk hygiene: chunks execute EAGERLY, one action each, merged to
+   * their final ≤ nq·k rows and pinned (localCheckpoint) before the next
+   * chunk starts — so each chunk's query broadcast is released
+   * (`unpersist`, not `destroy`: a recompute of the pinned blocks can
+   * still re-fetch from the driver) the moment its action finishes,
+   * instead of every chunk's broadcast staying resident until the
+   * caller's terminal action. Partition memory: graphs stream one
+   * GPART-run at a time over a spillable `sortWithinPartitions`, never
+   * the whole partition materialized at once (the previous `it.toArray`
+   * held every co-located graph's rows on-heap simultaneously).
    */
   def topK(indexed: DataFrame, queries: DataFrame, topK: Int, efSearch: Int,
       metricName: String, metricArg: Double,
@@ -215,24 +226,37 @@ object NswGraph {
     val dist = kernel(metricName, metricArg)
     val k = topK
     val ef = math.max(efSearch, topK)
+    // sorted by (graph, row_id) within partitions: group-runs stream in
+    // order (no per-group sort, no full-partition buffer) and the sort
+    // spills instead of OOMing when many graphs share a partition
     val slim = indexed.select(col(ROW_ID), col(SparkSearcher.VEC),
       col(NBRS), col(GPART).cast("int").as(GPART))
-    val chunkPartials = PqIndex.queryChunks(queries, queryChunkSize).flatMap { chunk =>
+      .sortWithinPartitions(GPART, ROW_ID)
+    val chunkResults = PqIndex.queryChunks(queries, queryChunkSize).flatMap { chunk =>
       val qRows = chunk.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
         .map(r => (r.getLong(0),
           UnsafeArrayData.fromPrimitiveArray(r.getSeq[Float](1).toArray): ArrayData))
       if (qRows.isEmpty) None else Some {
         val qB = spark.sparkContext.broadcast(qRows)
-        slim.mapPartitions { it =>
+        val partials = slim.mapPartitions { it =>
           val qs = qB.value
           val heaps = qs.map(_ => new TopKBuffer(k, asc))
-          val rows = it.toArray
-          rows.groupBy(_.getInt(3)).valuesIterator.foreach { grp =>
-            val sorted = grp.sortBy(_.getLong(0))
-            val n = sorted.length
-            val ids = sorted.map(_.getLong(0))
-            val vecs: Array[ArrayData] = sorted.map(r =>
-              UnsafeArrayData.fromPrimitiveArray(r.getSeq[Float](1).toArray))
+          val buffered = it.buffered
+          // one graph run at a time (input sorted by GPART, then ROW_ID)
+          while (buffered.hasNext) {
+            val gid = buffered.head.getInt(3)
+            val idBuf = new mutable.ArrayBuffer[Long]
+            val vecBuf = new mutable.ArrayBuffer[ArrayData]
+            val nbrBuf = new mutable.ArrayBuffer[scala.collection.Seq[Long]]
+            while (buffered.hasNext && buffered.head.getInt(3) == gid) {
+              val r = buffered.next()
+              idBuf += r.getLong(0)
+              vecBuf += UnsafeArrayData.fromPrimitiveArray(r.getSeq[Float](1).toArray)
+              nbrBuf += r.getSeq[Long](2)
+            }
+            val n = idBuf.length
+            val ids = idBuf.toArray
+            val vecs = vecBuf.toArray
             if (ef >= n) {
               // exhaustive scan of the group: exact
               var qi = 0
@@ -251,15 +275,14 @@ object NswGraph {
               val idToIdx = new java.util.HashMap[Long, Integer](n * 2)
               var j = 0
               while (j < n) { idToIdx.put(ids(j), j); j += 1 }
-              val adj: Array[Array[Int]] = sorted.map { r =>
-                val ns = r.getSeq[Long](2)
+              val adj: Array[Array[Int]] = nbrBuf.iterator.map { ns =>
                 val out = new mutable.ArrayBuffer[Int](ns.length)
                 ns.foreach { x =>
                   val li = idToIdx.get(x)
                   if (li != null) out += li.intValue()
                 }
                 out.toArray
-              }
+              }.toArray
               var qi = 0
               while (qi < qs.length) {
                 val found = beam(qs(qi)._2, vecs, adj(_), n, ef, dist, hic)
@@ -276,11 +299,19 @@ object NswGraph {
             heaps(qi).sorted.iterator.map { case (id, d) => Row(qid, id, d) }
           }
         }(enc)
+        // chunks are DISJOINT query sets: per-chunk merge then union is
+        // exactly the single global merge. Eager checkpoint executes the
+        // chunk now (result ≤ chunk·k rows), then the chunk's broadcast
+        // executor copies are dropped before the next chunk broadcasts.
+        val merged = TopKAggregate.mergeHits(partials, topK, asc)
+          .localCheckpoint(true)
+        qB.unpersist(blocking = false)
+        merged
       }
     }
-    if (chunkPartials.isEmpty)
+    if (chunkResults.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], PqIndex.hitSchema)
         .withColumn(RANK, lit(1).cast("int"))
-    TopKAggregate.mergeHits(chunkPartials.reduce(_ union _), topK, asc)
+    chunkResults.reduce(_ union _)
   }
 }
