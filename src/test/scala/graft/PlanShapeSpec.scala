@@ -43,6 +43,29 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("bm25: no corpus shuffle — only the 1-row stats aggregate exchanges") {
+    val plan = physical(graft.text.Relevance.bm25(
+      sf("documents"), "doc_id", "text", Seq("vector", "spark", "dup")))
+    // the corpus-side score projection must not re-key the table: the only
+    // exchanges are the stats aggregate's (partial -> SinglePartition) and
+    // its broadcast. A hashpartitioning exchange means the groupBy+pivot
+    // shape crept back in.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "bm25 re-grew a corpus shuffle")
+    assert(!plan.contains("Window"))
+  }
+
+  test("histogram percentiles: no full-table Sort outside the candidate-bucket window") {
+    val df = SparkEntry.queries("q_percentiles_hist")(spark, "/root/testdata/sf0.001")
+    val plan = physical(df)
+    // the final orderBy sorts 3 result rows; the candidate window sorts
+    // ~n/bins rows — but no global per-group sort of the raw table may
+    // appear (that is exactly the shape this variant replaces)
+    assert(!plan.contains("Exchange rangepartitioning(l_extendedprice"),
+      "histogram percentiles re-grew a full-table value sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q1 aggregation: partial (map-side) aggregate before the exchange") {
     val plan = physical(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("HashAggregate"))
