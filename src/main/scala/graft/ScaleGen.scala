@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
  * measurement (BASELINE.md scale table). Deterministic — no RNG:
  *
  *  - dimension tables (region, nation) keep their TPC-H-fixed cardinality;
- *  - documents interleave a copy-specific marker token after every 4th
- *    word (and after the last word, covering short docs), capping
- *    copy-pair shingle Jaccard well below near-dup thresholds — copies
- *    are ordinary distinct documents, not a 10-way clone cluster;
+ *  - documents REPLACE every 4th word (and the last word, covering short
+ *    docs) with a copy-marked token — an avalanched per-copy hex suffix —
+ *    pushing copy-pair shingle Jaccard AND SimHash similarity below the
+ *    near-dup thresholds: copies are ordinary distinct documents, not a
+ *    10-way clone cluster, under every dedup signal the engine mines;
  *  - embeddings add deterministic hash-uniform noise of ~10× the signal
  *    energy per copy for the same reason (cos(copy, original) ≈ 0.3).
  *
@@ -57,20 +58,42 @@ object ScaleGen {
     // copies must be neither exact nor NEAR duplicates of each other, or
     // the probe measures an every-doc-has-9-clones corpus instead of a
     // bigger one. A 2-token suffix is NOT enough (54-token median docs ⇒
-    // copy-pair Jaccard ≈ 0.93 ≫ the 0.5 dedup threshold); interleaving a
-    // copy-specific marker after every 4th word caps shared w=3 shingles
-    // at the intra-run windows: J ≈ 0.5T / (1.75T) ≈ 0.29 < 0.5
-    // the marker also lands after the LAST word: a 1–3-token doc would
-    // otherwise get no marker and its copies would stay exact duplicates
+    // copy-pair Jaccard ≈ 0.93 ≫ the 0.5 dedup threshold). REPLACE every
+    // 4th word with a copy-fused token (suffix concatenated, NO space):
+    //  - shingle Jaccard: only windows fully inside a 3-token unchanged
+    //    run survive ⇒ J ≈ 0.25T / (1.75T) ≈ 0.14 < 0.5;
+    //  - SimHash: replacement REMOVES the original token's 62 votes and
+    //    adds fresh pseudo-random ones — ±2 vote swing on ~T/4 tokens
+    //    rivals the ~√T bit margins, flipping far more than 3 bits
+    //    (the earlier "append a separate marker token" variant left the
+    //    original votes standing: copy fingerprints stayed within
+    //    hamming 3, and the sf1 simhash probe measured a 10-way-clone
+    //    corpus — 2.9M result pairs — instead of a bigger one);
+    //  - the marker is a per-copy AVALANCHED hex string, not "zc$i":
+    //    the simhash token hash is a polynomial fold, so suffixes
+    //    differing only in a final digit differ by ≤9 in hash space and
+    //    their votes stay correlated ACROSS copies (copy i vs copy j
+    //    fingerprints landed within hamming 3 of each other; measured
+    //    159k residual cross-copy pairs). Multiplying by a 64-bit odd
+    //    constant and hexing spreads copy identity over ~6 characters at
+    //    different polynomial weights — cross-copy marker hashes
+    //    decorrelate;
+    //  - token COUNT is preserved, so text_stats/bm25/pack costs stay
+    //    comparable across copies.
+    // The LAST word is also always replaced: a 1–3-token doc would
+    // otherwise get no change and its copies would stay exact duplicates
     write(scaled("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", array_join(
-          transform(split(col("text"), "\\s+"), (w, p) =>
-            when(pmod(p, lit(4)) === 3 ||
-                 p === size(split(col("text"), "\\s+")) - 1,
-              concat(w, lit(s" zc$i"))).otherwise(w)),
-          " "))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      else {
+        val mark = java.lang.Long.toHexString(0x9E3779B97F4A7C15L * i).take(6)
+        d.withColumn("text", array_join(
+            transform(split(col("text"), "\\s+"), (w, p) =>
+              when(pmod(p, lit(4)) === 3 ||
+                   p === size(split(col("text"), "\\s+")) - 1,
+                concat(w, lit(s"z$mark"))).otherwise(w)),
+            " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     }, "documents")
     // same requirement for vectors: a ±0.001-per-dim offset left
     // cos(copy0, copy9) ≈ 0.98 ≫ the 0.4 near-dup threshold. Add
