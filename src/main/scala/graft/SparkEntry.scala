@@ -2106,11 +2106,11 @@ object SparkEntry {
     val vecs = table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
     val total = vecs.count()
-    val resolvedNlist =
-      if (nlist > 0) nlist.toLong
-      else math.min(math.max(16L, total / 64L), Int.MaxValue.toLong)
+    // auto resolution via the OPERATOR's own helper: oracle and operator
+    // cannot silently diverge on the occupancy constant
+    val resolvedNlist = if (nlist > 0) nlist else Dedup.autoBlockNlist(total)
     val cents = IvfIndex.fitCentroids(vecs, "v",
-      math.min(resolvedNlist, total max 1L).toInt, total)
+      math.min(resolvedNlist.toLong, total max 1L).toInt, total)
     s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
        |x AS (SELECT vec_id, embedding::DOUBLE[] v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm FROM embeddings),
        |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
@@ -2134,7 +2134,7 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
     val n = base.count()
     val dim = base.select(size(col("v"))).head().getInt(0)
-    val bits = math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+    val bits = Dedup.autoLshBits(n) // the operator's own resolution helper
     val planes = graft.search.SignLsh.planes(numTables = 12, bits = bits, dim = dim, seed = 42L)
     val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
       .mkString("[", ", ", "]")

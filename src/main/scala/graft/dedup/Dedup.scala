@@ -416,9 +416,13 @@ object Dedup {
     * enough for ~2^42 docs). */
   def simHashAutoChunks(n: Long, maxHamming: Int): Int = {
     val k = maxHamming
+    // the cap must never drop below the pigeonhole minimum k+1: for k >= 8
+    // the widening headroom is gone (keys get thin), but correctness holds
+    // at exactly k+1 single-block bands — the uncapped pre-scaling policy
+    val cap = math.max(k + 1, 8)
     val target = math.min(48.0,
       math.log(math.max(2.0, n.toDouble)) / math.log(2) + 4.0)
-    (k + 1 to 8).find(c => 62.0 * (c - k) / c >= target).getOrElse(8)
+    (k + 1 to cap).find(c => 62.0 * (c - k) / c >= target).getOrElse(cap)
   }
 
   /** SimHash near-dup pairs within `maxHamming`, generalized pigeonhole
@@ -444,12 +448,15 @@ object Dedup {
     * runs before anything else downstream sees the row. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < SimHashKernels.Bits,
+      s"maxHamming must be in [0, ${SimHashKernels.Bits}), got $maxHamming")
     val c =
       if (chunks > 0) {
         require(chunks > maxHamming,
           s"chunks=$chunks cannot pigeonhole maxHamming=$maxHamming " +
             "(need at least maxHamming+1 blocks for an untouched block to exist)")
+        require(chunks <= SimHashKernels.Bits,
+          s"chunks=$chunks exceeds the ${SimHashKernels.Bits}-bit fingerprint")
         chunks
       } else {
         val n = df.count()
@@ -682,6 +689,19 @@ object Dedup {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Auto-bits for [[embeddingNearDupsLsh]] (`bits = 0`): expected bucket
+    * occupancy ~16 rows, floor 4. ONE definition shared by the operator
+    * and its dynamic oracle builder — a tuned occupancy constant must
+    * change both sides or the gate compares different configs. */
+  def autoLshBits(n: Long): Int =
+    math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+
+  /** Auto-nlist for [[embeddingNearDupsBlocked]] (`nlist = 0`): expected
+    * cell occupancy ~64 rows, floor 16; clamped in Long (total/64
+    * overflows Int past 2^37 rows). Shared with the oracle builder. */
+  def autoBlockNlist(total: Long): Int =
+    math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
+
   /**
    * LSH-bucketed embedding near-dup: sign-random-projection tables
    * ([[graft.search.SignLsh]]) generate candidates via an equi-join on
@@ -712,7 +732,7 @@ object Dedup {
       if (bits > 0) bits
       else {
         val n = base.count()
-        val b = math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
+        val b = autoLshBits(n)
         ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
           s"(occupancy ~${n >> b} rows/bucket, $numTables tables)")
         b
@@ -779,10 +799,10 @@ object Dedup {
     // quadratic-ish on an UNclustered 10× corpus (0.96 → 30.5 s,
     // BASELINE.md; same failure mode the LSH auto-bits fix closed). Pin
     // nlist explicitly for cross-run determinism (the oracle gates do).
-    val resolvedNlist = // clamp in Long: total/64 overflows Int past 2^37 rows
+    val resolvedNlist =
       if (nlist > 0) nlist
       else {
-        val nl = math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
+        val nl = autoBlockNlist(total)
         ccLog.info(s"embeddingNearDupsBlocked auto-nlist: n=$total -> nlist=$nl " +
           s"(occupancy ~${total / math.max(1, nl)} rows/cell, nprobe=$nprobe)")
         nl

@@ -101,9 +101,13 @@ object Relational {
    * (equal values always share a bucket, so the in-bucket rank is
    * well-defined on ties), and the same SQL oracle applies.
    *
-   * Bounds: `valueCol` must be non-null (null rows would count toward n
-   * but fall out of every bucket; the window variant ranks them first).
-   * The driver collects ≤ groups·bins histogram rows — intended
+   * Null handling matches the window variant exactly: null VALUES sort
+   * first in a `row_number` over `orderBy(value)`, so they are binned
+   * into bucket 0 here (where the candidate window's nulls-first order
+   * reproduces the same ranks); null GROUP KEYS are a group of their own
+   * (all joins below are null-safe on the group columns).
+   *
+   * Bounds: the driver collects ≤ groups·bins histogram rows — intended
    * for the analytics shape (percentiles per flag/category/source, G in
    * the hundreds). For high-cardinality groups use [[exactPercentiles]]:
    * each group is then small, and the per-group sort is the right plan.
@@ -119,19 +123,31 @@ object Relational {
     val spark = df.sparkSession
     val g = groupCols.map(col)
     val v = col(valueCol)
+    // null-safe broadcast join on the group columns: a NULL group key is
+    // a group like any other (plain USING-join equality would silently
+    // drop it — the window variant keeps it)
+    def nsJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame = {
+      val renamed = keys.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"__r_$c"))
+      val cond = keys.map(c => left(c) <=> renamed(s"__r_$c")).reduce(_ && _)
+      keys.foldLeft(left.join(broadcast(renamed), cond))((d, c) => d.drop(s"__r_$c"))
+    }
     // pass 1: per-group count/min/max — one narrow aggregation, G rows
     val statsDf = df.groupBy(g: _*).agg(
       count(lit(1)).as("__n"), min(v).as("__mn"), max(v).as("__mx"))
     // equal-width bucket of the value against its group's range; the
     // double cast only steers CANDIDATE selection (exactness comes from
-    // the rank pick below), so decimal/float inputs are safe
+    // the rank pick below), so decimal/float inputs are safe. Null values
+    // go to bucket 0: they rank FIRST under orderBy(value) (Spark default
+    // nulls-first asc), same as the window variant. min/max skip nulls,
+    // so an all-null group hits the v.isNull arm before the null range.
     val vd = v.cast("double")
-    val bucket = when(col("__mx") === col("__mn"), lit(0)).otherwise(
+    val bucket = when(v.isNull, lit(0))
+      .when(col("__mx") === col("__mn"), lit(0)).otherwise(
       least(lit(bins - 1),
         floor((vd - col("__mn").cast("double")) /
           (col("__mx").cast("double") - col("__mn").cast("double")) * bins)
           .cast("int")))
-    val bucketed = df.join(broadcast(statsDf), groupCols)
+    val bucketed = nsJoin(df, statsDf, groupCols)
       .withColumn("__b", bucket)
     // pass 2: per-(group, bucket) counts — collected, ≤ G·bins rows
     val hist = bucketed.groupBy((g :+ col("__b")): _*)
@@ -169,10 +185,10 @@ object Relational {
     // so any tie order yields the same picked value.
     val candKeys = cands.select((g :+ col("__b")): _*).distinct()
     val w = Window.partitionBy((g :+ col("__b")): _*).orderBy(v)
-    val picked = bucketed
-      .join(broadcast(candKeys), groupCols :+ "__b")
-      .withColumn("__rn", row_number().over(w))
-      .join(broadcast(cands), groupCols :+ "__b")
+    val picked = nsJoin(
+        nsJoin(bucketed, candKeys, groupCols :+ "__b")
+          .withColumn("__rn", row_number().over(w)),
+        cands, groupCols :+ "__b")
       .filter(col("__rn") === col("__r"))
     picked.groupBy(g: _*).pivot("__p", labels).agg(first(v))
   }

@@ -206,14 +206,19 @@ object NswGraph {
    *
    * Chunk hygiene: chunks execute EAGERLY, one action each, merged to
    * their final ≤ nq·k rows and pinned (localCheckpoint) before the next
-   * chunk starts — so each chunk's query broadcast is released
-   * (`unpersist`, not `destroy`: a recompute of the pinned blocks can
-   * still re-fetch from the driver) the moment its action finishes,
-   * instead of every chunk's broadcast staying resident until the
-   * caller's terminal action. Partition memory: graphs stream one
-   * GPART-run at a time over a spillable `sortWithinPartitions`, never
-   * the whole partition materialized at once (the previous `it.toArray`
-   * held every co-located graph's rows on-heap simultaneously).
+   * chunk starts — so each chunk's query broadcast is released the moment
+   * its action finishes, instead of every chunk's broadcast staying
+   * resident until the caller's terminal action. The checkpoint truncates
+   * lineage (the repo-wide [[graft.util.CacheDiscipline]] contract): if
+   * an executor holding pinned chunk blocks dies before the caller's
+   * terminal action, the query fails rather than recomputes — the price
+   * of bounding broadcast residency, accepted everywhere this engine pins
+   * small results. `unpersist` (not `destroy`) is still used so the
+   * TorrentBroadcast driver copy stays valid for any in-flight task.
+   * Partition memory: graphs stream one GPART-run at a time over a
+   * spillable `sortWithinPartitions`, never the whole partition
+   * materialized at once (the previous `it.toArray` held every
+   * co-located graph's rows on-heap simultaneously).
    */
   def topK(indexed: DataFrame, queries: DataFrame, topK: Int, efSearch: Int,
       metricName: String, metricArg: Double,

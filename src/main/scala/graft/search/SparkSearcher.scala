@@ -510,14 +510,23 @@ object SparkSearcher {
   def load(spark: SparkSession, path: String,
       encoder: Encoder = new PassthroughEncoder("embedding")): SearcherModel = {
     val kv = spark.read.json(s"$path/params.json").head()
-    // TOLERANT field reads: params.json written by an older build predates
-    // fields added since (efSearch/hnswGraphs arrived with the graph ANN;
-    // exactPath with the dual exact shapes). A missing field means "the
-    // writer didn't know the knob" — the current default is the right
-    // reading, not a load failure. count/dim/indexParam stay STRICT below:
-    // they are invariants of the saved index, not tunables.
+    // TOLERANT reads for TUNING knobs only: params.json written by an
+    // older build predates fields added since (efSearch/hnswGraphs arrived
+    // with the graph ANN; exactPath with the dual exact shapes). A missing
+    // tuning field means "the writer didn't know the knob" — the current
+    // default is the right reading, not a load failure. Fields that change
+    // RESULTS — indexParam, measurement, metricArg, normVec — and the
+    // count/dim invariants stay STRICT: a params.json missing those is
+    // corrupt or foreign, and silently defaulting them (e.g. a PQ-saved
+    // index loading as a Flat cosine scan) would misread the index, not
+    // tune it.
     val fields = kv.schema.fieldNames.toSet
     def has(n: String) = fields.contains(n) && !kv.isNullAt(kv.fieldIndex(n))
+    def need(n: String): Unit = require(has(n),
+      s"index load: params.json is missing required field '$n' " +
+        "(result-defining fields are never defaulted)")
+    Seq("indexParam", "measurement", "metricArg", "normVec", "count", "dim")
+      .foreach(need)
     def str(n: String) = if (has(n)) kv.getAs[String](n) else null
     def lng(n: String) = kv.getAs[Long](n)
     val dflt = SearcherParams()
@@ -526,9 +535,9 @@ object SparkSearcher {
       itemCol = Option(str("itemCol")).filter(_.nonEmpty),
       idCol = None, // ids already materialized in the saved table
       indexParam = str("indexParam"),
-      measurement = Option(str("measurement")).getOrElse(dflt.measurement),
-      metricArg = if (has("metricArg")) kv.getAs[Double]("metricArg") else dflt.metricArg,
-      normVec = if (has("normVec")) kv.getAs[Boolean]("normVec") else dflt.normVec,
+      measurement = str("measurement"),
+      metricArg = kv.getAs[Double]("metricArg"),
+      normVec = kv.getAs[Boolean]("normVec"),
       docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
       queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty),
       nprobe = lngOr("nprobe", dflt.nprobe).toInt,
@@ -976,11 +985,11 @@ class SearcherModel private[search] (
     case OpqPq(_)       => pqTopK(qn.withColumn(QVEC,
       OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
         throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
-    case IvfPq(nlist, _) => ivfPqTopK(qn, topK, nlist)
+    case IvfPq(_, _)    => ivfPqTopK(qn, topK)
     // SQ codes score through the same ADC machinery: the fitted
     // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
     case SqFlat         => pqTopK(qn, topK)
-    case IvfSq(nlist)   => ivfPqTopK(qn, topK, nlist)
+    case IvfSq(_)       => ivfPqTopK(qn, topK)
     // faiss IndexRefineFlat (the `…,RFlat` factory suffix): the inner
     // code-based index proposes topK·kFactor candidates cheaply, the kept
     // float vectors re-score them EXACTLY, top-k of the exact scores wins.
@@ -1098,7 +1107,9 @@ class SearcherModel private[search] (
   }
 
   /** IVF+PQ: cell-pruned ADC — see [[IvfPqScorer.topK]]. */
-  private def ivfPqTopK(q: DataFrame, topK: Int, nlist: Int): DataFrame = {
+  // no nlist parameter: IvfPqScorer derives the cell count from the
+  // fitted centroids (auto-sized IVF0 models parse as nlist=0)
+  private def ivfPqTopK(q: DataFrame, topK: Int): DataFrame = {
     val cbs = pqCodebooks.getOrElse(
       throw new IllegalStateException("IVF,PQ search without fitted codebooks"))
     val cents = centroids.getOrElse(

@@ -57,6 +57,16 @@ class RelationalSpec extends SparkSpec {
     val g2 = Relational.exactPercentilesHist(li, Seq("l_returnflag"), "l_extendedprice",
       Seq(0.5, 0.9, 0.99)).orderBy("l_returnflag").collect()
     assert(g2 === w2)
+    // NULL group key is a group of its own (null-safe joins) and NULL
+    // values rank first (bucket 0), matching the window variant on both
+    val withNulls = ((1 to 20).map(i => (Some("g"), Some(i.toDouble))) ++
+      Seq((None, Some(1.0)), (None, Some(2.0)), (None, Some(3.0)), (None, Some(4.0))) ++
+      Seq((Some("g"), None), (Some("g"), None))).toDF("g", "v")
+    val wantN = Relational.exactPercentiles(withNulls, Seq("g"), "v", Seq(0.25, 0.75))
+      .orderBy("g").collect()
+    val gotN = Relational.exactPercentilesHist(withNulls, Seq("g"), "v", Seq(0.25, 0.75), bins = 4)
+      .orderBy("g").collect()
+    assert(gotN === wantN)
   }
 
   test("saltedEquiJoin: output equals the plain join") {

@@ -208,6 +208,12 @@ class SearcherSpec extends SparkSpec {
     val res = loaded.search(sf("embeddings").filter(col("vec_id") < 2),
       topK = 2, keepRankNo = true, queryIdCol = Some("vec_id"))
     assert(res.count() === 4)
+    // result-DEFINING fields are never defaulted: drop `measurement` and
+    // the load must fail fast, not silently serve cosine
+    val noMeasurement = old.replace(""""measurement":"cos",""", "")
+    java.nio.file.Files.write(pdir, noMeasurement.getBytes("UTF-8"))
+    spark.catalog.refreshByPath(s"$dir/params.json")
+    intercept[IllegalArgumentException](SparkSearcher.load(spark, dir))
   }
 
   test("IVF0 auto-nlist: ~sqrt(n) cells fitted, full-probe exact, save/load round-trip") {
