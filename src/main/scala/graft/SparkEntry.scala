@@ -418,6 +418,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // 4-bit scalar quantizer (faiss "SQ4"): two dims nibble-packed per
+    // byte — 8× under float32, served through the same ADC machinery
+    // (⌈dim/2⌉ subspaces of 2 dims, 256 pair-decoded levels each)
+    "knn_sq4_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "SQ4"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // IVF cells + SQ bytes (faiss "IVFn,SQ8"): partition pruning AND 4×
     // compression — the right composition when PQ's reconstruction error
     // is too coarse but floats still don't fit
@@ -2021,6 +2033,39 @@ object SparkEntry {
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
   }
 
+  /** knn_sq4_cos: refit the bounds exactly as the gate query does, embed
+    * them, reproduce the 4-bit encode + dequantized scoring + top-k in
+    * SQL. The nibble packing itself is score-invisible (codes decode
+    * per dim), but the ADC association is NOT: the scorer sums each
+    * 2-dim subspace's products FIRST, then the subspaces in order — so
+    * the oracle pair-sums (`s // 2`) before the outer ascending sum,
+    * keeping double addition bit-identical. */
+  private def sq4Oracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "SQ4"))
+      .fit(table(s, dir, "embeddings"))
+    val (vmin, vdiff) = model.fittedSqBounds.get
+    val dim = vmin.length
+    model.unpersist()
+    s"""WITH b(vmin, vdiff) AS (VALUES (${fArr(vmin)}, ${fArr(vdiff)})),
+       |$normCtes,
+       |codes AS (SELECT f.vec_id, sx.s, CASE WHEN b.vdiff[sx.s+1] = 0 THEN 0
+       |  ELSE CAST(least(15.0, greatest(0.0, floor((f.v[sx.s+1] - b.vmin[sx.s+1]) / b.vdiff[sx.s+1] * 15.0 + 0.5))) AS INT) END c
+       |  FROM f CROSS JOIN b CROSS JOIN (SELECT unnest(range(0, $dim)) s) sx),
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |ct AS (SELECT q.qid, codes.vec_id xid, codes.s,
+       |  q.v[codes.s+1] * (((b.vmin[codes.s+1] + codes.c / 15.0 * b.vdiff[codes.s+1])::FLOAT)::DOUBLE) t
+       |  FROM q CROSS JOIN codes CROSS JOIN b),
+       |ctp AS (SELECT qid, xid, (s // 2) p,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(t ORDER BY s)), (a, x) -> a + x) tp
+       |  FROM ct GROUP BY qid, xid, (s // 2)),
+       |sc AS (SELECT qid, xid,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(tp ORDER BY p)), (a, x) -> a + x) score
+       |  FROM ctp GROUP BY qid, xid),
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
   /** knn_ivfsq_cos: IVF16,SQ8 at nprobe=6 — cells and bounds both live in
     * the normalized space; a code is scored only for queries probing its
     * cell. */
@@ -2185,6 +2230,7 @@ object SparkEntry {
         "knn_refine_cos" -> (() => refineOracle(s, dir, 10)),
         "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
         "knn_sq8_cos" -> (() => sqOracle(s, dir, 10)),
+        "knn_sq4_cos" -> (() => sq4Oracle(s, dir, 10)),
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),

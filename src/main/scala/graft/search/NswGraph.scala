@@ -204,17 +204,23 @@ object NswGraph {
    * `efSearch ≥` a group's size that group is scanned exhaustively (exact
    * by construction — see the object doc).
    *
-   * Chunk hygiene: chunks execute EAGERLY, one action each, merged to
-   * their final ≤ nq·k rows and pinned (localCheckpoint) before the next
-   * chunk starts — so each chunk's query broadcast is released the moment
-   * its action finishes, instead of every chunk's broadcast staying
-   * resident until the caller's terminal action. The checkpoint truncates
-   * lineage (the repo-wide [[graft.util.CacheDiscipline]] contract): if
-   * an executor holding pinned chunk blocks dies before the caller's
-   * terminal action, the query fails rather than recomputes — the price
-   * of bounding broadcast residency, accepted everywhere this engine pins
-   * small results. `unpersist` (not `destroy`) is still used so the
-   * TorrentBroadcast driver copy stays valid for any in-flight task.
+   * Chunk hygiene: the single-chunk case (≤ [[PqIndex.DefaultQueryChunk]]
+   * queries — the overwhelmingly common shape) stays a fully LAZY plan:
+   * nothing is pinned, the one query broadcast is reclaimed by the
+   * ContextCleaner when the plan is garbage-collected, and repeated
+   * search calls in a long session accumulate no block-manager state.
+   * Multi-chunk batches execute EAGERLY, one action per chunk, each
+   * merged to its final ≤ chunk·k rows and pinned (localCheckpoint)
+   * before the next chunk starts — so at most ONE chunk's query
+   * broadcast is resident at a time instead of all of them until the
+   * caller's terminal action. The checkpoint truncates lineage (the
+   * repo-wide [[graft.util.CacheDiscipline]] contract): if an executor
+   * holding pinned chunk blocks dies before the caller's terminal
+   * action, the query fails rather than recomputes; `unpersist` (not
+   * `destroy`) keeps the TorrentBroadcast driver copy valid for any
+   * in-flight task. Long-lived sessions issuing huge multi-chunk
+   * batches release the pinned blocks with
+   * `CacheDiscipline.release(result)` when done.
    * Partition memory: graphs stream one GPART-run at a time over a
    * spillable `sortWithinPartitions`, never the whole partition
    * materialized at once (the previous `it.toArray` held every
@@ -237,7 +243,9 @@ object NswGraph {
     val slim = indexed.select(col(ROW_ID), col(SparkSearcher.VEC),
       col(NBRS), col(GPART).cast("int").as(GPART))
       .sortWithinPartitions(GPART, ROW_ID)
-    val chunkResults = PqIndex.queryChunks(queries, queryChunkSize).flatMap { chunk =>
+    val chunks = PqIndex.queryChunks(queries, queryChunkSize)
+    val single = chunks.lengthCompare(1) == 0
+    val chunkResults = chunks.flatMap { chunk =>
       val qRows = chunk.select(col(QID).cast(LongType).as(QID), col(QVEC)).collect()
         .map(r => (r.getLong(0),
           UnsafeArrayData.fromPrimitiveArray(r.getSeq[Float](1).toArray): ArrayData))
@@ -305,13 +313,17 @@ object NswGraph {
           }
         }(enc)
         // chunks are DISJOINT query sets: per-chunk merge then union is
-        // exactly the single global merge. Eager checkpoint executes the
-        // chunk now (result ≤ chunk·k rows), then the chunk's broadcast
-        // executor copies are dropped before the next chunk broadcasts.
+        // exactly the single global merge. Single chunk → stay lazy (no
+        // pinning, no leak per call); multi-chunk → eager checkpoint
+        // executes the chunk now (result ≤ chunk·k rows) and the chunk's
+        // broadcast executor copies drop before the next chunk broadcasts.
         val merged = TopKAggregate.mergeHits(partials, topK, asc)
-          .localCheckpoint(true)
-        qB.unpersist(blocking = false)
-        merged
+        if (single) merged
+        else {
+          val pinned = merged.localCheckpoint(true)
+          qB.unpersist(blocking = false)
+          pinned
+        }
       }
     }
     if (chunkResults.isEmpty)

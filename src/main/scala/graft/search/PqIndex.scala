@@ -134,6 +134,10 @@ object PqIndex {
     val isRatio = metricName == "brayCurtis" || metricName == "bray_curtis"
     val t2 = if (isRatio) new Array[Double](m * K) else null
     var s = 0
+    // running query offset: subspace widths may differ (SQ4 packs an odd
+    // trailing dim into a size-1 subspace after size-2 pairs), so the
+    // query slice for subspace s starts where s-1's ended, not at s·dsub
+    var off = 0
     while (s < m) {
       val cb = cbs(s)
       val dsub = cb(0).length
@@ -145,31 +149,31 @@ object PqIndex {
         var i = 0
         metricName match {
           case "ip" | "dot" | "cos" => // cos: vectors pre-normalized at fit
-            while (i < dsub) { acc += qv(s * dsub + i).toDouble * cent(i); i += 1 }
+            while (i < dsub) { acc += qv(off + i).toDouble * cent(i); i += 1 }
           case "l2" =>
-            while (i < dsub) { val d = qv(s * dsub + i).toDouble - cent(i); acc += d * d; i += 1 }
+            while (i < dsub) { val d = qv(off + i).toDouble - cent(i); acc += d * d; i += 1 }
           case "l1" =>
-            while (i < dsub) { acc += math.abs(qv(s * dsub + i).toDouble - cent(i)); i += 1 }
+            while (i < dsub) { acc += math.abs(qv(off + i).toDouble - cent(i)); i += 1 }
           case "l_inf" | "linf" =>
             while (i < dsub) {
-              val d = math.abs(qv(s * dsub + i).toDouble - cent(i))
+              val d = math.abs(qv(off + i).toDouble - cent(i))
               if (d > acc) acc = d
               i += 1
             }
           case "l_p" | "lp" =>
             while (i < dsub) {
-              acc += math.pow(math.abs(qv(s * dsub + i).toDouble - cent(i)), metricArg); i += 1
+              acc += math.pow(math.abs(qv(off + i).toDouble - cent(i)), metricArg); i += 1
             }
           case "canberra" =>
             while (i < dsub) {
-              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              val x = qv(off + i).toDouble; val y = cent(i).toDouble
               val den = math.abs(x) + math.abs(y)
               if (den > 0.0) acc += math.abs(x - y) / den
               i += 1
             }
           case "jensen_shannon" =>
             while (i < dsub) {
-              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              val x = qv(off + i).toDouble; val y = cent(i).toDouble
               val mid = 0.5 * (x + y)
               val a1 = if (x > 0.0 && mid > 0.0) 0.5 * x * math.log(x / mid) else 0.0
               val a2 = if (y > 0.0 && mid > 0.0) 0.5 * y * math.log(y / mid) else 0.0
@@ -178,7 +182,7 @@ object PqIndex {
             }
           case "brayCurtis" | "bray_curtis" =>
             while (i < dsub) {
-              val x = qv(s * dsub + i).toDouble; val y = cent(i).toDouble
+              val x = qv(off + i).toDouble; val y = cent(i).toDouble
               acc += math.abs(x - y); acc2 += math.abs(x + y)
               i += 1
             }
@@ -189,6 +193,7 @@ object PqIndex {
         if (t2 != null) t2(s * K + c) = acc2
         c += 1
       }
+      off += dsub
       s += 1
     }
     new AdcScorer(t1, t2, isMax)

@@ -70,8 +70,10 @@ final case class IvfFlat(nlist: Int) extends IndexStrategy
 final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
 final case class PqFlat(m: Int) extends IndexStrategy
 final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
-case object SqFlat extends IndexStrategy
-final case class IvfSq(nlist: Int) extends IndexStrategy
+/** Scalar quantizer: `nbits` ∈ {8, 4} — one byte per dim, or two dims
+  * nibble-packed per byte (faiss SQ8 / SQ4). */
+final case class SqFlat(nbits: Int) extends IndexStrategy
+final case class IvfSq(nlist: Int, nbits: Int) extends IndexStrategy
 final case class HnswGraph(m: Int) extends IndexStrategy
 final case class OpqPq(m: Int) extends IndexStrategy
 /** faiss `IndexRefineFlat` (factory suffix `,RFlat`): the inner code-based
@@ -104,7 +106,7 @@ object IndexStrategy {
     * (scoring is a raw asymmetric dot over codes — no full-vector cosine
     * kernel exists once the floats are dropped). */
   def codesOnly(s: IndexStrategy): Boolean = s match {
-    case PqFlat(_) | IvfPq(_, _) | SqFlat | IvfSq(_) | OpqPq(_) => true
+    case PqFlat(_) | IvfPq(_, _) | SqFlat(_) | IvfSq(_, _) | OpqPq(_) => true
     case Refined(inner, _) => codesOnly(inner)
     case _ => false
   }
@@ -143,9 +145,10 @@ object IndexStrategy {
       Refined(inner, kFactor = 4)
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
     case IvfWithSq(n, b) =>
-      require(b == "8", s"index_param '$param': only 8-bit scalar " +
-        "quantization is supported (SQ8 — one byte per dimension)")
-      IvfSq(n.toInt)
+      require(b == "8" || b == "4", s"index_param '$param': supported " +
+        "scalar quantizers are SQ8 (one byte per dim) and SQ4 (two dims " +
+        "nibble-packed per byte); fp16/6-bit variants are not")
+      IvfSq(n.toInt, b.toInt)
     case OpqWithPq(mo, mp) =>
       require(mo == mp, s"index_param '$param': OPQ subspace count must " +
         s"match PQ (got OPQ$mo,PQ$mp) — the rotation is balanced per subspace")
@@ -156,11 +159,12 @@ object IndexStrategy {
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m)              => PqFlat(m.toInt)
     case Sq(b) =>
-      require(b == "8", s"index_param '$param': only 8-bit scalar " +
-        "quantization is supported (SQ8 — one byte per dimension)")
-      SqFlat
+      require(b == "8" || b == "4", s"index_param '$param': supported " +
+        "scalar quantizers are SQ8 (one byte per dim) and SQ4 (two dims " +
+        "nibble-packed per byte); fp16/6-bit variants are not")
+      SqFlat(b.toInt)
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8, SQ4)")
   }
 
   /** Fit-time nlist for the IVF family. `nlist > 0` is the caller's pinned
@@ -371,7 +375,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
           None, Some(codebooks))
-      case SqFlat =>
+      case SqFlat(nbits) =>
         // like PQ, cos needs MATERIALIZED normalization (asymmetric dot
         // over codes); bounds/levels then live in the normalized space
         val pre0 =
@@ -383,17 +387,18 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val d = dimOf(pre)
         require(d > 0, "SQ fit on empty/zero-dim vectors")
         val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
-        // dim BYTES per vector instead of dim floats (4×); search reuses
-        // the PQ ADC machinery over the synthetic dim×256 level codebooks
+        // dim bytes (SQ8) or ⌈dim/2⌉ bytes (SQ4) per vector instead of
+        // dim floats (4×/8×); search reuses the PQ ADC machinery over the
+        // synthetic per-subspace level codebooks
         val indexed = pre
-          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits))
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
-          Some(SqIndex.levels(vmin, vdiff)), Some((vmin, vdiff)))
-      case IvfSq(nlist) =>
+          Some(SqIndex.levels(vmin, vdiff, nbits)), Some((vmin, vdiff)))
+      case IvfSq(nlist, nbits) =>
         val pre0 =
           if (params.measurement == "cos")
             base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
@@ -407,13 +412,13 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
-          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff))
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits))
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
-          None, Some(SqIndex.levels(vmin, vdiff)), Some((vmin, vdiff)))
+          None, Some(SqIndex.levels(vmin, vdiff, nbits)), Some((vmin, vdiff)))
       case HnswGraph(m) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -571,17 +576,24 @@ object SparkSearcher {
       case _ => None
     }
     val sqB = IndexStrategy.effective(searcher.strategy) match {
-      case SqFlat | IvfSq(_) =>
+      case SqFlat(_) | IvfSq(_, _) =>
         val rows = spark.read.parquet(s"$path/sq_bounds").orderBy("i").collect()
         Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
       case _ => None
     }
     // the scoring "codebooks": PQ's fitted ones, or SQ's levels rebuilt
-    // from the persisted bounds
-    val cbooks = pq.orElse(sqB.map { case (mn, df) => SqIndex.levels(mn, df) })
-    // PQ/SQ store codes only (no __vec): dim is re-derived from the codebooks
+    // from the persisted bounds at the saved quantizer width
+    val sqNbits = IndexStrategy.effective(searcher.strategy) match {
+      case SqFlat(nb) => nb
+      case IvfSq(_, nb) => nb
+      case _ => 8
+    }
+    val cbooks = pq.orElse(sqB.map { case (mn, df) => SqIndex.levels(mn, df, sqNbits) })
+    // PQ/SQ store codes only (no __vec): dim is re-derived from the
+    // codebooks as the SUM of subspace widths (SQ4 mixes size-2 pairs
+    // with a size-1 trailing subspace on odd dims — m·dsub0 would be off)
     val d = cbooks match {
-      case Some(cbs) => cbs.length * cbs(0)(0).length
+      case Some(cbs) => cbs.map(_(0).length).sum
       case None      => indexed.select(size(col(VEC))).head().getInt(0)
     }
     require(d == lng("dim"),
@@ -590,7 +602,7 @@ object SparkSearcher {
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
         NswGraph.GPART, NswGraph.NBRS)).toSeq
     val centroids = IndexStrategy.effective(searcher.strategy) match {
-      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) => Some(spark.read.parquet(s"$path/centroids")
+      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_, _) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
@@ -729,18 +741,18 @@ class SearcherModel private[search] (
         case OpqPq(_) =>
           base.withColumn(PqIndex.CODES, PqIndex.encodeCol(
             OpqIndex.rotateCol(col(VEC), opqRotation.get), pqCodebooks.get))
-        case SqFlat =>
+        case SqFlat(nb) =>
           val (mn, df) = sqBounds.get
-          base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+          base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
         case IvfPq(_, _) =>
           IvfIndex.assignCells(base, VEC, centroids.get,
             spark.sparkContext.defaultParallelism)
             .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
-        case IvfSq(_) =>
+        case IvfSq(_, nb) =>
           val (mn, df) = sqBounds.get
           IvfIndex.assignCells(base, VEC, centroids.get,
             spark.sparkContext.defaultParallelism)
-            .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+            .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
         case other => throw new IllegalStateException(s"refine over $other")
       }
       case IvfPq(_, _) =>
@@ -751,15 +763,15 @@ class SearcherModel private[search] (
       // SQ rows added after fit encode under the EXISTING bounds; values
       // outside the trained range clamp to the edge levels (faiss SQ
       // semantics — refit if the distribution moved)
-      case SqFlat =>
+      case SqFlat(nb) =>
         val (mn, df) = sqBounds.get
-        base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+        base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
           .drop(VEC)
-      case IvfSq(_) =>
+      case IvfSq(_, nb) =>
         val (mn, df) = sqBounds.get
         IvfIndex.assignCells(base, VEC, centroids.get,
           spark.sparkContext.defaultParallelism)
-          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df))
+          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
           .drop(VEC)
       // segment-style growth (the Lucene per-segment-HNSW shape): appended
       // rows get FRESH graphs under gpart ids past the existing ones —
@@ -988,8 +1000,8 @@ class SearcherModel private[search] (
     case IvfPq(_, _)    => ivfPqTopK(qn, topK)
     // SQ codes score through the same ADC machinery: the fitted
     // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
-    case SqFlat         => pqTopK(qn, topK)
-    case IvfSq(_)       => ivfPqTopK(qn, topK)
+    case SqFlat(_)      => pqTopK(qn, topK)
+    case IvfSq(_, _)    => ivfPqTopK(qn, topK)
     // faiss IndexRefineFlat (the `…,RFlat` factory suffix): the inner
     // code-based index proposes topK·kFactor candidates cheaply, the kept
     // float vectors re-score them EXACTLY, top-k of the exact scores wins.
@@ -1166,7 +1178,7 @@ class SearcherModel private[search] (
       // prunes at the storage layer (PartitionFilters) and touches only
       // the probed nprobe/nlist fraction — the at-rest analog of the
       // in-memory repartition(cell) co-location
-      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_) =>
+      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_, _) =>
         itemsOut.write.mode("overwrite").partitionBy(IvfIndex.CID)
           .parquet(s"$path/items")
       // HNSW persists partitioned by GRAPH: each graph's rows live in one
@@ -1202,7 +1214,7 @@ class SearcherModel private[search] (
     // levels — load rebuilds levels from bounds, and add() after load
     // encodes under the exact fitted bounds (no float drift)
     IndexStrategy.effective(searcher.strategy) match {
-      case SqFlat | IvfSq(_) =>
+      case SqFlat(_) | IvfSq(_, _) =>
         val (mn, df) = sqBounds.get
         val sp = spark
         import sp.implicits._

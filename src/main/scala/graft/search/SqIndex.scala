@@ -68,54 +68,96 @@ object SqIndex {
     (mins, vdiff)
   }
 
-  /** Encode kernel: `code_i = clamp(⌊(v_i − vmin_i)/vdiff_i · 255 + 0.5⌋,
-    * 0, 255)`, one byte per dimension; a constant dimension (vdiff = 0)
-    * encodes 0. Out-of-range values (rows `add()`ed after fit, outside the
-    * trained bounds) clamp to the edge levels — faiss SQ does the same. */
+  /** Per-dim quantization code at `nbits`: `clamp(⌊(v − vmin)/vdiff ·
+    * (2^nbits − 1) + 0.5⌋, 0, 2^nbits − 1)`; a constant dimension
+    * (vdiff = 0) encodes 0. Out-of-range values (rows `add()`ed after
+    * fit, outside the trained bounds) clamp to the edge levels — faiss
+    * SQ does the same. */
+  @inline private def codeOf(x: Double, mn: Double, dv: Double, maxCode: Double): Int =
+    if (dv == 0.0) 0
+    else {
+      val t = math.floor((x - mn) / dv * maxCode + 0.5)
+      if (t < 0.0) 0 else if (t > maxCode) maxCode.toInt else t.toInt
+    }
+
+  /** SQ8 encode kernel: one byte per dimension. */
   def encode(v: ArrayData, vmin: Array[Float], vdiff: Array[Float]): Array[Byte] = {
     val d = vmin.length
     val out = new Array[Byte](d)
     var i = 0
     while (i < d) {
-      val dv = vdiff(i).toDouble
-      val c =
-        if (dv == 0.0) 0
-        else {
-          val t = math.floor((v.getFloat(i).toDouble - vmin(i).toDouble) / dv * 255.0 + 0.5)
-          if (t < 0.0) 0 else if (t > 255.0) 255 else t.toInt
-        }
-      out(i) = c.toByte
+      out(i) = codeOf(v.getFloat(i).toDouble, vmin(i).toDouble, vdiff(i).toDouble, 255.0).toByte
       i += 1
     }
     out
   }
 
-  def encodeCol(v: Column, vmin: Array[Float], vdiff: Array[Float]): Column =
-    column(SqEncodeExpr(expression(v), vmin, vdiff))
-
-  /** The synthetic PQ view of the quantizer: dim "subspaces" of size 1,
-    * 256 float levels each — exactly what [[PqIndex.adcScorer]] needs to
-    * serve every reference metric over SQ codes. Levels are float-rounded
-    * (that IS the reconstruction the codes denote). */
-  def levels(vmin: Array[Float], vdiff: Array[Float]): Array[Array[Array[Float]]] =
-    Array.tabulate(vmin.length) { i =>
-      Array.tabulate(256) { c =>
-        Array((vmin(i).toDouble + c.toDouble / 255.0 * vdiff(i).toDouble).toFloat)
-      }
+  /** SQ4 encode kernel: TWO dims nibble-packed per byte (hi nibble =
+    * even dim, lo nibble = odd dim; an odd trailing dim packs alone in
+    * the hi nibble) — ⌈dim/2⌉ bytes per vector, 8× under float32. */
+  def encode4(v: ArrayData, vmin: Array[Float], vdiff: Array[Float]): Array[Byte] = {
+    val d = vmin.length
+    val out = new Array[Byte]((d + 1) / 2)
+    var s = 0
+    while (s < out.length) {
+      val i = 2 * s
+      val hi = codeOf(v.getFloat(i).toDouble, vmin(i).toDouble, vdiff(i).toDouble, 15.0)
+      val lo = if (i + 1 < d)
+        codeOf(v.getFloat(i + 1).toDouble, vmin(i + 1).toDouble, vdiff(i + 1).toDouble, 15.0)
+      else 0
+      out(s) = ((hi << 4) | lo).toByte
+      s += 1
     }
+    out
+  }
+
+  def encodeCol(v: Column, vmin: Array[Float], vdiff: Array[Float],
+      nbits: Int = 8): Column =
+    column(SqEncodeExpr(expression(v), vmin, vdiff, nbits))
+
+  /** The synthetic PQ view of the quantizer — exactly what
+    * [[PqIndex.adcScorer]] needs to serve every reference metric over SQ
+    * codes. SQ8: dim subspaces of size 1, 256 levels each. SQ4: ⌈dim/2⌉
+    * subspaces of size 2 (size 1 for an odd trailing dim), the 256
+    * entries of subspace s decoding byte value b as
+    * `(level(2s, b>>4), level(2s+1, b&15))`. Levels are float-rounded
+    * (that IS the reconstruction the codes denote). */
+  def levels(vmin: Array[Float], vdiff: Array[Float], nbits: Int = 8): Array[Array[Array[Float]]] = {
+    def lvl(i: Int, c: Int, maxCode: Double): Float =
+      (vmin(i).toDouble + c.toDouble / maxCode * vdiff(i).toDouble).toFloat
+    nbits match {
+      case 8 =>
+        Array.tabulate(vmin.length) { i =>
+          Array.tabulate(256)(c => Array(lvl(i, c, 255.0)))
+        }
+      case 4 =>
+        val d = vmin.length
+        Array.tabulate((d + 1) / 2) { s =>
+          val i = 2 * s
+          Array.tabulate(256) { b =>
+            if (i + 1 < d) Array(lvl(i, b >>> 4, 15.0), lvl(i + 1, b & 15, 15.0))
+            else Array(lvl(i, b >>> 4, 15.0))
+          }
+        }
+      case other => throw new IllegalArgumentException(s"SQ nbits must be 8 or 4, got $other")
+    }
+  }
 }
 
-/** Codegen'd SQ encoder: array<float> → binary(dim); bounds ride as plan
-  * reference objects. */
-case class SqEncodeExpr(child: Expression, vmin: Array[Float], vdiff: Array[Float])
-    extends UnaryExpression {
+/** Codegen'd SQ encoder: array<float> → binary(⌈dim·nbits/8⌉); bounds
+  * ride as plan reference objects. */
+case class SqEncodeExpr(child: Expression, vmin: Array[Float], vdiff: Array[Float],
+    nbits: Int = 8) extends UnaryExpression {
+  require(nbits == 8 || nbits == 4, s"SQ nbits must be 8 or 4, got $nbits")
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
-    SqIndex.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
+    if (nbits == 4) SqIndex.encode4(v.asInstanceOf[ArrayData], vmin, vdiff)
+    else SqIndex.encode(v.asInstanceOf[ArrayData], vmin, vdiff)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mnRef = ctx.addReferenceObj("vmin", vmin, "float[]")
     val dfRef = ctx.addReferenceObj("vdiff", vdiff, "float[]")
-    defineCodeGen(ctx, ev, c => s"graft.search.SqIndex.encode($c, $mnRef, $dfRef)")
+    val fn = if (nbits == 4) "encode4" else "encode"
+    defineCodeGen(ctx, ev, c => s"graft.search.SqIndex.$fn($c, $mnRef, $dfRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "sq_encode"

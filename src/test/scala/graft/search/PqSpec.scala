@@ -103,6 +103,16 @@ class PqSpec extends SparkSpec {
         nprobe = 4, metricName = "l2", queryChunkSize = chunk)
       .collect().map(_.toSeq).toSet
     assert(runIvf(7) === runIvf(Int.MaxValue))
+    // NSW graph path: the multi-chunk eager shape must equal the lazy
+    // single-chunk shape (exhaustive ef -> exact -> set equality)
+    val hnsw = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l2", indexParam = "HNSW8")).fit(emb)
+    def runNsw(chunk: Int) = NswGraph
+      .topK(hnsw.indexed, q, 5, efSearch = 100000, "l2", 2.0, queryChunkSize = chunk)
+      .collect().map(_.toSeq).toSet
+    assert(runNsw(7) === runNsw(Int.MaxValue))
+    hnsw.unpersist(); ivfpq.unpersist(); model.unpersist()
   }
 
   test("ADC tables reproduce the exact metric kernels bit-for-bit") {
@@ -219,6 +229,65 @@ class PqSpec extends SparkSpec {
       grown.unpersist()
       model.unpersist()
     }
+  }
+
+  test("SQ4: nibble-packed codes halve SQ8's bytes; round-trip, add, odd dims, recall") {
+    val sp = spark
+    import sp.implicits._
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val q = emb.filter(col("vec_id") < 5)
+    for (param <- Seq("SQ4", "IVF8,SQ4")) {
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "l2", indexParam = param, nprobe = 8)).fit(a)
+      // the compression claim is structural: ceil(64/2) = 32 bytes/vector
+      val codeLen = model.indexed.select(length(col("__pq_codes"))).head().getInt(0)
+      assert(codeLen === 32, s"param $param: SQ4 must pack 64 dims into 32 bytes")
+      val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+      val dir = java.nio.file.Files.createTempDirectory("graft-sq4").toString
+      model.save(dir)
+      val loaded = SparkSearcher.load(spark, dir)
+      val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+      assert(after === before, s"param $param")
+      val grown = loaded.add(b)
+      assert(grown.count === emb.count(), s"param $param")
+      grown.unpersist()
+      model.unpersist()
+    }
+    // recall floor vs exact on the flat variant (16 levels/dim is coarse
+    // but per-dim bounds keep it usable; floor chosen well under measured)
+    val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+    val sq4 = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "SQ4")).fit(emb)
+    val qs = emb.filter(col("vec_id") < 50)
+    def hits(m: SearcherModel) = m.search(qs, 10, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select(col("vec_id"), col("sim_item").cast("long"))
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val he = hits(exact); val hq = hits(sq4)
+    val recall = he.keys.toSeq.map(k => hq(k).intersect(he(k)).size.toDouble / 10).sum / he.size
+    info(f"SQ4 recall@10 vs exact: $recall%.3f")
+    assert(recall >= 0.5, f"SQ4 recall@10 $recall%.3f below floor")
+    // odd dimension: trailing dim packs alone in the hi nibble
+    val odd = (0 until 50).map(i => (i.toLong,
+      Array.tabulate(5)(j => (math.sin(i * 5 + j) * 3).toFloat))).toDF("vec_id", "embedding")
+    val oddModel = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l2", indexParam = "SQ4")).fit(odd)
+    val oddLen = oddModel.indexed.select(length(col("__pq_codes"))).head().getInt(0)
+    assert(oddLen === 3, "5 dims -> 3 bytes")
+    val oddRes = oddModel.search(odd.filter(col("vec_id") < 3), 3,
+      keepRankNo = true, queryIdCol = Some("vec_id"))
+    // coarse quantization may tie, but each query's own vector must appear
+    assert(oddRes.filter(col("sim_item").cast("long") === col("vec_id")).count() === 3)
+    oddModel.unpersist(); sq4.unpersist(); exact.unpersist()
   }
 
   test("OPQ rotation: orthonormal, recall vs PQ8 compared, save/load identical") {
@@ -346,13 +415,16 @@ class PqSpec extends SparkSpec {
     // 'IVF16,SQfp16' must NOT fall through to the IVF(16) catch-all and
     // serve exact floats when the caller asked for compression
     intercept[IllegalArgumentException](IndexStrategy.parse("SQfp16"))
-    intercept[IllegalArgumentException](IndexStrategy.parse("SQ4"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("SQ6"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQfp16"))
-    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ4"))
-    assert(IndexStrategy.parse("IVF16,SQ8") === IvfSq(16))
+    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ6"))
+    // SQ4 is now a REAL quantizer (nibble-packed), not a parse error
+    assert(IndexStrategy.parse("SQ4") === SqFlat(4))
+    assert(IndexStrategy.parse("IVF16,SQ4") === IvfSq(16, 4))
+    assert(IndexStrategy.parse("IVF16,SQ8") === IvfSq(16, 8))
     // faiss IDMap wrapper: identity here (external ids are always carried)
     assert(IndexStrategy.parse("IDMap,Flat") === ExactFlat)
-    assert(IndexStrategy.parse("IDMap,IVF16,SQ8") === IvfSq(16))
+    assert(IndexStrategy.parse("IDMap,IVF16,SQ8") === IvfSq(16, 8))
     // the IVF catch-all must not swallow unknown quantizer suffixes into
     // an uncompressed IvfFlat (e.g. faiss fast-scan strings we don't serve)
     assert(IndexStrategy.parse("IVF16,Flat") === IvfFlat(16))
