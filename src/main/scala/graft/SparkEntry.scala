@@ -722,6 +722,16 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")),
+    // model-based quality scoring (fasttext-shaped): hashed unigram+bigram
+    // linear logit, one codegen scan — the classifier-filter step of a
+    // CCNet-style pipeline (heuristic text_quality prunes, this ranks).
+    // Deterministic fixture weights; callers plug their own trained vector
+    "text_quality_model" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.QualityModel.score(col("text"),
+          graft.text.QualityModel.demoWeights(512), bias = -0.1)
+          .cast("float").as("score"))
+      .orderBy("doc_id")),
     "text_langid" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
@@ -1434,6 +1444,11 @@ object SparkEntry {
         |     t -> len(t) > 0 AND t IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it')))::DOUBLE
         |        / len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) END stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // SQL lives next to the kernel (QualityModel.oracleSql) so scorer and
+    // oracle evolve together; weights are deterministic -> static entry
+    "text_quality_model" -> graft.text.QualityModel.oracleSql(
+      "documents", "doc_id", "text",
+      graft.text.QualityModel.demoWeights(512), -0.1),
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) toks,

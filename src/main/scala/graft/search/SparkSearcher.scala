@@ -84,7 +84,7 @@ final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrate
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
-  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)".r
+  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x8)?".r
   // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / …) so unsupported scalar
   // quantizers raise instead of falling through to the uncompressed
   // IVF(n) catch-all — a caller asking for compression must never be
@@ -98,7 +98,10 @@ object IndexStrategy {
   private val Ivf = "IVF(\\d+)(?:,Flat)?".r
   private val Hnsw = "HNSW(\\d*)(?:,Flat)?".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
-  private val Pq = "PQ(\\d+)".r
+  // `PQm` and faiss's explicit-width spelling `PQmx8` (8 bits/code — the
+  // only width this engine stores; `PQmx4fs` fast-scan etc. fall through
+  // to the catch-all error rather than silently serving 8-bit codes)
+  private val Pq = "PQ(\\d+)(?:x8)?".r
   private val Sq = "SQ(\\w+)".r
 
   /** Strategies that store byte codes instead of float vectors (PQ / SQ

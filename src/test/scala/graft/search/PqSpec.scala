@@ -428,6 +428,10 @@ class PqSpec extends SparkSpec {
     // the IVF catch-all must not swallow unknown quantizer suffixes into
     // an uncompressed IvfFlat (e.g. faiss fast-scan strings we don't serve)
     assert(IndexStrategy.parse("IVF16,Flat") === IvfFlat(16))
+    // faiss's explicit-width spelling: PQmx8 == PQm; fast-scan widths raise
+    assert(IndexStrategy.parse("PQ8x8") === PqFlat(8))
+    assert(IndexStrategy.parse("IVF16,PQ8x8") === IvfPq(16, 8))
+    intercept[IllegalArgumentException](IndexStrategy.parse("PQ8x4"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,PQ8x4fs"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,Foo"))
   }

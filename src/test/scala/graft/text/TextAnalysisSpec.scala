@@ -270,4 +270,36 @@ class TextAnalysisSpec extends SparkSpec {
       n == en && math.abs(s - es) <= 1e-9 * math.max(1.0, math.abs(es))
     })
   }
+
+  test("hashed linear quality model: kernel matches a plain-Scala reference; empty -> bias") {
+    import graft.text.QualityModel
+    import graft.functions.PolyHash
+    val sp = spark
+    import sp.implicits._
+    val w = QualityModel.demoWeights(128)
+    val bias = -0.25
+    val docs = Seq((1L, "the quick brown fox"), (2L, "a b"), (3L, ""),
+      (4L, "   "), (5L, "single"), (6L, "dup dup dup dup")).toDF("id", "t")
+    val got = docs.select(col("id"), QualityModel.score(col("t"), w, bias).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // plain-Scala reference (independent of ArrayData/codegen plumbing)
+    def ref(text: String): Double = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) return bias
+      val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      val counts = new Array[Int](w.length)
+      feats.foreach(f => counts((PolyHash.hash(f, PolyHash.B1) % w.length).toInt) += 1)
+      var z = bias
+      counts.indices.foreach(b =>
+        if (counts(b) > 0) z += w(b) * (counts(b).toDouble / feats.length))
+      z
+    }
+    Seq(1L -> "the quick brown fox", 2L -> "a b", 3L -> "", 4L -> "   ",
+      5L -> "single", 6L -> "dup dup dup dup").foreach { case (id, t) =>
+      assert(got(id) === ref(t), s"doc $id")
+    }
+    assert(got(3L) === bias && got(4L) === bias) // token-free -> bias
+    // deterministic fixture weights are stable across calls
+    assert(QualityModel.demoWeights(128).toSeq === w.toSeq)
+  }
 }
