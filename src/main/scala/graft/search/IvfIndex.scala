@@ -192,14 +192,23 @@ object IvfIndex {
   def ivfTopK(model: SearcherModel, q: DataFrame, topK: Int,
       nprobe: Int): DataFrame = {
     import SparkSearcher._
-    val metric = model.searcher.metric
     val cents = model.centroids.getOrElse(
       throw new IllegalStateException("IVF search without fitted centroids"))
+    ivfTopKOver(model.indexed.select(col(ROW_ID), col(VEC), col(CID)),
+      model.searcher.metric, cents, q, topK, nprobe)
+  }
+
+  /** Cell-pruned exact scoring over a caller-supplied `(row_id, __vec,
+    * __cell)` view — shared by IVFn,Flat (stored floats) and IVFn,SQfp16
+    * (floats reconstructed lazily in the scoring projection). */
+  def ivfTopKOver(slim: DataFrame, metric: graft.functions.VectorFunctions.Metric,
+      cents: Array[Array[Float]], q: DataFrame, topK: Int,
+      nprobe: Int): DataFrame = {
+    import SparkSearcher._
     // nprobe clamps to the FITTED cell count (auto-sized `IVF0` models
     // parse as nlist=0; the fit may also clamp below the requested nlist)
     val probes = q.withColumn(CID,
       explode(nearestCentroidsCol(col(QVEC), cents, math.min(nprobe, cents.length))))
-    val slim = model.indexed.select(col(ROW_ID), col(VEC), col(CID))
     val scored = probes.join(slim, CID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
     val hits = scored

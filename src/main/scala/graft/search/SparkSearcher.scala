@@ -85,8 +85,8 @@ final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrate
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
   private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x8)?".r
-  // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / …) so unsupported scalar
-  // quantizers raise instead of falling through to the uncompressed
+  // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / SQ6 / …) so unsupported
+  // scalar quantizers raise instead of falling through to the uncompressed
   // IVF(n) catch-all — a caller asking for compression must never be
   // silently served exact floats
   private val IvfWithSq = "IVF(\\d+),SQ(\\w+)".r
@@ -147,11 +147,7 @@ object IndexStrategy {
           "needs no refine, and refine-of-refine is meaningless")
       Refined(inner, kFactor = 4)
     case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
-    case IvfWithSq(n, b) =>
-      require(b == "8" || b == "4", s"index_param '$param': supported " +
-        "scalar quantizers are SQ8 (one byte per dim) and SQ4 (two dims " +
-        "nibble-packed per byte); fp16/6-bit variants are not")
-      IvfSq(n.toInt, b.toInt)
+    case IvfWithSq(n, b) => IvfSq(n.toInt, sqWidth(param, b))
     case OpqWithPq(mo, mp) =>
       require(mo == mp, s"index_param '$param': OPQ subspace count must " +
         s"match PQ (got OPQ$mo,PQ$mp) — the rotation is balanced per subspace")
@@ -161,13 +157,24 @@ object IndexStrategy {
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m)              => PqFlat(m.toInt)
-    case Sq(b) =>
-      require(b == "8" || b == "4", s"index_param '$param': supported " +
-        "scalar quantizers are SQ8 (one byte per dim) and SQ4 (two dims " +
-        "nibble-packed per byte); fp16/6-bit variants are not")
-      SqFlat(b.toInt)
+    case Sq(b) => SqFlat(sqWidth(param, b))
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8, SQ4)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8, SQ4, SQfp16)")
+  }
+
+  /** Scalar-quantizer width from the factory suffix: SQ8/SQ4 serve byte
+    * codes through the ADC machinery; SQfp16 (nbits = 16) is the
+    * train-free IEEE half path, decoded in the scoring projection
+    * ([[Fp16]]). Anything else — SQ6, SQfp8, fast-scan spellings —
+    * raises instead of silently serving a different precision. */
+  private def sqWidth(param: String, b: String): Int = b match {
+    case "8"    => 8
+    case "4"    => 4
+    case "fp16" => 16
+    case _ => throw new IllegalArgumentException(s"index_param '$param': " +
+      "supported scalar quantizers are SQ8 (one byte per dim), SQ4 (two " +
+      "dims nibble-packed per byte) and SQfp16 (train-free IEEE half); " +
+      "6-bit/fp8 variants are not")
   }
 
   /** Fit-time nlist for the IVF family. `nlist > 0` is the caller's pinned
@@ -389,18 +396,23 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "SQ fit on empty/zero-dim vectors")
-        val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
-        // dim bytes (SQ8) or ⌈dim/2⌉ bytes (SQ4) per vector instead of
-        // dim floats (4×/8×); search reuses the PQ ADC machinery over the
-        // synthetic per-subspace level codebooks
+        // SQfp16 is train-free (no bounds, no levels — 2·dim bytes per
+        // vector, decoded inside the scoring projection at search); SQ8/
+        // SQ4 fit per-dim bounds once, shared by encode and the synthetic
+        // ADC level codebooks (dim bytes / ⌈dim/2⌉ bytes per vector)
+        val fitted = if (nbits == 16) None else Some(SqIndex.fitBounds(pre, VEC, d))
+        val codes = fitted match {
+          case Some((vmin, vdiff)) => SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits)
+          case None                => Fp16.encodeCol(col(VEC))
+        }
         val indexed = pre
-          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits))
+          .withColumn(PqIndex.CODES, codes)
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
-          Some(SqIndex.levels(vmin, vdiff, nbits)), Some((vmin, vdiff)))
+          fitted.map { case (mn, df) => SqIndex.levels(mn, df, nbits) }, fitted)
       case IvfSq(nlist, nbits) =>
         val pre0 =
           if (params.measurement == "cos")
@@ -412,16 +424,22 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         require(d > 0, "IVF,SQ fit on empty/zero-dim vectors")
         val cents = IvfIndex.fitCentroids(pre, VEC,
           IndexStrategy.resolveNlist(nlist, n), n)
-        val (vmin, vdiff) = SqIndex.fitBounds(pre, VEC, d)
+        // fp16 composition (IVFn,SQfp16): cells for pruning + train-free
+        // half codes, decoded in the scoring projection at search
+        val fitted = if (nbits == 16) None else Some(SqIndex.fitBounds(pre, VEC, d))
+        val codes = fitted match {
+          case Some((vmin, vdiff)) => SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits)
+          case None                => Fp16.encodeCol(col(VEC))
+        }
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
-          .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits))
+          .withColumn(PqIndex.CODES, codes)
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, Some(cents),
-          None, Some(SqIndex.levels(vmin, vdiff, nbits)), Some((vmin, vdiff)))
+          None, fitted.map { case (mn, df) => SqIndex.levels(mn, df, nbits) }, fitted)
       case HnswGraph(m) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -579,6 +597,7 @@ object SparkSearcher {
       case _ => None
     }
     val sqB = IndexStrategy.effective(searcher.strategy) match {
+      case SqFlat(16) | IvfSq(_, 16) => None // fp16: nothing was fitted
       case SqFlat(_) | IvfSq(_, _) =>
         val rows = spark.read.parquet(s"$path/sq_bounds").orderBy("i").collect()
         Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
@@ -597,7 +616,12 @@ object SparkSearcher {
     // with a size-1 trailing subspace on odd dims — m·dsub0 would be off)
     val d = cbooks match {
       case Some(cbs) => cbs.map(_(0).length).sum
-      case None      => indexed.select(size(col(VEC))).head().getInt(0)
+      case None => IndexStrategy.effective(searcher.strategy) match {
+        // fp16 stores codes only: dim = half the code bytes
+        case SqFlat(16) | IvfSq(_, 16) =>
+          indexed.select(length(col(PqIndex.CODES))).head().getInt(0) / 2
+        case _ => indexed.select(size(col(VEC))).head().getInt(0)
+      }
     }
     require(d == lng("dim"),
       s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
@@ -744,6 +768,8 @@ class SearcherModel private[search] (
         case OpqPq(_) =>
           base.withColumn(PqIndex.CODES, PqIndex.encodeCol(
             OpqIndex.rotateCol(col(VEC), opqRotation.get), pqCodebooks.get))
+        case SqFlat(16) => // train-free: no bounds to honor
+          base.withColumn(PqIndex.CODES, Fp16.encodeCol(col(VEC)))
         case SqFlat(nb) =>
           val (mn, df) = sqBounds.get
           base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
@@ -751,6 +777,10 @@ class SearcherModel private[search] (
           IvfIndex.assignCells(base, VEC, centroids.get,
             spark.sparkContext.defaultParallelism)
             .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+        case IvfSq(_, 16) =>
+          IvfIndex.assignCells(base, VEC, centroids.get,
+            spark.sparkContext.defaultParallelism)
+            .withColumn(PqIndex.CODES, Fp16.encodeCol(col(VEC)))
         case IvfSq(_, nb) =>
           val (mn, df) = sqBounds.get
           IvfIndex.assignCells(base, VEC, centroids.get,
@@ -763,9 +793,18 @@ class SearcherModel private[search] (
           spark.sparkContext.defaultParallelism)
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
           .drop(VEC)
-      // SQ rows added after fit encode under the EXISTING bounds; values
-      // outside the trained range clamp to the edge levels (faiss SQ
-      // semantics — refit if the distribution moved)
+      // fp16 rows encode with no fitted state at all — the quantizer is
+      // the same for every corpus
+      case SqFlat(16) =>
+        base.withColumn(PqIndex.CODES, Fp16.encodeCol(col(VEC))).drop(VEC)
+      case IvfSq(_, 16) =>
+        IvfIndex.assignCells(base, VEC, centroids.get,
+          spark.sparkContext.defaultParallelism)
+          .withColumn(PqIndex.CODES, Fp16.encodeCol(col(VEC)))
+          .drop(VEC)
+      // SQ8/SQ4 rows added after fit encode under the EXISTING bounds;
+      // values outside the trained range clamp to the edge levels (faiss
+      // SQ semantics — refit if the distribution moved)
       case SqFlat(nb) =>
         val (mn, df) = sqBounds.get
         base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
@@ -1001,7 +1040,12 @@ class SearcherModel private[search] (
       OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
         throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
     case IvfPq(_, _)    => ivfPqTopK(qn, topK)
-    // SQ codes score through the same ADC machinery: the fitted
+    // fp16 codes don't fit the byte-indexed ADC tables: decode inside
+    // the scoring projection (codegen, fused with the distance kernel)
+    // and run the exact top-k machinery over the reconstruction
+    case SqFlat(16)     => fp16TopK(qn, topK)
+    case IvfSq(_, 16)   => ivfFp16TopK(qn, topK)
+    // SQ8/SQ4 codes score through the same ADC machinery: the fitted
     // pqCodebooks ARE the dim×256 dequantization levels (SqIndex.levels)
     case SqFlat(_)      => pqTopK(qn, topK)
     case IvfSq(_, _)    => ivfPqTopK(qn, topK)
@@ -1121,6 +1165,35 @@ class SearcherModel private[search] (
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
 
+  /** SQfp16 search: exact scoring over the half-precision reconstruction.
+    * The stored 2-byte codes decode INSIDE the scoring projection (one
+    * whole-stage-codegen span with the distance kernel — the float corpus
+    * is never materialized; codes are what's cached), then the shared
+    * bounded-heap top-k tail. Same plan as [[exactTopKAggregate]] at half
+    * the cached bytes. */
+  private def fp16TopK(q: DataFrame, topK: Int): DataFrame = {
+    val slim = indexed.select(col(ROW_ID),
+      Fp16.decodeCol(col(PqIndex.CODES)).as(VEC))
+    val scored = slim
+      .crossJoin(broadcast(q.select(col(QID), col(QVEC))))
+      .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
+    TopKAggregate.mergeHits(scored, topK, ascending = !metric.higherIsCloser)
+      .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
+      .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
+  /** IVFn,SQfp16: centroid-pruned cells, fp16 decode-and-score within the
+    * probed cells — [[IvfIndex.ivfTopKOver]] with the reconstruction as
+    * the vector view. */
+  private def ivfFp16TopK(q: DataFrame, topK: Int): DataFrame = {
+    val cents = centroids.getOrElse(
+      throw new IllegalStateException("IVF,SQfp16 search without fitted centroids"))
+    IvfIndex.ivfTopKOver(
+      indexed.select(col(ROW_ID), Fp16.decodeCol(col(PqIndex.CODES)).as(VEC),
+        col(IvfIndex.CID)),
+      metric, cents, q, topK, searcher.effectiveNprobe)
+  }
+
   /** IVF+PQ: cell-pruned ADC — see [[IvfPqScorer.topK]]. */
   // no nlist parameter: IvfPqScorer derives the cell count from the
   // fitted centroids (auto-sized IVF0 models parse as nlist=0)
@@ -1217,6 +1290,8 @@ class SearcherModel private[search] (
     // levels — load rebuilds levels from bounds, and add() after load
     // encodes under the exact fitted bounds (no float drift)
     IndexStrategy.effective(searcher.strategy) match {
+      // fp16 is train-free: no bounds to persist, codes self-describe
+      case SqFlat(16) | IvfSq(_, 16) => ()
       case SqFlat(_) | IvfSq(_, _) =>
         val (mn, df) = sqBounds.get
         val sp = spark

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftshim.GraftSql.{column, expression}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, FloatType}
 
 /**
  * Scalar quantization — the faiss `SQ8` factory path
@@ -161,4 +162,134 @@ case class SqEncodeExpr(child: Expression, vmin: Array[Float], vdiff: Array[Floa
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "sq_encode"
+}
+
+/**
+ * IEEE-754 binary16 ("half") scalar quantization — the faiss `SQfp16`
+ * factory path (/root/reference/backend/faiss_searcher.py:100-107 accepts
+ * any index_factory string; `SQfp16` is the standard train-free choice).
+ * Unlike SQ8/SQ4 there is NOTHING to fit: each dimension rounds
+ * independently to the nearest representable half (round-to-nearest-even,
+ * the IEEE default) — 2 bytes per dim, a fixed 2× compression with ≤2⁻¹¹
+ * relative error, the "free" first notch before bounds-trained
+ * quantizers. Because codes are 16-bit, the byte-indexed ADC-table
+ * machinery does not apply; search instead DECODES inside the scoring
+ * projection — a codegen expression fused into the same
+ * whole-stage-codegen scan as the distance kernel, so the 2-byte codes
+ * are what is cached/persisted/shuffled and float vectors only ever
+ * exist per-row in flight — and reuses the exact top-k tails.
+ *
+ * The half↔float conversions are self-contained bit manipulation (the
+ * JDK's `Float.floatToFloat16` arrived in Java 20; this builds on 17)
+ * and fully deterministic, so fp16 search results are exactly
+ * reproducible across JVMs.
+ */
+object Fp16 {
+
+  /** float32 → half bits, round-to-nearest-even. Overflow → ±Inf,
+    * NaN → quiet NaN (payload top bit set), subnormal halves exact,
+    * |x| < 2⁻²⁵ (and ties at 2⁻²⁵) → signed zero. */
+  def toHalf(f: Float): Short = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val e = (bits >>> 23) & 0xff
+    val m = bits & 0x7fffff
+    if (e == 0xff) { // Inf / NaN: keep the distinction, quieten the NaN
+      (sign | 0x7c00 | (if (m != 0) 0x200 | (m >>> 13) else 0)).toShort
+    } else {
+      val he = e - 112 // half biased exponent: e − 127 + 15
+      if (he >= 0x1f) (sign | 0x7c00).toShort // overflow → Inf
+      else if (he > 0) { // normal half: 23-bit mantissa → 10, RNE
+        val mant = m >>> 13
+        val rem = m & 0x1fff
+        var h = sign | (he << 10) | mant
+        // a mantissa carry rolls into the exponent (and, at the top,
+        // into Inf) — exactly the IEEE rounding behavior
+        if (rem > 0x1000 || (rem == 0x1000 && (mant & 1) == 1)) h += 1
+        h.toShort
+      } else { // subnormal half (or underflow to zero)
+        // 24-bit significand; value = full · 2^(e−150); half subnormal
+        // unit is 2⁻²⁴, so the target mantissa = full >> (126 − e), RNE
+        val shift = 126 - e
+        if (shift > 24) sign.toShort // < 2⁻²⁵: below half of the smallest
+        else {
+          val full = m | 0x800000
+          val mant = full >>> shift
+          val half = 1 << (shift - 1)
+          val rem = full & ((1 << shift) - 1)
+          var h = sign | mant
+          if (rem > half || (rem == half && (mant & 1) == 1)) h += 1
+          h.toShort
+        }
+      }
+    }
+  }
+
+  /** half bits → float32 (exact — every half is representable). */
+  def fromHalf(h: Short): Float = {
+    val bits = h & 0xffff
+    val neg = (bits & 0x8000) != 0
+    val e = (bits >>> 10) & 0x1f
+    val m = bits & 0x3ff
+    val mag =
+      if (e == 0x1f) {
+        if (m == 0) Float.PositiveInfinity
+        else java.lang.Float.intBitsToFloat(0x7f800000 | (m << 13))
+      }
+      // subnormal: m · 2⁻²⁴; normal: (1024 + m) · 2^(e−25) — both exact
+      else if (e == 0) Math.scalb(m.toFloat, -24)
+      else Math.scalb((m | 0x400).toFloat, e - 25)
+    if (neg) -mag else mag
+  }
+
+  /** Encode kernel: 2 bytes per dim, little-endian half bits. */
+  def encode(v: ArrayData): Array[Byte] = {
+    val d = v.numElements()
+    val out = new Array[Byte](2 * d)
+    var i = 0
+    while (i < d) {
+      val h = toHalf(v.getFloat(i))
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode kernel: the reconstruction the codes denote, as a primitive
+    * float array (no per-element boxing on the scoring path). */
+  def decode(b: Array[Byte]): ArrayData = {
+    val d = b.length / 2
+    val out = new Array[Float](d)
+    var i = 0
+    while (i < d) {
+      out(i) = fromHalf((((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def encodeCol(v: Column): Column = column(Fp16EncodeExpr(expression(v)))
+  def decodeCol(codes: Column): Column = column(Fp16DecodeExpr(expression(codes)))
+}
+
+/** Codegen'd fp16 encoder: array<float> → binary(2·dim). */
+case class Fp16EncodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any = Fp16.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.search.Fp16.encode($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "fp16_encode"
+}
+
+/** Codegen'd fp16 decoder: binary(2·dim) → array<float>; fuses into the
+  * same whole-stage-codegen span as the distance kernel downstream. */
+case class Fp16DecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = Fp16.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.search.Fp16.decode($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "fp16_decode"
 }

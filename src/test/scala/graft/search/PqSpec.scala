@@ -412,11 +412,10 @@ class PqSpec extends SparkSpec {
   }
 
   test("unsupported scalar quantizers raise — never silently uncompressed") {
-    // 'IVF16,SQfp16' must NOT fall through to the IVF(16) catch-all and
+    // 'IVF16,SQ6' must NOT fall through to the IVF(16) catch-all and
     // serve exact floats when the caller asked for compression
-    intercept[IllegalArgumentException](IndexStrategy.parse("SQfp16"))
+    // (SQfp16 graduated to a real quantizer — Fp16Spec covers it)
     intercept[IllegalArgumentException](IndexStrategy.parse("SQ6"))
-    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQfp16"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ6"))
     // SQ4 is now a REAL quantizer (nibble-packed), not a parse error
     assert(IndexStrategy.parse("SQ4") === SqFlat(4))
