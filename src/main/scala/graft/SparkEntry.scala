@@ -430,6 +430,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // train-free IEEE half quantizer (faiss "SQfp16"): 2 bytes per dim,
+    // decoded inside the scoring projection (one codegen span with the
+    // distance kernel) — no ADC tables, no fitted state at all
+    "knn_fp16_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "SQfp16"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // IVF cells + SQ bytes (faiss "IVFn,SQ8"): partition pruning AND 4×
     // compression — the right composition when PQ's reconstruction error
     // is too coarse but floats still don't fit
@@ -1266,6 +1278,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "knn_cos_top10" -> knnOracle("cos", 10),
+    // static despite being a quantizer gate: fp16 is train-free
+    "knn_fp16_cos" -> fp16Oracle(10),
     "knn_ip_top5"   -> knnOracle("ip", 5),
     "knn_l2_top5"   -> knnOracle("l2", 5),
     "knn_l1_top5"   -> knnOracle("l1", 5),
@@ -2032,6 +2046,43 @@ object SparkEntry {
 
   /** knn_sq8_cos: refit the bounds exactly as the gate query does, embed
     * them, reproduce encode + dequantized scoring + top-k in SQL. */
+  /** knn_fp16_cos — unlike every other quantizer oracle this one is fully
+    * STATIC (fp16 is train-free; nothing is fitted). The IEEE binary16
+    * round-to-nearest-even is reproduced in exact double arithmetic:
+    * `e = floor(log2|x|)` boundary-repaired against its own powers (so
+    * libm log2 inexactness at 2^k cannot shift the exponent), then
+    * `|x| / 2^(e−10)` — an exact power-of-two scaling — floored with an
+    * explicit tie-to-even fix (SQL `round` is half-away-from-zero).
+    * Subnormal halves (e < −14) share the fixed 2⁻²⁴ unit. Nested
+    * single-element `list_transform`s act as let-bindings (DuckDB lambdas
+    * have no local names). Queries and corpus both live in the
+    * float32-normalized space (`f`), matching the engine's pqCos query
+    * prep + fit-time normalization; scoring is the full cosine over the
+    * half-rounded corpus side — [[graft.search.Fp16]]'s decode values
+    * exactly. */
+  private def fp16Oracle(k: Int): String = {
+    val half =
+      """CASE WHEN x = 0 THEN 0.0 ELSE
+        |  list_transform([CAST(floor(log2(abs(x))) AS BIGINT)], e0 ->
+        |    list_transform([CASE WHEN abs(x) < pow(2.0, e0) THEN e0 - 1
+        |                         WHEN abs(x) >= pow(2.0, e0 + 1) THEN e0 + 1
+        |                         ELSE e0 END], e ->
+        |      list_transform([CASE WHEN e < -14 THEN pow(2.0, -24) ELSE pow(2.0, e - 10) END], ulp ->
+        |        list_transform([floor(abs(x) / ulp)], fq ->
+        |          (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) * ulp *
+        |          (CASE WHEN abs(x) / ulp - fq > 0.5 THEN fq + 1
+        |                WHEN abs(x) / ulp - fq < 0.5 THEN fq
+        |                ELSE fq + CAST(CAST(fq AS BIGINT) % 2 AS DOUBLE) END)
+        |        )[1])[1])[1])[1] END""".stripMargin
+    s"""WITH $normCtes,
+       |hx AS (SELECT vec_id, label, list_transform(v, x -> $half) v FROM f),
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |sc AS (SELECT q.qid, x.vec_id xid,
+       |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) score
+       |  FROM q CROSS JOIN hx x),
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
   private def sqOracle(s: SparkSession, dir: String, k: Int): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
