@@ -871,8 +871,19 @@ class SearcherModel private[search] (
   def searchRange(queries: DataFrame, threshold: Double,
       queryIdCol: Option[String] = None): DataFrame = {
     require(count > 0, "search before fit (faiss_searcher.py:187)")
-    require(indexed.columns.contains(VEC),
-      "range search needs stored vectors (Flat/IVF/LSH; PQ/SQ keep codes only)")
+    // fp16 ranges over its reconstruction (faiss SQ range_search does the
+    // same): codes decode in the scoring projection, below
+    val fp16Codes = !indexed.columns.contains(VEC) &&
+      (IndexStrategy.effective(searcher.strategy) match {
+        case SqFlat(16) | IvfSq(_, 16) => true
+        case _                         => false
+      })
+    require(indexed.columns.contains(VEC) || fp16Codes,
+      "range search needs stored vectors (Flat/IVF/LSH) or decodable fp16 " +
+        "codes (PQ/SQ8/SQ4 keep lossy byte codes only)")
+    val scanBase =
+      if (fp16Codes) indexed.withColumn(VEC, Fp16.decodeCol(col(PqIndex.CODES)))
+      else indexed
     val qItemCol = params.itemCol
       .filter(queries.columns.contains).getOrElse(queries.columns.head)
     val withId = queryIdCol match {
@@ -891,7 +902,7 @@ class SearcherModel private[search] (
     // lives in exactly one cell, so hits stay distinct); full probe ≡ the
     // exact scan (spec-gated). Other strategies scan exactly.
     val scored = searcher.strategy match {
-      case IvfFlat(_) =>
+      case IvfFlat(_) | IvfSq(_, 16) =>
         val cents = centroids.getOrElse(
           throw new IllegalStateException("IVF search without fitted centroids"))
         // clamp against the FITTED cell count, not the parsed nlist — an
@@ -901,7 +912,7 @@ class SearcherModel private[search] (
         val probes = qn.withColumn(IvfIndex.CID,
           explode(IvfIndex.nearestCentroidsCol(col(QVEC), cents,
             math.min(searcher.effectiveNprobe, cents.length))))
-        indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+        scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)
       case LshTables(_, _) =>
@@ -912,16 +923,16 @@ class SearcherModel private[search] (
           throw new IllegalStateException("LSH search without fitted planes"))
         val probes = qn.select(col(QID), col(QVEC), col(SourceItem),
           posexplode(SignLsh.bucketsCol(col(QVEC), planes)).as(Seq("__tbl", "__bkt")))
-        val slimB = indexed.select(col(ROW_ID),
+        val slimB = scanBase.select(col(ROW_ID),
           posexplode(col(BUCKETS)).as(Seq("__tbl", "__bkt")))
         probes.select(col(QID), col("__tbl"), col("__bkt"))
           .join(slimB, Seq("__tbl", "__bkt"))
           .select(col(QID), col(ROW_ID)).distinct()
           .join(broadcast(qn), QID)
-          .join(indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+          .join(scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*), ROW_ID)
       case _ =>
-        indexed.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+        scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*)
           .crossJoin(broadcast(qn))
     }

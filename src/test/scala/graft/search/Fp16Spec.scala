@@ -161,6 +161,38 @@ class Fp16Spec extends SparkSpec {
     refined.unpersist(); fp16.unpersist(); exact.unpersist()
   }
 
+  test("SQfp16 range search decodes codes (faiss SQ range_search); byte codes still reject") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    def rangeIds(param: String, nprobe: Int = 16) = {
+      val m = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = param, nprobe = nprobe)).fit(emb)
+      val r = m.searchRange(q, 0.55, queryIdCol = Some("vec_id"))
+        .select(col("vec_id"), col("sim_item").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      m.unpersist(); r
+    }
+    val exact = rangeIds("Flat")
+    val fp16 = rangeIds("SQfp16")
+    assert(exact.nonEmpty)
+    // fp16 error is ≤2⁻¹¹ relative — at a threshold this far from the
+    // decision boundary of these embeddings the sets are expected equal;
+    // tolerate a sliver of boundary churn either way
+    val sym = (exact diff fp16) ++ (fp16 diff exact)
+    assert(sym.size <= math.max(1, exact.size / 50),
+      s"fp16 range diverged: ${sym.size} of ${exact.size}")
+    // IVF16,SQfp16 at full probe ≡ the flat fp16 scan
+    assert(rangeIds("IVF16,SQfp16") === fp16)
+    // lossy byte codes still reject — reconstruction would silently
+    // change the threshold semantics
+    val pq = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "SQ8")).fit(emb)
+    intercept[IllegalArgumentException](pq.searchRange(q, 0.55, Some("vec_id")))
+    pq.unpersist()
+  }
+
   test("factory parsing: SQfp16 spellings accepted, other widths raise") {
     assert(IndexStrategy.parse("SQfp16") === SqFlat(16))
     assert(IndexStrategy.parse("IVF16,SQfp16") === IvfSq(16, 16))
