@@ -430,6 +430,18 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // faiss vector-transform prefix ("PCAWn,inner"): whitened PCA fitted
+    // on the corpus, index trained in the 16-dim space, queries projected
+    // through the same kernel — 4x less vector data for everything after
+    "knn_pcaw_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PCAW16,Flat"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // train-free IEEE half quantizer (faiss "SQfp16"): 2 bytes per dim,
     // decoded inside the scoring projection (one codegen span with the
     // distance kernel) — no ADC tables, no fitted state at all
@@ -2281,6 +2293,31 @@ object SparkEntry {
        |FROM e0 CROSS JOIN kb CROSS JOIN bs ORDER BY vec_id, pos""".stripMargin.replace("\n", " ")
   }
 
+  /** knn_pcaw_cos: refit the whitened-PCA kernel exactly as the gate's
+    * searcher does (same corpus, deterministic SVD signs), embed
+    * kernel + bias, project every vector in SQL with the same
+    * double-accumulate + float-round as [[WhitenTransform]], then the
+    * exact cos top-k tail in the 16-dim space. */
+  private def pcaKnnOracle(s: SparkSession, dir: String, k: Int): String = {
+    val m = new VecsWhitening(16).fit(table(s, dir, "embeddings"), "embedding")
+    val d = m.kernel.length
+    val kbVals = (0 until m.kernel(0).length)
+      .map(j => s"($j, ${dArr(Array.tabulate(d)(i => m.kernel(i)(j)))})")
+      .mkString(", ")
+    s"""WITH kb(j, kcol) AS (VALUES $kbVals),
+       |bs(b) AS (VALUES (${dArr(m.bias)})),
+       |e0 AS (SELECT vec_id, label, embedding::DOUBLE[] v0 FROM embeddings),
+       |pj AS (SELECT vec_id, label, kb.j, CAST(list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(0, $d), i -> (v0[i+1] + bs.b[i+1]) * kb.kcol[i+1])), (a, x) -> a + x) AS FLOAT) w
+       |  FROM e0 CROSS JOIN kb CROSS JOIN bs),
+       |f AS (SELECT vec_id, label, list(w::DOUBLE ORDER BY j) v FROM pj GROUP BY vec_id, label),
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |sc AS (SELECT q.qid, x.vec_id xid,
+       |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) score
+       |  FROM q CROSS JOIN f x),
+       |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
+  }
+
   /** Optional gate-name filter (set by Verify's local-iteration arg): each
     * dynamic oracle costs a model refit, so skip the builders whose gate
     * wasn't requested. */
@@ -2299,6 +2336,7 @@ object SparkEntry {
         "knn_sq4_cos" -> (() => sq4Oracle(s, dir, 10)),
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
+        "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
         "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),

@@ -224,7 +224,20 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
   private lazy val fitLog = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
 
   val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
-  val strategy: IndexStrategy = IndexStrategy.parse(params.indexParam)
+
+  /** faiss `PCAn,…` / `PCAWn,…` vector-transform prefix: fit-time
+    * centered PCA (W = whitened) to n components BEFORE the inner index;
+    * queries project through the same fitted kernel at search. `PCARn`
+    * (random rotation) is not served — it falls through to the parse
+    * error. `calSim` stays in the raw encoder space by design (the
+    * reference's cal_sim never consults the index either,
+    * faiss_searcher.py:150-158). */
+  private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean)], String) =
+    Option(params.indexParam).getOrElse("") match {
+      case SparkSearcher.PcaSpelling(w, n, rest) => (Some((n.toInt, w == "W")), rest)
+      case p                                     => (None, p)
+    }
+  val strategy: IndexStrategy = IndexStrategy.parse(innerIndexParam)
 
   /** nprobe the IVF search paths use — the caller's knob, untouched.
     * (Rounds ≤4 served HNSW requests by IVF(64) pruning with a floored
@@ -246,6 +259,15 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
       if (params.normVec && params.measurement != "cos")
         encoded0.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
       else encoded0
+    // PCA prefix: fit the projection on exactly what the inner index
+    // would otherwise see, then train the index in the reduced space
+    // (queries ride the same fitted kernel — search/searchRange)
+    val (pcaFit, encodedP) = pcaSpec match {
+      case Some((nc, whiten)) =>
+        val m = new graft.whitening.VecsWhitening(nc, whiten).fit(encoded, VEC)
+        (Some(m), m.transform(encoded, VEC))
+      case None => (None, encoded)
+    }
 
     val withId = params.idCol match {
       case Some(c) =>
@@ -259,8 +281,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
             s"id column '$c' must be an integral type usable as row_id, got $other; " +
               "omit idCol to let fit() assign positional ids (faiss_searcher.py:39-40)")
         }
-        encoded.withColumn(ROW_ID, col(c).cast(LongType))
-      case None => zipWithRowId(encoded)
+        encodedP.withColumn(ROW_ID, col(c).cast(LongType))
+      case None => zipWithRowId(encodedP)
     }
 
     val payloadCols = items.columns.filter(c =>
@@ -281,7 +303,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     val keepVec = strategy match { case Refined(_, _) => true; case _ => false }
     def dropVecUnlessKept(df: DataFrame): DataFrame =
       if (keepVec) df else df.drop(VEC)
-    IndexStrategy.effective(strategy) match {
+    val fitted = IndexStrategy.effective(strategy) match {
       case Refined(_, _) => throw new IllegalStateException("nested refine")
       case ExactFlat =>
         val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -478,6 +500,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, Some(planes), None)
     }
+    pcaFit.fold(fitted)(fitted.withPca)
   }
 
   /** Score one item against a list (reference `cal_sim`,
@@ -500,9 +523,11 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
       .drop("pos")
   }
 
-  private def dimOf(indexed: DataFrame): Int = encoder.dim.getOrElse(
-    // dim probe (faiss_searcher.py:56); empty index → 0, search() then errors
-    indexed.select(size(col(VEC))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
+  private def dimOf(indexed: DataFrame): Int =
+    // a PCA prefix reduces below the encoder's declared dim — always probe
+    (if (pcaSpec.isDefined) None else encoder.dim).getOrElse(
+      // dim probe (faiss_searcher.py:56); empty index → 0, search() then errors
+      indexed.select(size(col(VEC))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
 }
 
 object SparkSearcher {
@@ -514,6 +539,9 @@ object SparkSearcher {
   private[search] val DIST = "__dist"
   private[search] val RANK = "__rank"
   private[search] val ROW_ID = "row_id"
+
+  // faiss vector-transform prefix (index_factory grammar): PCAn / PCAWn
+  private[search] val PcaSpelling = "PCA(W?)(\\d+),(.+)".r
 
   // public result schema (faiss_searcher.py:129-131)
   val SourceItem = "source_item"
@@ -571,12 +599,15 @@ object SparkSearcher {
       hnswGraphs = lngOr("hnswGraphs", dflt.hnswGraphs).toInt,
       broadcastThreshold = lngOr("broadcastThreshold", dflt.broadcastThreshold),
       exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath))
+    // construct first: the searcher strips any PCA prefix off indexParam,
+    // so every strategy dispatch below sees the inner index
+    val searcher = new SparkSearcher(encoder, params)
     val read0 = spark.read.parquet(s"$path/items")
     // HNSW graphs must be CO-LOCATED (a graph's adjacency is resolved
     // within its task); parquet splits don't respect graph boundaries, so
     // re-group by graph id once at load — the at-rest layout (partitioned
     // by gpart) makes this a directory-aligned shuffle
-    val read = IndexStrategy.parse(str("indexParam")) match {
+    val read = searcher.strategy match {
       case HnswGraph(_) => read0.repartition(col(NswGraph.GPART))
       case _            => read0
     }
@@ -584,7 +615,6 @@ object SparkSearcher {
     val n = indexed.count()
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
-    val searcher = new SparkSearcher(encoder, params)
     val pq = IndexStrategy.effective(searcher.strategy) match {
       case PqFlat(_) | IvfPq(_, _) | OpqPq(_) =>
         val rows = spark.read.parquet(s"$path/pq_codebooks")
@@ -652,9 +682,14 @@ object SparkSearcher {
           .map(_.getAs[scala.collection.Seq[Float]]("row").toArray))
       case _ => None
     }
+    // PCA-prefix kernel: indexParam carries the spelling, so the spec is
+    // already parsed; n_components is re-asserted by the loader
+    val pca = searcher.pcaSpec.map { case (nc, _) =>
+      graft.whitening.VecsWhiteningModel.load(spark, s"$path/pca", Some(nc))
+    }
     new SearcherModel(searcher,
       indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids,
-      planes, cbooks, sqB, rot)
+      planes, cbooks, sqB, rot, pca)
   }
 
   private[search] val ITEM = "__item"
@@ -677,9 +712,20 @@ class SearcherModel private[search] (
     private[search] val lshPlanes: Option[Array[Array[Array[Float]]]],
     private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]],
     private[search] val sqBounds: Option[(Array[Float], Array[Float])] = None,
-    private[search] val opqRotation: Option[Array[Array[Float]]] = None) {
+    private[search] val opqRotation: Option[Array[Array[Float]]] = None,
+    private[search] val pcaModel: Option[graft.whitening.VecsWhiteningModel] = None) {
 
   import SparkSearcher._
+
+  /** Attach the fitted PCA-prefix projection (same shared `indexed`). */
+  private[search] def withPca(p: graft.whitening.VecsWhiteningModel): SearcherModel =
+    new SearcherModel(searcher, indexed, payloadCols, count, dim, centroids,
+      lshPlanes, pqCodebooks, sqBounds, opqRotation, Some(p))
+
+  /** Project an encoded query column through the fitted PCA prefix, if
+    * one exists — BEFORE any cos/code normalization, mirroring fit. */
+  private def pcaProject(df: DataFrame, c: String): DataFrame =
+    pcaModel.fold(df)(m => df.withColumn(c, m.transformCol(col(c))))
   private def params = searcher.params
   private def metric = searcher.metric
   private val spark = indexed.sparkSession
@@ -727,10 +773,17 @@ class SearcherModel private[search] (
     require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
     val encoded0 = searcher.encoder.encode(items, itemCol, VEC)
     val pqCos = IndexStrategy.codesOnly(searcher.strategy) && params.measurement == "cos"
-    val encoded =
-      if ((params.normVec && params.measurement != "cos") || pqCos)
+    // same pipeline order as fit: normVec normalize → PCA project →
+    // pqCos (materialized) normalize in the projected space
+    val encodedNv =
+      if (params.normVec && params.measurement != "cos")
         encoded0.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
       else encoded0
+    val encodedP = pcaProject(encodedNv, VEC)
+    val encoded =
+      if (pqCos)
+        encodedP.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
+      else encodedP
     val withId = params.idCol match {
       case Some(c) => encoded.withColumn(ROW_ID, col(c).cast(LongType))
       case None =>
@@ -831,7 +884,7 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds, opqRotation)
+      lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
   }
 
   /**
@@ -858,7 +911,7 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds, opqRotation)
+      lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
   }
 
   /**
@@ -890,7 +943,7 @@ class SearcherModel private[search] (
       case Some(c) => queries.withColumn(QID, col(c))
       case None    => zipWithRowId(queries, QID)
     }
-    val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val encoded = pcaProject(searcher.encoder.encode(withId, qItemCol, QVEC), QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
     val qn =
       if (params.normVec && params.measurement != "cos")
@@ -965,7 +1018,7 @@ class SearcherModel private[search] (
       case Some(c) => queries.withColumn(QID, col(c))
       case None    => zipWithRowId(queries, QID)
     }
-    val encoded = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val encoded = pcaProject(searcher.encoder.encode(withId, qItemCol, QVEC), QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
     val pqCos = IndexStrategy.codesOnly(searcher.strategy) && params.measurement == "cos"
     val qn =
@@ -1297,6 +1350,8 @@ class SearcherModel private[search] (
       rot.indices.map(j => (j, rot(j).toSeq)).toDF("j", "row")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/opq_rotation")
     }
+    // PCA-prefix kernel + bias (n_components re-asserted at load)
+    pcaModel.foreach(_.save(spark, s"$path/pca"))
     // SQ persists its BOUNDS (2·dim floats), not the derived dim×256
     // levels — load rebuilds levels from bounds, and add() after load
     // encodes under the exact fitted bounds (no float drift)

@@ -59,8 +59,12 @@ case class WhitenTransform(child: Expression, kernel: Array[Array[Double]],
  * `kernel = U · diag(1/√s)` truncated to `nComponents`, `bias = −μ`
  * (vecs_whitening.py:25-34). The transform `y = (x + bias) · kernel`
  * (vecs_whitening.py:44-51) is a codegen'd expression.
+ *
+ * `whiten = false` keeps the same eigenbasis but skips the 1/√s variance
+ * scaling — plain centered PCA, the faiss `PCAn,…` vector transform (the
+ * default `true` is faiss's `PCAWn,…`).
  */
-class VecsWhitening(val nComponents: Int) {
+class VecsWhitening(val nComponents: Int, val whiten: Boolean = true) {
 
   /** Fit on all rows of `df(vecCol)`. Preconditions mirror the reference:
     * rows > dim (bert_encoder.py:172-175) and nComponents ≤ dim
@@ -80,7 +84,7 @@ class VecsWhitening(val nComponents: Int) {
     val kernel = DenseMatrix.zeros[Double](d, nComponents)
     var j = 0
     while (j < nComponents) {
-      val scale = 1.0 / math.sqrt(s(j))
+      val scale = if (whiten) 1.0 / math.sqrt(s(j)) else 1.0
       var i = 0
       while (i < d) { kernel(i, j) = u(i, j) * scale; i += 1 }
       j += 1
