@@ -234,7 +234,9 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     * faiss_searcher.py:150-158). */
   private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean)], String) =
     Option(params.indexParam).getOrElse("") match {
-      case SparkSearcher.PcaSpelling(w, n, rest) => (Some((n.toInt, w == "W")), rest)
+      case SparkSearcher.PcaSpelling(w, n, rest) =>
+        require(n.toInt > 0, s"index_param '${params.indexParam}': PCA to 0 components")
+        (Some((n.toInt, w == "W")), rest)
       case p                                     => (None, p)
     }
   val strategy: IndexStrategy = IndexStrategy.parse(innerIndexParam)
