@@ -66,6 +66,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("fp16 search: decode fused into the scan — no corpus exchange below the heap tail") {
+    val plan = physical(SparkEntry.queries("knn_fp16_cos")(spark, "/root/testdata/sf0.001"))
+    // decode-and-score must be one codegen projection feeding the heap
+    // aggregate: the corpus side may never materialize decoded floats
+    // through an exchange (codes are what shuffles, k rows/query/partition)
+    assert(plan.contains("fp16_decode"), "fp16 path lost the in-projection decode")
+    assert(plan.contains("partial_top_k_by_distance"),
+      "fp16 path lost the map-side heap aggregate")
+    // the ONLY exchange may carry partial heaps (k rows/query/partition,
+    // keyed by __qid); nothing below the partial aggregate — the corpus
+    // scan + decode + distance — may shuffle
+    val below = plan.substring(plan.indexOf("partial_top_k_by_distance"))
+    assert(!below.contains("Exchange hashpartitioning"),
+      "fp16 corpus side re-grew a pre-aggregate shuffle")
+    assert(!plan.contains("Window"), "fp16 plan re-grew a Window tail")
+  }
+
+  test("PCA prefix: projection is a scalar expression, not a join/shuffle stage") {
+    val plan = physical(SparkEntry.queries("knn_pcaw_cos")(spark, "/root/testdata/sf0.001"))
+    // the kernel rides as a plan reference inside whiten_transform — a
+    // matrix-multiply JOIN shape (kernel rows as a table) would shuffle
+    assert(plan.contains("whiten_transform"), "PCA prefix lost the codegen projection")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("top_k_by_distance") || plan.contains("Window"),
+      "PCA search lost its top-k tail")
+  }
+
   test("q1 aggregation: partial (map-side) aggregate before the exchange") {
     val plan = physical(SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001"))
     assert(plan.contains("HashAggregate"))
