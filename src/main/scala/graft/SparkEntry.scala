@@ -2071,7 +2071,12 @@ object SparkEntry {
     * float32-normalized space (`f`), matching the engine's pqCos query
     * prep + fit-time normalization; scoring is the full cosine over the
     * half-rounded corpus side — [[graft.search.Fp16]]'s decode values
-    * exactly. */
+    * exactly.
+    *
+    * PRECONDITION: inputs are float32-normalized (|x| ≤ 1 + ulp). The SQL
+    * has no overflow-to-±Inf branch, so it diverges from `Fp16.toHalf`
+    * for |x| ≥ 65520 — reusing this oracle for a raw-magnitude metric
+    * gate needs an explicit e ≥ 16 → Inf case first. */
   private def fp16Oracle(k: Int): String = {
     val half =
       """CASE WHEN x = 0 THEN 0.0 ELSE

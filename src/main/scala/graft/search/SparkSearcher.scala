@@ -232,13 +232,19 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     * error. `calSim` stays in the raw encoder space by design (the
     * reference's cal_sim never consults the index either,
     * faiss_searcher.py:150-158). */
-  private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean)], String) =
-    Option(params.indexParam).getOrElse("") match {
+  private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean)], String) = {
+    val raw = Option(params.indexParam).getOrElse("")
+    // IDMap is the identity wrapper here (ids are always carried), so
+    // faiss's `IDMap,PCAWn,…` composes: strip it before the PCA match.
+    // Non-PCA spellings keep the raw string — parse strips IDMap itself.
+    val noIdMap = if (raw.startsWith("IDMap,")) raw.stripPrefix("IDMap,") else raw
+    noIdMap match {
       case SparkSearcher.PcaSpelling(w, n, rest) =>
-        require(n.toInt > 0, s"index_param '${params.indexParam}': PCA to 0 components")
+        require(n.toInt > 0, s"index_param '$raw': PCA to 0 components")
         (Some((n.toInt, w == "W")), rest)
-      case p                                     => (None, p)
+      case _ => (None, raw)
     }
+  }
   val strategy: IndexStrategy = IndexStrategy.parse(innerIndexParam)
 
   /** nprobe the IVF search paths use — the caller's knob, untouched.
@@ -263,11 +269,15 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
       else encoded0
     // PCA prefix: fit the projection on exactly what the inner index
     // would otherwise see, then train the index in the reduced space
-    // (queries ride the same fitted kernel — search/searchRange)
+    // (queries ride the same fitted kernel — search/searchRange). The
+    // moments pass is a full action, so cache the encoded corpus across
+    // it — without this a non-trivial encoder runs twice end-to-end
+    val pcaCache = pcaSpec.map(_ => encoded.persist(StorageLevel.MEMORY_AND_DISK))
     val (pcaFit, encodedP) = pcaSpec match {
       case Some((nc, whiten)) =>
-        val m = new graft.whitening.VecsWhitening(nc, whiten).fit(encoded, VEC)
-        (Some(m), m.transform(encoded, VEC))
+        val src = pcaCache.get
+        val m = new graft.whitening.VecsWhitening(nc, whiten).fit(src, VEC)
+        (Some(m), m.transform(src, VEC))
       case None => (None, encoded)
     }
 
@@ -502,6 +512,9 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, Some(planes), None)
     }
+    // every branch materialized its own persist (indexed.count) — the
+    // PCA moments cache has served its purpose
+    pcaCache.foreach(_.unpersist(blocking = false))
     pcaFit.fold(fitted)(fitted.withPca)
   }
 
@@ -945,10 +958,20 @@ class SearcherModel private[search] (
       case Some(c) => queries.withColumn(QID, col(c))
       case None    => zipWithRowId(queries, QID)
     }
-    val encoded = pcaProject(searcher.encoder.encode(withId, qItemCol, QVEC), QVEC)
+    // same pipeline order as fit/search: normVec normalize → PCA project
+    // → codes-cos normalize (fp16 is the one code family that ranges —
+    // its cos fit normalized the corpus AND trained the IVF centroids on
+    // unit vectors, so the probing query must be normalized the same way;
+    // cos itself is scale-invariant, so threshold semantics are unchanged)
+    val encoded0 = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val encodedNv =
+      if (params.normVec && params.measurement != "cos")
+        encoded0.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
+      else encoded0
+    val encoded = pcaProject(encodedNv, QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
     val qn =
-      if (params.normVec && params.measurement != "cos")
+      if (fp16Codes && params.measurement == "cos")
         q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
       else q
     val dist = metric.dist(col(QVEC), col(VEC))
@@ -1020,11 +1043,18 @@ class SearcherModel private[search] (
       case Some(c) => queries.withColumn(QID, col(c))
       case None    => zipWithRowId(queries, QID)
     }
-    val encoded = pcaProject(searcher.encoder.encode(withId, qItemCol, QVEC), QVEC)
+    // same pipeline order as fit: normVec normalize → PCA project →
+    // pqCos (materialized) normalize in the projected space
+    val encoded0 = searcher.encoder.encode(withId, qItemCol, QVEC)
+    val encodedNv =
+      if (params.normVec && params.measurement != "cos")
+        encoded0.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))
+      else encoded0
+    val encoded = pcaProject(encodedNv, QVEC)
     val q = encoded.select(col(QID), col(qItemCol).as(SourceItem), col(QVEC))
     val pqCos = IndexStrategy.codesOnly(searcher.strategy) && params.measurement == "cos"
     val qn =
-      if ((params.normVec && params.measurement != "cos") || pqCos)
+      if (pqCos)
         // PQ + cos: queries must be materialized-normalized like the fitted
         // codes (ADC computes raw dot tables; see fit)
         q.withColumn(QVEC, VectorFunctions.vec_l2_normalize(col(QVEC)))

@@ -96,7 +96,9 @@ object QualityModel {
   /** The DuckDB SQL reproducing [[logitFromToks]] + the tokenization for
     * table `from`(`idCol`, `textCol`) → `(id, score)` rows; used by the
     * gate's oracle and kept NEXT TO the kernel so the two sides evolve
-    * together. */
+    * together. NULL text null-propagates on both sides (the Spark kernel
+    * is a null-safe UnaryExpression; the SQL's outer CASE mirrors it —
+    * a token-FREE but non-null text still scores the bare bias). */
   def oracleSql(from: String, idCol: String, textCol: String,
       weights: Array[Float], bias: Double): String = {
     val buckets = weights.length
@@ -112,7 +114,8 @@ object QualityModel {
        |  FROM cnts JOIN tot ON cnts.id = tot.id CROSS JOIN wt),
        |sc AS (SELECT id, list_reduce(list_prepend($bias::DOUBLE, list(t ORDER BY bkt)), (a, x) -> a + x) z
        |  FROM terms GROUP BY id)
-       |SELECT b0.id $idCol, CAST(coalesce(sc.z, $bias::DOUBLE) AS FLOAT) score
+       |SELECT b0.id $idCol, CASE WHEN b0.toks IS NULL THEN NULL
+       |  ELSE CAST(coalesce(sc.z, $bias::DOUBLE) AS FLOAT) END score
        |FROM b0 LEFT JOIN sc ON b0.id = sc.id ORDER BY b0.id""".stripMargin.replace("\n", " ")
   }
 }

@@ -191,6 +191,17 @@ class Fp16Spec extends SparkSpec {
         measurement = "cos", indexParam = "SQ8")).fit(emb)
     intercept[IllegalArgumentException](pq.searchRange(q, 0.55, Some("vec_id")))
     pq.unpersist()
+    // tight-probe regression: fit trained centroids on the NORMALIZED
+    // corpus, so range's probing query must normalize the same way —
+    // with nprobe=1 each query must still land in its own cell and
+    // retrieve itself (raw-magnitude probing picks wrong cells)
+    val tight = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF8,SQfp16", nprobe = 1)).fit(emb)
+    val selfPairs = tight.searchRange(q, 0.999, queryIdCol = Some("vec_id"))
+      .filter(col("sim_item").cast("long") === col("vec_id")).count()
+    assert(selfPairs === 5, "nprobe=1 fp16 range lost self matches")
+    tight.unpersist()
   }
 
   test("factory parsing: SQfp16 spellings accepted, other widths raise") {

@@ -88,6 +88,38 @@ class PcaSpec extends SparkSpec {
     pca.unpersist(); exact.unpersist()
   }
 
+  test("normVec + non-cos metric: queries normalize BEFORE projecting (fit's order)") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "l2", indexParam = "PCAW16,Flat", normVec = true)).fit(emb)
+    val res = model.search(q, 3, keepRankNo = true, queryIdCol = Some("vec_id"))
+    // fit stores project(normalize(x)); a query x must travel the SAME
+    // pipeline, so its self-distance is exactly 0 — normalize(project(x))
+    // (the inverted order) lands at a scaled point with self-dist > 0
+    val self = res.filter(col("rank_no") === 0)
+      .select(col("vec_id"), col("sim_item").cast("long"), col("sim_val"))
+      .collect()
+    assert(self.length === 5)
+    self.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0), s"query ${r.getLong(0)} self-match")
+      assert(r.getFloat(2) === 0.0f, s"query ${r.getLong(0)} self-distance")
+    }
+    model.unpersist()
+  }
+
+  test("IDMap composes with the PCA prefix (IDMap,PCAW16,Flat)") {
+    val emb = sf("embeddings")
+    val m = searcher("IDMap,PCAW16,Flat").fit(emb.filter(col("vec_id") < 100))
+    assert(m.dim === 16)
+    assert(m.search(emb.filter(col("vec_id") < 3), 2,
+      keepRankNo = true, queryIdCol = Some("vec_id"))
+      .filter(col("rank_no") === 0 && col("sim_item").cast("long") === col("vec_id"))
+      .count() === 3)
+    m.unpersist()
+  }
+
   test("parsing: PCAR and malformed spellings raise; prefix requires an inner index") {
     // PCAR (random-rotation) is not served: must raise, not silently PCA
     intercept[IllegalArgumentException](searcher("PCAR16,Flat").strategy)
