@@ -159,7 +159,9 @@ object IndexStrategy {
     case Pq(m)              => PqFlat(m.toInt)
     case Sq(b) => SqFlat(sqWidth(param, b))
     case other => throw new IllegalArgumentException(
-      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, LSHtxb, PQm, SQ8, SQ4, SQfp16)")
+      s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, " +
+        "LSHtxb, PQm, SQ8, SQ4, SQfp16, IVF/OPQ/IDMap/RFlat compositions, " +
+        "and the PCAn,/PCAWn, transform prefixes)")
   }
 
   /** Scalar-quantizer width from the factory suffix: SQ8/SQ4 serve byte
