@@ -340,6 +340,20 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // auto-bits twin ("LSH12", no xb): hash width resolved at fit for
+    // ~16-row expected bucket occupancy (a width pinned at small scale
+    // turns each bucket into a near-full corpus scan once n passes
+    // 2^bits·16); LSH12x8 above stays as the regression pin. Oracle
+    // embeds the fitted model's own planes — bits cannot diverge.
+    "knn_lsh_auto" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "LSH12"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // O6 third ANN access path: product quantization (faiss "PQm") — byte
     // codes (dim·4/m× memory compression) + per-partition ADC tables.
     // Hash-match gate: the deterministically-fitted codebooks are embedded
@@ -474,6 +488,20 @@ object SparkEntry {
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
           measurement = "cos", indexParam = "IVF16,Flat", nprobe = 4))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // auto-sized twin ("IVF0"): nlist resolved at fit to ~sqrt(n) — the
+    // config a growing corpus actually runs (a pinned nlist=16 degrades
+    // toward full scans as n outgrows it); IVF16 above stays as the
+    // regression pin. Oracle refits identically and embeds the resolved
+    // centroids — searcher-side mirror of dedup_embedding_blocked_auto.
+    "knn_ivf_auto" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF0", nprobe = 4))
         .fit(items)
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
@@ -2179,13 +2207,17 @@ object SparkEntry {
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
   }
 
-  /** knn_ivf_pruned: IVF16 at nprobe=4 over RAW vectors (the cos kernel
-    * normalizes internally — nothing materialized), exact cos scoring of
-    * only the probed cells' rows. */
-  private def ivfPrunedOracle(s: SparkSession, dir: String, k: Int): String = {
+  /** knn_ivf_pruned / knn_ivf_auto: IVF at nprobe=4 over RAW vectors (the
+    * cos kernel normalizes internally — nothing materialized), exact cos
+    * scoring of only the probed cells' rows. `indexParam` "IVF0" exercises
+    * the fit-time auto-nlist resolution: the refit here goes through the
+    * identical [[graft.search.IndexStrategy.resolveNlist]] arithmetic, so
+    * the embedded centroids match the gate's run bit-for-bit. */
+  private def ivfPrunedOracle(s: SparkSession, dir: String, k: Int,
+      indexParam: String = "IVF16,Flat"): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-        measurement = "cos", indexParam = "IVF16,Flat", nprobe = 4))
+        measurement = "cos", indexParam = indexParam, nprobe = 4))
       .fit(table(s, dir, "embeddings"))
     val cents = model.fittedCentroids.get
     model.unpersist()
@@ -2201,6 +2233,36 @@ object SparkEntry {
        |  FROM q JOIN qcell ON qcell.qid = q.vec_id JOIN xcell ON xcell.cell = qcell.cell JOIN x ON x.vec_id = xcell.vec_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY sim DESC, sim_id) rn FROM s0)
        |SELECT source_id, CAST(rn - 1 AS INT) rank_no, sim_id, sim_label, CAST(sim AS FLOAT) sim_val
+       |FROM r WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin.replace("\n", " ")
+  }
+
+  /** knn_lsh_auto: sign-LSH candidate equi-join + exact cos scoring with
+    * the fit-time auto-bits hash width. The planes are read from the
+    * FITTED model (seeded projections over
+    * [[graft.search.IndexStrategy.resolveBits]](n)), so gate and oracle
+    * share them bit-for-bit; SQL shape identical to the static
+    * knn_lsh_cos oracle. */
+  private def lshKnnOracle(s: SparkSession, dir: String, k: Int): String = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH12"))
+      .fit(table(s, dir, "embeddings"))
+    val planes = model.fittedLshPlanes.get
+    model.unpersist()
+    val t = planes.length
+    val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
+      .mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+       |b0 AS (SELECT vec_id, $bucketExprs bs FROM e),
+       |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM b0 CROSS JOIN range(0, $t) r),
+       |qb AS (SELECT * FROM bk WHERE vec_id < 10),
+       |cd AS (SELECT DISTINCT q.vec_id qid, x.vec_id xid FROM qb q JOIN bk x
+       |  ON q.tbl = x.tbl AND q.bkt = x.bkt),
+       |s AS (SELECT cd.qid source_id, cd.xid sim_id, ex.label sim_label,
+       |  list_dot_product(eq.v, ex.v) / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ex.v, ex.v))) c
+       |  FROM cd JOIN e eq ON eq.vec_id = cd.qid JOIN e ex ON ex.vec_id = cd.xid),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source_id ORDER BY c DESC, sim_id) rn FROM s)
+       |SELECT source_id, CAST(rn - 1 AS INT) rank_no, sim_id, sim_label, CAST(c AS FLOAT) sim_val
        |FROM r WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin.replace("\n", " ")
   }
 
@@ -2341,6 +2403,8 @@ object SparkEntry {
         "knn_sq4_cos" -> (() => sq4Oracle(s, dir, 10)),
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
+        "knn_ivf_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0")),
+        "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),

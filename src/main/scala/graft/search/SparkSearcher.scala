@@ -199,6 +199,19 @@ object IndexStrategy {
       auto
     }
   }
+
+  /** Fit-time hash width for auto-bits LSH (`LSHt` with no explicit `xb`):
+    * expected bucket occupancy stays ~16 rows as n grows (a bit width
+    * fixed at small scale turns each bucket into a near-full corpus scan
+    * once n passes 2^bits·16), floored at 8 bits. Shared by the fit site
+    * AND the oracle builder so the two can never silently diverge on the
+    * occupancy constant — same discipline as [[resolveNlist]] /
+    * `Dedup.autoBlockNlist`. */
+  def resolveBits(bits: Option[Int], n: Long): Int = bits.getOrElse {
+    val b = math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt)
+    log.info(s"LSH auto-bits: n=$n -> bits=$b (occupancy ~${n >> b} rows/bucket)")
+    b
+  }
 }
 
 /**
@@ -499,11 +512,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         require(d > 0, "LSH fit on empty/zero-dim vectors")
         // auto bits: keep expected bucket occupancy ~16 rows as n grows;
         // resolved value logged — auto runs must be reproducible from logs
-        val bits = bitsOpt.getOrElse {
-          val b = math.max(8, math.ceil(math.log(n / 16.0) / math.log(2)).toInt)
-          fitLog.info(s"LSH auto-bits: n=$n -> bits=$b (occupancy ~${n >> b} rows/bucket)")
-          b
-        }
+        val bits = IndexStrategy.resolveBits(bitsOpt, n)
         val planes = SignLsh.planes(numTables, bits, d)
         // store each row's per-table bucket keys; search is an equi-join on
         // (table, bucket) — candidates only, never the full corpus
@@ -763,6 +772,7 @@ class SearcherModel private[search] (
     * deterministic functions of the fitted table). */
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
   def fittedCentroids: Option[Array[Array[Float]]] = centroids
+  def fittedLshPlanes: Option[Array[Array[Array[Float]]]] = lshPlanes
   def fittedSqBounds: Option[(Array[Float], Array[Float])] = sqBounds
   def fittedOpqRotation: Option[Array[Array[Float]]] = opqRotation
 

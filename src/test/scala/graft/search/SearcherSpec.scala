@@ -245,6 +245,28 @@ class SearcherSpec extends SparkSpec {
       IvfIndex.fitCentroids(emb.select(col("embedding").cast("array<float>").as("v")), "v", 0, n))
   }
 
+  test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
+    // the shared resolver: ~16-row buckets, floored at 8 bits
+    assert(IndexStrategy.resolveBits(Some(6), 1000000L) === 6)
+    assert(IndexStrategy.resolveBits(None, 100L) === 8)      // floor
+    assert(IndexStrategy.resolveBits(None, 16L << 12) === 12)
+    val emb = sf("embeddings")
+    val n = emb.count()
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH12")).fit(emb)
+    // fitted planes reflect the resolved width: numTables x bits x dim
+    val planes = model.fittedLshPlanes.get
+    assert(planes.length === 12)
+    assert(planes.head.length === IndexStrategy.resolveBits(None, n))
+    // candidates-only search still returns ranked hits with self at rank 0
+    val hits = model.search(emb.filter(col("vec_id") < 3), topK = 5,
+      keepRankNo = true, queryIdCol = Some("vec_id"))
+      .filter(col("rank_no") === 0).collect()
+    assert(hits.length === 3)
+    model.unpersist()
+  }
+
   test("multi-K invariant holds on the approximate strategies too") {
     // res(k) ≡ res(maxK).filter(rank < k) is implemented once above the
     // strategy dispatch — assert it survives the IVF and PQ paths
