@@ -392,6 +392,20 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // faiss "PQ8x4": 16-centroid codebooks, two subspace codes
+    // nibble-packed per byte — HALF of PQ8's already-32×-compressed
+    // footprint (dim·8/m× under float32). The 4-bit scorer unpacks to
+    // per-subspace table lookups, so the embedded-codebook oracle's
+    // accumulation order matches at either width.
+    "knn_pq4_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8x4"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // PQ over a NON-dot metric: l1 decomposes per subspace like l2, so the
     // same byte codes + per-query ADC tables serve it (all 8 reference
     // metrics do — PqSpec asserts recall for each); hash-match gate via
@@ -1957,13 +1971,18 @@ object SparkEntry {
        |SELECT r.qid source_id, CAST(rn - 1 AS INT) rank_no, r.xid sim_id, f.label sim_label, CAST(score AS FLOAT) sim_val
        |FROM r JOIN f ON f.vec_id = r.xid WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin
 
-  /** knn_pq_cos / knn_pq_l1: refit PQ8 exactly as the gate query does,
-    * embed the codebooks, reproduce encode + ADC + top-k in SQL. */
+  /** knn_pq_cos / knn_pq_l1 / knn_pq4_cos: refit the PQ family exactly as
+    * the gate query does, embed the codebooks, reproduce encode + ADC +
+    * top-k in SQL. The SQL never sees the code PACKING (bytes vs packed
+    * nibbles): it computes each subspace's nearest-centroid code by argmin
+    * directly, which is the identical arithmetic — and the engine's 4-bit
+    * scorer keeps per-subspace lookup order, so the double accumulation
+    * matches bit-for-bit at either width. */
   private def pqOracle(s: SparkSession, dir: String, measurement: String,
-      k: Int): String = {
+      k: Int, indexParam: String = "PQ8"): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-        measurement = measurement, indexParam = "PQ8"))
+        measurement = measurement, indexParam = indexParam))
       .fit(table(s, dir, "embeddings"))
     val cbs = model.fittedCodebooks.get
     model.unpersist()
@@ -2395,6 +2414,7 @@ object SparkEntry {
     case Some((s, dir)) =>
       val builders: Map[String, () => String] = Map(
         "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
+        "knn_pq4_cos" -> (() => pqOracle(s, dir, "cos", 10, "PQ8x4")),
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
         "knn_opq_cos" -> (() => opqOracle(s, dir, 10)),
         "knn_refine_cos" -> (() => refineOracle(s, dir, 10)),

@@ -31,13 +31,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, 
  */
 object PqIndex {
   private[search] val CODES = "__pq_codes"
-  val K = 256 // centroids per subspace = 1 byte per code
+  val K = 256 // centroids per subspace = 1 byte per code (nbits=8)
 
-  /** Per-subspace codebooks: `m × 256 × dsub`, Lloyd on a deterministic
-    * bounded sample (one collect, reused for every subspace). */
+  /** Per-subspace codebooks: `m × 2^nbits × dsub`, Lloyd on a
+    * deterministic bounded sample (one collect, reused for every
+    * subspace). `nbits=4` (faiss `PQmx4`) fits 16-centroid codebooks
+    * whose codes nibble-pack two per byte at encode. */
   def fitCodebooks(df: DataFrame, vecCol: String, m: Int, dim: Int,
-      total: Long): Array[Array[Array[Float]]] = {
+      total: Long, nbits: Int = 8): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"PQ: dim $dim must divide into m=$m subspaces")
+    require(nbits == 8 || nbits == 4, s"PQ nbits must be 8 or 4, got $nbits")
     val dsub = dim / m
     val maxTrain = 100000L
     val fraction = if (total <= maxTrain) 1.0 else maxTrain.toDouble / total
@@ -45,14 +48,19 @@ object PqIndex {
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     Array.tabulate(m) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      IvfIndex.lloyd(sub, math.min(K, sub.length), iters = 10)
+      IvfIndex.lloyd(sub, math.min(1 << nbits, sub.length), iters = 10)
     }
   }
 
-  /** Encode kernel: nearest codebook centroid per subspace → m bytes. */
-  def encode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+  /** Encode kernel: nearest codebook centroid per subspace → m codes in
+    * `m·nbits/8` bytes. nbits=8 stores one code per byte; nbits=4
+    * nibble-packs two (hi nibble = even subspace, lo = odd; an odd
+    * trailing subspace packs alone in the hi nibble — the [[SqIndex]]
+    * convention). */
+  def encode(v: ArrayData, codebooks: Array[Array[Array[Float]]],
+      nbits: Int): Array[Byte] = {
     val m = codebooks.length
-    val out = new Array[Byte](m)
+    val out = new Array[Byte](if (nbits == 4) (m + 1) / 2 else m)
     var s = 0
     var off = 0
     while (s < m) {
@@ -71,15 +79,19 @@ object PqIndex {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      out(s) = best.toByte
+      if (nbits == 4) {
+        if ((s & 1) == 0) out(s >> 1) = (best << 4).toByte
+        else out(s >> 1) = (out(s >> 1) | best).toByte
+      } else out(s) = best.toByte
       off += dsub
       s += 1
     }
     out
   }
 
-  def encodeCol(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
-    column(PqEncodeExpr(expression(v), codebooks))
+  def encodeCol(v: Column, codebooks: Array[Array[Array[Float]]],
+      nbits: Int = 8): Column =
+    column(PqEncodeExpr(expression(v), codebooks, nbits))
 
   /**
    * One query's ADC scorer. Every reference metric decomposes over the `m`
@@ -97,25 +109,35 @@ object PqIndex {
    * codebook centroids, laid out flat as `table(s·256 + c)`; scoring a
    * stored code is `m` lookups regardless of metric.
    */
-  final class AdcScorer(t1: Array[Double], t2: Array[Double], isMax: Boolean) {
+  final class AdcScorer(t1: Array[Double], t2: Array[Double], isMax: Boolean,
+      mSub: Int, nbits: Int) {
+    private[this] val kStride = 1 << nbits
+    // per-subspace table lookups in ascending-s order for BOTH widths —
+    // 4-bit codes unpack to two lookups per byte rather than pairing into
+    // byte-level tables, so the double-accumulation order (and thus the
+    // rounded result) is identical to the 8-bit path and the SQL oracle
+    @inline private[this] def codeAt(codes: Array[Byte], s: Int): Int =
+      if (nbits == 8) codes(s) & 0xff
+      else if ((s & 1) == 0) (codes(s >> 1) >> 4) & 0xf
+      else codes(s >> 1) & 0xf
     def score(codes: Array[Byte]): Double = {
-      val m = codes.length
+      val m = mSub
       var s = 0
       if (isMax) {
         var acc = 0.0
         while (s < m) {
-          val v = t1(s * K + (codes(s) & 0xff)); if (v > acc) acc = v; s += 1
+          val v = t1(s * kStride + codeAt(codes, s)); if (v > acc) acc = v; s += 1
         }
         acc
       } else if (t2 == null) {
         var acc = 0.0
-        while (s < m) { acc += t1(s * K + (codes(s) & 0xff)); s += 1 }
+        while (s < m) { acc += t1(s * kStride + codeAt(codes, s)); s += 1 }
         acc
       } else {
         var num = 0.0
         var den = 0.0
         while (s < m) {
-          val o = s * K + (codes(s) & 0xff)
+          val o = s * kStride + codeAt(codes, s)
           num += t1(o); den += t2(o); s += 1
         }
         if (den == 0.0) 0.0 else num / den
@@ -125,14 +147,16 @@ object PqIndex {
 
   /** Build the ADC scorer for `metricName` (same names as
     * [[graft.functions.VectorFunctions.metric]]); `metricArg` is the
-    * Minkowski p for `lp`. */
+    * Minkowski p for `lp`; `nbits` is the stored code width (8 = byte
+    * codes, 4 = nibble-packed — tables shrink to 16 entries/subspace). */
   def adcScorer(qv: Array[Float], cbs: Array[Array[Array[Float]]],
-      metricName: String, metricArg: Double): AdcScorer = {
+      metricName: String, metricArg: Double, nbits: Int = 8): AdcScorer = {
     val m = cbs.length
-    val t1 = new Array[Double](m * K)
+    val kStride = 1 << nbits
+    val t1 = new Array[Double](m * kStride)
     val isMax = metricName == "l_inf" || metricName == "linf"
     val isRatio = metricName == "brayCurtis" || metricName == "bray_curtis"
-    val t2 = if (isRatio) new Array[Double](m * K) else null
+    val t2 = if (isRatio) new Array[Double](m * kStride) else null
     var s = 0
     // running query offset: subspace widths may differ (SQ4 packs an odd
     // trailing dim into a size-1 subspace after size-2 pairs), so the
@@ -189,14 +213,14 @@ object PqIndex {
           case other => throw new IllegalArgumentException(
             s"no ADC decomposition for metric '$other'")
         }
-        t1(s * K + c) = acc
-        if (t2 != null) t2(s * K + c) = acc2
+        t1(s * kStride + c) = acc
+        if (t2 != null) t2(s * kStride + c) = acc2
         c += 1
       }
       off += dsub
       s += 1
     }
-    new AdcScorer(t1, t2, isMax)
+    new AdcScorer(t1, t2, isMax, m, nbits)
   }
 
   /** Queries per broadcast chunk: bounds DRIVER memory (one chunk of
@@ -230,7 +254,7 @@ object PqIndex {
   def pqTopK(indexed: DataFrame, queries: DataFrame, topK: Int,
       codebooks: Array[Array[Array[Float]]], metricName: String,
       metricArg: Double = 2.0,
-      queryChunkSize: Int = DefaultQueryChunk): DataFrame = {
+      queryChunkSize: Int = DefaultQueryChunk, nbits: Int = 8): DataFrame = {
     import SparkSearcher.{QID, QVEC, ROW_ID, DIST, RANK}
     val spark = indexed.sparkSession
     val cbB = spark.sparkContext.broadcast(codebooks)
@@ -246,7 +270,7 @@ object PqIndex {
           val cbs = cbB.value
           val qs = qB.value
           // per-query ADC scorers — built once per partition
-          val scorers = qs.map { case (_, qv) => adcScorer(qv, cbs, metricName, metricArg) }
+          val scorers = qs.map { case (_, qv) => adcScorer(qv, cbs, metricName, metricArg, nbits) }
           val heaps = qs.map(_ => new TopKBuffer(k, asc))
           it.foreach { r =>
             val rowId = r.getLong(0)
@@ -285,7 +309,8 @@ object IvfPqScorer {
   def topK(indexed: DataFrame, queries: DataFrame, topK: Int,
       codebooks: Array[Array[Array[Float]]], centroids: Array[Array[Float]],
       nprobe: Int, metricName: String, metricArg: Double = 2.0,
-      queryChunkSize: Int = PqIndex.DefaultQueryChunk): DataFrame = {
+      queryChunkSize: Int = PqIndex.DefaultQueryChunk,
+      nbits: Int = 8): DataFrame = {
     val spark = indexed.sparkSession
     val nlist = centroids.length
     val cbB = spark.sparkContext.broadcast(codebooks)
@@ -310,7 +335,7 @@ object IvfPqScorer {
             val cbs = cbB.value
             val qs = qB.value
             val scorers = qs.map { case (_, qv, _) =>
-              PqIndex.adcScorer(qv, cbs, metricName, metricArg)
+              PqIndex.adcScorer(qv, cbs, metricName, metricArg, nbits)
             }
             // cell → indices of the queries probing it (built once per partition)
             val byCell = new java.util.HashMap[Int, Array[Int]]()
@@ -348,16 +373,17 @@ object IvfPqScorer {
   }
 }
 
-/** Codegen'd PQ encoder: array<float> → binary(m); codebooks ride as a
-  * plan reference object. */
-case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]])
-    extends UnaryExpression {
+/** Codegen'd PQ encoder: array<float> → binary(m·nbits/8); codebooks ride
+  * as a plan reference object. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]],
+    nbits: Int = 8) extends UnaryExpression {
+  require(nbits == 8 || nbits == 4, s"PQ nbits must be 8 or 4, got $nbits")
   override def dataType: DataType = BinaryType
   override def nullSafeEval(v: Any): Any =
-    PqIndex.encode(v.asInstanceOf[ArrayData], codebooks)
+    PqIndex.encode(v.asInstanceOf[ArrayData], codebooks, nbits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
-    defineCodeGen(ctx, ev, c => s"graft.search.PqIndex.encode($c, $ref)")
+    defineCodeGen(ctx, ev, c => s"graft.search.PqIndex.encode($c, $ref, $nbits)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "pq_encode"

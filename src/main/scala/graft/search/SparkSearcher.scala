@@ -68,8 +68,12 @@ sealed trait IndexStrategy
 case object ExactFlat extends IndexStrategy
 final case class IvfFlat(nlist: Int) extends IndexStrategy
 final case class LshTables(numTables: Int, bits: Option[Int]) extends IndexStrategy
-final case class PqFlat(m: Int) extends IndexStrategy
-final case class IvfPq(nlist: Int, m: Int) extends IndexStrategy
+/** Product quantizer: `m` subspaces, `nbits` ∈ {8, 4} code width — one
+  * byte per subspace (256 centroids, faiss `PQm`/`PQmx8`), or two
+  * subspace codes nibble-packed per byte (16 centroids, faiss `PQmx4`:
+  * dim·8/m× under float32). */
+final case class PqFlat(m: Int, nbits: Int = 8) extends IndexStrategy
+final case class IvfPq(nlist: Int, m: Int, nbits: Int = 8) extends IndexStrategy
 /** Scalar quantizer: `nbits` ∈ {8, 4} — one byte per dim, or two dims
   * nibble-packed per byte (faiss SQ8 / SQ4). */
 final case class SqFlat(nbits: Int) extends IndexStrategy
@@ -84,7 +88,7 @@ final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrate
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
-  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x8)?".r
+  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x(\\d+))?".r
   // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / SQ6 / …) so unsupported
   // scalar quantizers raise instead of falling through to the uncompressed
   // IVF(n) catch-all — a caller asking for compression must never be
@@ -98,10 +102,11 @@ object IndexStrategy {
   private val Ivf = "IVF(\\d+)(?:,Flat)?".r
   private val Hnsw = "HNSW(\\d*)(?:,Flat)?".r
   private val Lsh = "LSH(\\d*)(?:x(\\d+))?".r
-  // `PQm` and faiss's explicit-width spelling `PQmx8` (8 bits/code — the
-  // only width this engine stores; `PQmx4fs` fast-scan etc. fall through
-  // to the catch-all error rather than silently serving 8-bit codes)
-  private val Pq = "PQ(\\d+)(?:x8)?".r
+  // `PQm` and faiss's explicit-width spellings `PQmx8` / `PQmx4` (byte
+  // codes, or 16-centroid nibble-packed codes; `PQmx4fs` fast-scan etc.
+  // fall through to the catch-all error rather than silently serving a
+  // different code width)
+  private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
   private val Sq = "SQ(\\w+)".r
 
   /** Strategies that store byte codes instead of float vectors (PQ / SQ
@@ -109,7 +114,7 @@ object IndexStrategy {
     * (scoring is a raw asymmetric dot over codes — no full-vector cosine
     * kernel exists once the floats are dropped). */
   def codesOnly(s: IndexStrategy): Boolean = s match {
-    case PqFlat(_) | IvfPq(_, _) | SqFlat(_) | IvfSq(_, _) | OpqPq(_) => true
+    case PqFlat(_, _) | IvfPq(_, _, _) | SqFlat(_) | IvfSq(_, _) | OpqPq(_) => true
     case Refined(inner, _) => codesOnly(inner)
     case _ => false
   }
@@ -146,7 +151,7 @@ object IndexStrategy {
           "index (PQ/SQ/OPQ families) — a float-scoring inner index " +
           "needs no refine, and refine-of-refine is meaningless")
       Refined(inner, kFactor = 4)
-    case IvfWithPq(n, m)    => IvfPq(n.toInt, m.toInt)
+    case IvfWithPq(n, m, b) => IvfPq(n.toInt, m.toInt, pqWidth(param, b))
     case IvfWithSq(n, b) => IvfSq(n.toInt, sqWidth(param, b))
     case OpqWithPq(mo, mp) =>
       require(mo == mp, s"index_param '$param': OPQ subspace count must " +
@@ -156,12 +161,24 @@ object IndexStrategy {
     case Hnsw(m)            => HnswGraph(if (m == null || m.isEmpty) 32 else m.toInt)
     case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
-    case Pq(m)              => PqFlat(m.toInt)
+    case Pq(m, b)           => PqFlat(m.toInt, pqWidth(param, b))
     case Sq(b) => SqFlat(sqWidth(param, b))
     case other => throw new IllegalArgumentException(
       s"unsupported index_param '$other' (supported: Flat, IVFn..., HNSWn, " +
-        "LSHtxb, PQm, SQ8, SQ4, SQfp16, IVF/OPQ/IDMap/RFlat compositions, " +
-        "and the PCAn,/PCAWn, transform prefixes)")
+        "LSHtxb, PQm[x8|x4], SQ8, SQ4, SQfp16, IVF/OPQ/IDMap/RFlat " +
+        "compositions, and the PCAn,/PCAWn, transform prefixes)")
+  }
+
+  /** Product-quantizer code width from the `PQmxB` factory suffix: 8
+    * (byte codes, the default) or 4 (16-centroid codes nibble-packed two
+    * per byte). Anything else — `PQ8x12`, fast-scan widths — raises
+    * instead of silently serving a different precision. */
+  private def pqWidth(param: String, b: String): Int = b match {
+    case null | "" | "8" => 8
+    case "4"             => 4
+    case _ => throw new IllegalArgumentException(s"index_param '$param': " +
+      "supported PQ code widths are x8 (one byte per subspace) and x4 " +
+      "(two subspace codes nibble-packed per byte)")
   }
 
   /** Scalar-quantizer width from the factory suffix: SQ8/SQ4 serve byte
@@ -387,7 +404,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         rotated.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
           Some(codebooks), None, Some(rot))
-      case PqFlat(m) =>
+      case PqFlat(m, nbits) =>
         // every metric has a subspace ADC decomposition (PqIndex.adcScorer);
         // cos needs MATERIALIZED normalization (ADC computes raw dot
         // tables; there is no full-vector cosine kernel over codes) — the
@@ -400,18 +417,19 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "PQ fit on empty/zero-dim vectors")
-        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n)
-        // store BYTE codes, drop the float vectors: dim·4/m× less memory —
-        // the property that lets a 100 TB corpus stay cached
+        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n, nbits)
+        // store BYTE codes (x4: two codes nibble-packed per byte), drop
+        // the float vectors: dim·4·8/(m·nbits)× less memory — the
+        // property that lets a 100 TB corpus stay cached
         val indexed = pre
-          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks, nbits))
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
           Some(codebooks))
-      case IvfPq(nlist, m) =>
+      case IvfPq(nlist, m, nbits) =>
         val pre0 =
           if (params.measurement == "cos")
             base.withColumn(VEC, VectorFunctions.vec_l2_normalize(col(VEC)))
@@ -422,12 +440,12 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         require(d > 0, "IVF,PQ fit on empty/zero-dim vectors")
         val cents = IvfIndex.fitCentroids(pre, VEC,
           IndexStrategy.resolveNlist(nlist, n), n)
-        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n)
+        val codebooks = PqIndex.fitCodebooks(pre, VEC, m, d, n, nbits)
         // cells for pruning AND byte codes for memory: the canonical
         // faiss IVFn,PQm composition
         val indexed = IvfIndex
           .assignCells(pre, VEC, cents, base.sparkSession.sparkContext.defaultParallelism)
-          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks))
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks, nbits))
           .transform(dropVecUnlessKept)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
@@ -642,7 +660,7 @@ object SparkSearcher {
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
     val pq = IndexStrategy.effective(searcher.strategy) match {
-      case PqFlat(_) | IvfPq(_, _) | OpqPq(_) =>
+      case PqFlat(_, _) | IvfPq(_, _, _) | OpqPq(_) =>
         val rows = spark.read.parquet(s"$path/pq_codebooks")
           .orderBy("sub", "cid").collect()
         Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
@@ -685,7 +703,7 @@ object SparkSearcher {
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
         NswGraph.GPART, NswGraph.NBRS)).toSeq
     val centroids = IndexStrategy.effective(searcher.strategy) match {
-      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_, _) => Some(spark.read.parquet(s"$path/centroids")
+      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) => Some(spark.read.parquet(s"$path/centroids")
         .orderBy("centroid_id").collect()
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
@@ -834,8 +852,8 @@ class SearcherModel private[search] (
           spark.sparkContext.defaultParallelism)
       case LshTables(_, _) =>
         base.withColumn(BUCKETS, SignLsh.bucketsCol(col(VEC), lshPlanes.get))
-      case PqFlat(_) =>
-        base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+      case PqFlat(_, nb) =>
+        base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get, nb))
           .drop(VEC)
       case OpqPq(_) =>
         base.withColumn(VEC, OpqIndex.rotateCol(col(VEC), opqRotation.get))
@@ -843,8 +861,8 @@ class SearcherModel private[search] (
           .drop(VEC)
       // refine wrapper: codes under the fitted quantizers + the floats kept
       case Refined(inner, _) => inner match {
-        case PqFlat(_) =>
-          base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+        case PqFlat(_, nb) =>
+          base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get, nb))
         case OpqPq(_) =>
           base.withColumn(PqIndex.CODES, PqIndex.encodeCol(
             OpqIndex.rotateCol(col(VEC), opqRotation.get), pqCodebooks.get))
@@ -853,10 +871,10 @@ class SearcherModel private[search] (
         case SqFlat(nb) =>
           val (mn, df) = sqBounds.get
           base.withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
-        case IvfPq(_, _) =>
+        case IvfPq(_, _, nb) =>
           IvfIndex.assignCells(base, VEC, centroids.get,
             spark.sparkContext.defaultParallelism)
-            .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+            .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get, nb))
         case IvfSq(_, 16) =>
           IvfIndex.assignCells(base, VEC, centroids.get,
             spark.sparkContext.defaultParallelism)
@@ -868,10 +886,10 @@ class SearcherModel private[search] (
             .withColumn(PqIndex.CODES, SqIndex.encodeCol(col(VEC), mn, df, nb))
         case other => throw new IllegalStateException(s"refine over $other")
       }
-      case IvfPq(_, _) =>
+      case IvfPq(_, _, nb) =>
         IvfIndex.assignCells(base, VEC, centroids.get,
           spark.sparkContext.defaultParallelism)
-          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
+          .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get, nb))
           .drop(VEC)
       // fp16 rows encode with no fitted state at all — the quantizer is
       // the same for every corpus
@@ -1141,13 +1159,13 @@ class SearcherModel private[search] (
         .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
         .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
     case LshTables(_, _) => lshTopK(qn, topK)
-    case PqFlat(_)      => pqTopK(qn, topK)
+    case PqFlat(_, _)   => pqTopK(qn, topK)
     // queries rotate into the fitted basis, then ordinary ADC — the
     // stored codes already live in rotated space
     case OpqPq(_)       => pqTopK(qn.withColumn(QVEC,
       OpqIndex.rotateCol(col(QVEC), opqRotation.getOrElse(
         throw new IllegalStateException("OPQ search without fitted rotation")))), topK)
-    case IvfPq(_, _)    => ivfPqTopK(qn, topK)
+    case IvfPq(_, _, _) => ivfPqTopK(qn, topK)
     // fp16 codes don't fit the byte-indexed ADC tables: decode inside
     // the scoring projection (codegen, fused with the distance kernel)
     // and run the exact top-k machinery over the reconstruction
@@ -1268,9 +1286,20 @@ class SearcherModel private[search] (
   private def pqTopK(q: DataFrame, topK: Int): DataFrame = {
     val cbs = pqCodebooks.getOrElse(
       throw new IllegalStateException("PQ search without fitted codebooks"))
-    PqIndex.pqTopK(indexed, q, topK, cbs, metric.name, searcher.params.metricArg)
+    PqIndex.pqTopK(indexed, q, topK, cbs, metric.name, searcher.params.metricArg,
+        nbits = pqNbits)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
+  }
+
+  /** Code width of the PQ stream this model scores: 4 only for the
+    * `PQmx4` family — OPQ's codes and the SQ byte-level reuse are 8-bit
+    * streams (SQ4's nibbles pair into byte-level tables at the levels
+    * layer, so its code STREAM is byte-granular too). */
+  private def pqNbits: Int = IndexStrategy.effective(searcher.strategy) match {
+    case PqFlat(_, nb)   => nb
+    case IvfPq(_, _, nb) => nb
+    case _               => 8
   }
 
   /** SQfp16 search: exact scoring over the half-precision reconstruction.
@@ -1311,7 +1340,7 @@ class SearcherModel private[search] (
     val cents = centroids.getOrElse(
       throw new IllegalStateException("IVF,PQ search without fitted centroids"))
     IvfPqScorer.topK(indexed, q, topK, cbs, cents, params.nprobe,
-        metric.name, searcher.params.metricArg)
+        metric.name, searcher.params.metricArg, nbits = pqNbits)
       .join(broadcast(q.select(col(QID), col(SourceItem))), QID)
       .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
   }
@@ -1362,7 +1391,7 @@ class SearcherModel private[search] (
       // prunes at the storage layer (PartitionFilters) and touches only
       // the probed nprobe/nlist fraction — the at-rest analog of the
       // in-memory repartition(cell) co-location
-      case IvfFlat(_) | IvfPq(_, _) | IvfSq(_, _) =>
+      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) =>
         itemsOut.write.mode("overwrite").partitionBy(IvfIndex.CID)
           .parquet(s"$path/items")
       // HNSW persists partitioned by GRAPH: each graph's rows live in one

@@ -427,12 +427,66 @@ class PqSpec extends SparkSpec {
     // the IVF catch-all must not swallow unknown quantizer suffixes into
     // an uncompressed IvfFlat (e.g. faiss fast-scan strings we don't serve)
     assert(IndexStrategy.parse("IVF16,Flat") === IvfFlat(16))
-    // faiss's explicit-width spelling: PQmx8 == PQm; fast-scan widths raise
+    // faiss's explicit-width spellings: PQmx8 == PQm; PQmx4 = 16-centroid
+    // nibble-packed codes; fast-scan / other widths raise
     assert(IndexStrategy.parse("PQ8x8") === PqFlat(8))
     assert(IndexStrategy.parse("IVF16,PQ8x8") === IvfPq(16, 8))
-    intercept[IllegalArgumentException](IndexStrategy.parse("PQ8x4"))
+    assert(IndexStrategy.parse("PQ8x4") === PqFlat(8, 4))
+    assert(IndexStrategy.parse("IVF16,PQ8x4") === IvfPq(16, 8, 4))
+    intercept[IllegalArgumentException](IndexStrategy.parse("PQ8x12"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,PQ8x4fs"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,Foo"))
+  }
+
+  test("PQ4: nibble-packed codes halve PQ8 storage; search + round-trip work") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PQ8x4"))
+      .fit(emb)
+    // 8 subspaces at 4 bits pack into 4 bytes (vs PQ8's 8, float's 256)
+    val lens = model.indexed
+      .select(octet_length(col(PqIndex.CODES)).as("len")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(4))
+    // 16-centroid codebooks, every stored code < 16 per nibble
+    assert(model.fittedCodebooks.get.forall(_.length <= 16))
+    // coarser quantization still self-retrieves in the top ranks and
+    // keeps meaningful recall vs exact
+    val pq = model.search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item").collect()
+    val selfRank = pq.filter(r => r.getAs[Long]("sim_item") == r.getAs[Long]("vec_id"))
+      .map(_.getAs[Int]("rank_no"))
+    assert(selfRank.length === 20, "each query must retrieve itself")
+    assert(selfRank.forall(_ <= 4))
+    val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+      .search(q, 10, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val got = pq.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"PQ4 top-10 recall vs exact was $recall")
+    // save/load: indexParam string round-trips the width; results identical
+    val before = model.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq4").toString
+    model.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.searcher.strategy === PqFlat(8, 4))
+    val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(after === before)
+    // IVF composition at full probe degenerates to plain PQ4
+    val full = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "IVF8,PQ8x4", nprobe = 8))
+      .fit(emb)
+    val ivfRes = full.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    assert(ivfRes === before)
+    model.unpersist(); loaded.unpersist(); full.unpersist()
   }
 
   test("PQ save/load round-trip: identical results from reloaded codes") {
