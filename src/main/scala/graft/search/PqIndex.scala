@@ -337,14 +337,23 @@ object IvfPqScorer {
             val scorers = qs.map { case (_, qv, _) =>
               PqIndex.adcScorer(qv, cbs, metricName, metricArg, nbits)
             }
-            // cell → indices of the queries probing it (built once per partition)
-            val byCell = new java.util.HashMap[Int, Array[Int]]()
+            // cell → indices of the queries probing it (built once per
+            // partition; buffers, not immutable-array appends — a 4096-query
+            // chunk concentrating its probes on few cells would otherwise
+            // pay O(queries²) element copies per partition)
+            val byCellBuf = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Int]]()
             qs.zipWithIndex.foreach { case ((_, _, probes), qi) =>
               probes.foreach { c =>
-                val prev = byCell.getOrDefault(c, Array.empty)
-                byCell.put(c, prev :+ qi)
+                var buf = byCellBuf.get(c)
+                if (buf == null) {
+                  buf = new scala.collection.mutable.ArrayBuffer[Int]()
+                  byCellBuf.put(c, buf)
+                }
+                buf += qi
               }
             }
+            val byCell = new java.util.HashMap[Int, Array[Int]]()
+            byCellBuf.forEach((c, buf) => byCell.put(c, buf.toArray))
             val heaps = qs.map(_ => new TopKBuffer(k, asc))
             it.foreach { r =>
               val rowId = r.getLong(0)
