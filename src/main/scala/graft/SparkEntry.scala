@@ -798,6 +798,19 @@ object SparkEntry {
           graft.text.QualityModel.demoWeights(512), bias = -0.1)
           .cast("float").as("score"))
       .orderBy("doc_id")),
+    // LM-perplexity scoring (KenLM-filter analog, CCNet's third filter
+    // alongside DSIR importance and the hashed classifier): interpolated
+    // word-bigram LM fitted on the corpus itself (two word-count shuffles,
+    // bounded top-K collect), scored as avg NEGATIVE LOG-LIKELIHOOD in one
+    // codegen scan — ln is oracle-parity-safe, exp is not, and NLL is
+    // order-isomorphic to perplexity (ppl = exp(nll))
+    "text_perplexity" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val lm = graft.text.NgramLm.fit(docs, "text")
+      docs.select(col("doc_id"),
+        graft.text.NgramLm.score(col("text"), lm).cast("float").as("nll"))
+        .orderBy("doc_id")
+    }),
     "text_langid" -> ((s, dir) => table(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")),
@@ -2430,7 +2443,12 @@ object SparkEntry {
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
         "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),
         "dedup_embedding_lsh_auto" -> (() => lshAutoOracle(s, dir)),
-        "whitening_transform" -> (() => whiteningOracle(s, dir)))
+        "whitening_transform" -> (() => whiteningOracle(s, dir)),
+        // SQL next to the kernel (NgramLm.oracleSql); the fitted count
+        // tables are data-dependent -> dynamic entry refits and embeds them
+        "text_perplexity" -> (() => graft.text.NgramLm.oracleSql(
+          "documents", "doc_id", "text",
+          graft.text.NgramLm.fit(table(s, dir, "documents"), "text"))))
       builders
         .filter { case (name, _) => oracleNameFilter.forall(_.contains(name)) }
         .map { case (name, build) => name -> build() }
