@@ -26,6 +26,7 @@ object PlanDump {
         "knn_sq4_cos",      // nibble-packed 4-bit ADC
         "knn_pcaw_cos",     // PCAW transform prefix before the inner index
         "text_quality_model", // hashed linear scorer, single codegen projection
+        "text_perplexity",  // bigram-LM NLL, count maps as reference objects
         "text_bm25",        // zero-shuffle broadcast-df BM25
         "dedup_simhash_auto", // corpus-scaled banding
         "q_percentiles_hist") // two-pass histogram narrowing

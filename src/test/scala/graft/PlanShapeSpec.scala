@@ -55,6 +55,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("bigram-LM perplexity: scoring is one scan — zero exchanges, zero joins") {
+    val docs = sf("documents")
+    val lm = graft.text.NgramLm.fit(docs, "text")
+    val plan = physical(docs.select(col("doc_id"),
+      graft.text.NgramLm.score(col("text"), lm).as("nll")))
+    // the fitted count maps ride as plan reference objects inside the
+    // scorer expression; a Join or Exchange here means the model leaked
+    // into the plan as a table instead
+    assert(!plan.contains("Exchange"), "perplexity scoring grew a shuffle")
+    assert(!plan.contains("Join"), "perplexity scoring grew a join")
+    assert(plan.contains("ngram_nll"), "scorer expression missing from plan")
+  }
+
   test("histogram percentiles: no full-table Sort outside the candidate-bucket window") {
     val df = SparkEntry.queries("q_percentiles_hist")(spark, "/root/testdata/sf0.001")
     val plan = physical(df)
