@@ -130,6 +130,26 @@ object StreamingOps {
       .drop("__fp")
 
   /**
+   * Streaming curation filter — the CCNet-style quality gate applied AT
+   * INGEST: every arriving document is scored by batch-fitted models
+   * (interpolated bigram-LM NLL, hashed-linear classifier logit) as
+   * STATELESS scalar projections. Both scorers are codegen expressions
+   * whose models ride as plan reference objects, so the stream plan is
+   * the batch plan — no joins, no state, no watermark — and the
+   * batch/stream contract is exact by construction (spec-asserted: the
+   * streamed survivor set equals the batch filter's). Scores stay on the
+   * emitted rows (`nll`, `quality_logit`) for downstream thresholds.
+   */
+  def curateStream(docs: DataFrame, textCol: String,
+      lm: graft.text.NgramLmModel, maxNll: Double,
+      weights: Array[Float], bias: Double, minLogit: Double): DataFrame =
+    docs
+      .withColumn("nll", graft.text.NgramLm.score(col(textCol), lm))
+      .withColumn("quality_logit",
+        graft.text.QualityModel.score(col(textCol), weights, bias))
+      .filter(col("nll") <= maxNll && col("quality_logit") >= minLogit)
+
+  /**
    * Continuous similarity scoring: each arriving vector is scored against
    * the fitted index (stream-static broadcast join, no state) and rows
    * within `threshold` of some indexed item are emitted with the match.

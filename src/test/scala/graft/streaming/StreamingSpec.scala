@@ -75,6 +75,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("curateStream: streamed survivor set equals the batch filter exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    // batch-fitted models; thresholds near the medians so BOTH filters bite
+    val lm = graft.text.NgramLm.fit(batchDocs, "text")
+    val w = graft.text.QualityModel.demoWeights(512)
+    val scored = batchDocs.select(
+      graft.text.NgramLm.score(col("text"), lm).as("n"),
+      graft.text.QualityModel.score(col("text"), w, -0.1).as("q"))
+    val med = scored.agg(
+      expr("percentile_approx(n, 0.5)"), expr("percentile_approx(q, 0.5)")).head()
+    val (maxNll, minLogit) = (med.getDouble(0), med.getDouble(1))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val q = StreamingOps.curateStream(stream, "text", lm, maxNll, w, -0.1, minLogit)
+      .select("doc_id", "nll", "quality_logit")
+      .writeStream.outputMode("append").format("memory").queryName("curate")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("curate").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = StreamingOps.curateStream(batchDocs, "text", lm, maxNll, w, -0.1, minLogit)
+      .select("doc_id", "nll", "quality_logit").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got === want)
+    // both filters actually filtered (thresholds at the medians), and
+    // something survived the conjunction
+    assert(got.nonEmpty)
+    assert(got.size < batchDocs.count())
+  }
+
   test("nearDupDedupStream: one survivor per simhash fingerprint") {
     val dir = "/root/testdata/sf0.001"
     val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
