@@ -489,6 +489,31 @@ class PqSpec extends SparkSpec {
     model.unpersist(); loaded.unpersist(); full.unpersist()
   }
 
+  test("PQ4 composes through the factory grammar: RFlat, IDMap, PCA prefix") {
+    val emb = sf("embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    assert(IndexStrategy.parse("IDMap,PQ8x4") === PqFlat(8, 4))
+    assert(IndexStrategy.parse("PQ8x4,RFlat") === Refined(PqFlat(8, 4), 4))
+    // refine over the coarser 4-bit codes: exact re-rank on kept floats —
+    // self-retrieval must be PERFECT (true cosine of self = 1.0, maximal)
+    val ref = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PQ8x4,RFlat"))
+      .fit(emb)
+    val hits = ref.search(q, 3, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(hits.filter(col("rank_no") === 0 &&
+      col("sim_item").cast("long") === col("vec_id")).count() === 5)
+    // PCA prefix: 4-bit codes over the 16-component projection — searches
+    // return full rank lists (the composition fits and scores end-to-end)
+    val pca = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PCA16,PQ8x4"))
+      .fit(emb)
+    assert(pca.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .count() === 25)
+    ref.unpersist(); pca.unpersist()
+  }
+
   test("PQ save/load round-trip: identical results from reloaded codes") {
     val model = fitPq("l2")
     val q = sf("embeddings").filter(col("vec_id") < 5)
