@@ -462,7 +462,7 @@ object Dedup {
         val n = df.count()
         val auto = simHashAutoChunks(n, maxHamming)
         ccLog.info(s"simHashNearDups auto-chunks: n=$n maxHamming=$maxHamming " +
-          s"-> blocks=$auto (~${62 * (auto - maxHamming) / auto}-bit keys)")
+          s"-> blocks=$auto (~${62.0 * (auto - maxHamming) / auto}-bit keys)")
         auto
       }
     val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))

@@ -120,6 +120,11 @@ object Relational {
     require(bins > 1, s"bins must be > 1, got $bins")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentiles must lie in (0, 1], got $ps")
+    // labels pivot the output columns; two ps that round to the same
+    // integer percent (0.495 and 0.5 → p50) would silently merge columns
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"percentile labels collide after rounding to integer percents: $ps " +
+        "— pass percentiles that map to distinct p<N> labels")
     val spark = df.sparkSession
     val g = groupCols.map(col)
     val v = col(valueCol)

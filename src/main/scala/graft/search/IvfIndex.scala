@@ -71,23 +71,42 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
 object IvfIndex {
   private[search] val CID = "__cell"
   private val MaxTrainRows = 100000L
+  /** faiss warns below ~39 training points per centroid
+    * (clustering.cpp's min_points_per_centroid); the sample target scales
+    * with the resolved nlist so large auto-nlist (up to 65,536 at corpus
+    * scale) still trains each centroid on ≥ this many points. */
+  private[search] val MinPointsPerCentroid = 39L
+  /** Hard cap on the driver-side training collect: 4M rows ≈ 2 GB at
+    * dim=128 float32 — bounded regardless of nlist (65,536 · 39 ≈ 2.6M
+    * stays under it; anything larger is clamped and logged). */
+  private[search] val TrainRowsCap = 4000000L
+
+  /** Training-sample target for a resolved nlist: ≥100k rows (the classic
+    * IVF recipe) and ≥39·nlist (so centroids don't starve as auto-nlist
+    * grows), capped at [[TrainRowsCap]]. */
+  private[search] def trainTarget(nlist: Int): Long =
+    math.min(math.max(MaxTrainRows, MinPointsPerCentroid * nlist), TrainRowsCap)
 
   def nearestCentroidsCol(v: Column, cents: Array[Array[Float]], n: Int): Column =
     column(NearestCentroids(expression(v), cents, n))
 
   /** K-means centroids on a bounded sample of the vectors, Lloyd-iterated
-    * ON THE DRIVER. Training the coarse quantizer on a ≤100k sample is the
-    * standard IVF recipe (faiss does exactly this): at 100 TB the sample is
-    * one narrow collect, the Lloyd iterations are a few hundred MFLOPs of
-    * local arithmetic, and the cluster never runs the 10+ tiny jobs a
-    * distributed k-means would schedule per iteration. Deterministic:
+    * ON THE DRIVER. Training the coarse quantizer on a bounded sample is
+    * the standard IVF recipe (faiss does exactly this): at 100 TB the
+    * sample is one narrow collect, the Lloyd iterations are local
+    * arithmetic, and the cluster never runs the 10+ tiny jobs a
+    * distributed k-means would schedule per iteration. The sample target
+    * scales with nlist ([[trainTarget]]: max(100k, 39·nlist), capped at
+    * 4M) so a 65,536-cell auto-nlist still sees ~39 points per centroid
+    * instead of starving at a fixed 100k (1.5/centroid). Deterministic:
     * fixed-seed sample, k-means++-lite init from the sample order. */
   def fitCentroids(df: DataFrame, vecCol: String, nlist: Int, total: Long): Array[Array[Float]] = {
     // callers resolve auto-sizing (IndexStrategy.resolveNlist / the dedup
     // occupancy formula) BEFORE this point; nlist=0 here would degenerate
     // to a zero-centroid Lloyd, so fail fast instead
     require(nlist > 0, s"fitCentroids needs a resolved nlist > 0, got $nlist")
-    val fraction = if (total <= MaxTrainRows) 1.0 else MaxTrainRows.toDouble / total
+    val target = trainTarget(nlist)
+    val fraction = if (total <= target) 1.0 else target.toDouble / total
     val sample = (if (fraction < 1.0) df.sample(withReplacement = false, fraction, seed = 42) else df)
       .select(col(vecCol).cast(ArrayType(FloatType)))
       .collect()

@@ -575,6 +575,23 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
 }
 
 object SparkSearcher {
+  /** 2 GB — the window exact path's cap on broadcasting the index side:
+    * comfortable headroom under Spark's 8 GB broadcast hard limit and a
+    * sane executor memory share. */
+  private[search] val WindowBroadcastByteCap = 2L * 1024 * 1024 * 1024
+
+  /** Whether the window exact path (which broadcasts the whole index) is
+    * safe. The row threshold alone is not a sufficient guard: a wide index
+    * (dim=4096 ⇒ ~16 KB/row) can sit under the row threshold yet blow past
+    * Spark's broadcast hard limit, so the BYTE estimate — dim float32s per
+    * row + ~32 B row-id/offset overhead — must also fit
+    * [[WindowBroadcastByteCap]]. Over either bound the aggregate path
+    * (which broadcasts the small QUERY side instead) takes over. */
+  private[search] def windowPathFits(count: Long, dim: Int,
+      rowThreshold: Long, byteCap: Long = WindowBroadcastByteCap): Boolean =
+    count <= rowThreshold &&
+      count * (dim.toLong * 4L + 32L) <= byteCap
+
   // internal column names, prefixed to dodge payload collisions
   private[search] val VEC = "__vec"
   private[search] val VROT = "__vec_rot"
@@ -1221,9 +1238,18 @@ class SearcherModel private[search] (
     *    [[TopKByDistance]] TypedImperativeAggregate — O(n log k) work,
     *    shuffle of only k rows per query per partition, no sort of the
     *    n×q cross product. This is the 1000-executor/100 TB plan. */
+  /** Session-overridable byte cap for the window path's index broadcast
+    * (`graft.search.windowBroadcastByteCap`) — the default is the 2 GB
+    * [[SparkSearcher.WindowBroadcastByteCap]]. */
+  private def windowByteCap: Long =
+    indexed.sparkSession.conf
+      .get("graft.search.windowBroadcastByteCap",
+        SparkSearcher.WindowBroadcastByteCap.toString).toLong
+
   private def exactTopK(q: DataFrame, topK: Int): DataFrame =
     params.exactPath match {
-      case "window" if count <= params.broadcastThreshold =>
+      case "window" if SparkSearcher.windowPathFits(count, dim,
+          params.broadcastThreshold, windowByteCap) =>
         exactTopKWindow(q, topK)
       case "window" | "aggregate" => exactTopKAggregate(q, topK)
       case other => throw new IllegalArgumentException(

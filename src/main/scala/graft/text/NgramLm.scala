@@ -156,15 +156,20 @@ object NgramLm {
     * null-propagates; token counts 0 and 1 score exactly 0.0. */
   def oracleSql(from: String, idCol: String, textCol: String,
       model: NgramLmModel): String = {
-    val uniLit = model.unigramRows
-      .map { case (w, c) => s"('${w.replace("'", "''")}', ${c}::BIGINT)" }
-      .mkString(", ")
-    val bigLit = model.bigramRows
-      .map { case (b, c) => s"('${b.replace("'", "''")}', ${c}::BIGINT)" }
-      .mkString(", ")
+    // an empty fitted table would render as the malformed `VALUES ` —
+    // emit a typed 0-row relation instead (empty/whitespace-only corpus)
+    def values(rows: Seq[(String, Long)], cols: String): String =
+      if (rows.isEmpty) s"SELECT NULL::VARCHAR $cols FROM (SELECT 1) WHERE false"
+      else "VALUES " + rows
+        .map { case (w, c) => s"('${w.replace("'", "''")}', ${c}::BIGINT)" }
+        .mkString(", ")
+    // literal size is bounded by the fit itself: maxUnigrams + maxBigrams
+    // rows (64k default) is the cap on what can appear here
+    val uniLit = values(model.unigramRows, "tok, NULL::BIGINT c")
+    val bigLit = values(model.bigramRows, "bg, NULL::BIGINT c")
     val nv = model.nv
-    s"""WITH uni(tok, c) AS (VALUES $uniLit),
-       |big(bg, c) AS (VALUES $bigLit),
+    s"""WITH uni(tok, c) AS ($uniLit),
+       |big(bg, c) AS ($bigLit),
        |b0 AS (SELECT $idCol id, list_filter(regexp_split_to_array(lower($textCol), '\\s+'), t -> len(t) > 0) toks FROM $from),
        |pos AS (SELECT id, unnest(range(1, len(toks))) i FROM b0),
        |pr AS (SELECT pos.id, pos.i, b0.toks[pos.i] v, b0.toks[pos.i + 1] w FROM pos JOIN b0 ON pos.id = b0.id),

@@ -51,10 +51,23 @@ object QualityModel {
   /** Kernel over a pre-tokenized array (tokenization stays in the proven
     * `filter(split(lower(text)))` Column form shared with BM25): hashed
     * unigram + bigram bucket counts, normalized dot with the weights. */
+  /** Bucket spaces up to this size count into a dense array (cheap to
+    * allocate and scan); above it, per-row cost would be O(buckets)
+    * regardless of document length, so an open-addressed map over the
+    * occupied buckets is used instead. */
+  private val DenseBucketLimit = 8192
+
   def logitFromToks(toks: ArrayData, w: Array[Float], bias: Double): Double = {
     val n = toks.numElements()
     val buckets = w.length
     if (n == 0) return bias
+    if (buckets <= DenseBucketLimit) logitDense(toks, n, w, bias)
+    else logitSparse(toks, n, w, bias)
+  }
+
+  private def logitDense(toks: ArrayData, n: Int, w: Array[Float],
+      bias: Double): Double = {
+    val buckets = w.length
     val counts = new Array[Int](buckets)
     var total = 0
     var i = 0
@@ -79,6 +92,59 @@ object QualityModel {
       val c = counts(b)
       if (c > 0) z += w(b) * (c.toDouble / total)
       b += 1
+    }
+    z
+  }
+
+  /** Large bucket spaces: at most 2n−1 features exist per document, so an
+    * open-addressed (bucket → count) map sized to the document bounds the
+    * per-row cost by tokens, not buckets. The occupied buckets are then
+    * sorted ascending before the sum — the SAME association as the dense
+    * path and the SQL oracle, so results are bit-identical. */
+  private def logitSparse(toks: ArrayData, n: Int, w: Array[Float],
+      bias: Double): Double = {
+    val buckets = w.length
+    val maxFeats = 2 * n
+    val cap = Integer.highestOneBit(math.max(8, maxFeats * 2) - 1) << 1
+    val keys = new Array[Int](cap)
+    java.util.Arrays.fill(keys, -1)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    var occupied = 0
+    def bump(bucket: Int): Unit = {
+      var s = bucket & mask
+      while (keys(s) != -1 && keys(s) != bucket) s = (s + 1) & mask
+      if (keys(s) == -1) { keys(s) = bucket; occupied += 1 }
+      cnts(s) += 1
+    }
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      bump((PolyHash.hash(t, PolyHash.B1) % buckets).toInt)
+      total += 1
+      if (i + 1 < n) {
+        val bg = UTF8String.concat(t, Space, toks.getUTF8String(i + 1))
+        bump((PolyHash.hash(bg, PolyHash.B1) % buckets).toInt)
+        total += 1
+      }
+      i += 1
+    }
+    val occ = new Array[Int](occupied)
+    var s = 0
+    var o = 0
+    while (s < cap) {
+      if (keys(s) != -1) { occ(o) = s; o += 1 }
+      s += 1
+    }
+    // sort slot indices by bucket id — occupied count is ≤ 2n, tiny
+    val byBucket = occ.map(si => (keys(si), cnts(si))).sortBy(_._1)
+    var z = bias
+    var j = 0
+    while (j < byBucket.length) {
+      val (b, c) = byBucket(j)
+      z += w(b) * (c.toDouble / total)
+      j += 1
     }
     z
   }

@@ -96,6 +96,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), "fp16 plan re-grew a Window tail")
   }
 
+  test("window exact path: byte-estimate guard falls back to the heap aggregate") {
+    // under the default 2 GB cap the tiny fixture broadcasts the index and
+    // keeps the WindowGroupLimit plan…
+    val wplan = physical(
+      SparkEntry.queries("knn_window_cos")(spark, "/root/testdata/sf0.001"))
+    assert(wplan.contains("Window"), "window path lost its window tail")
+    // …but when the BYTE estimate exceeds the cap (row count still under
+    // the row threshold), the searcher must refuse the index broadcast and
+    // delegate to the aggregate path, which broadcasts the query side
+    spark.conf.set("graft.search.windowBroadcastByteCap", "1024")
+    try {
+      val aplan = physical(
+        SparkEntry.queries("knn_window_cos")(spark, "/root/testdata/sf0.001"))
+      assert(aplan.contains("top_k_by_distance"),
+        "byte-capped window path did not delegate to the heap aggregate")
+      assert(!aplan.contains("Window"),
+        "byte-capped window path still broadcasts the index under a Window")
+    } finally spark.conf.unset("graft.search.windowBroadcastByteCap")
+  }
+
   test("PCA prefix: projection is a scalar expression, not a join/shuffle stage") {
     val plan = physical(SparkEntry.queries("knn_pcaw_cos")(spark, "/root/testdata/sf0.001"))
     // the kernel rides as a plan reference inside whiten_transform — a

@@ -245,6 +245,30 @@ class SearcherSpec extends SparkSpec {
       IvfIndex.fitCentroids(emb.select(col("embedding").cast("array<float>").as("v")), "v", 0, n))
   }
 
+  test("IVF training sample scales with nlist: >=39 points/centroid, capped") {
+    // small nlist keeps the classic 100k recipe
+    assert(IvfIndex.trainTarget(64) === 100000L)
+    assert(IvfIndex.trainTarget(2048) === 100000L)   // 39*2048 = 80k < 100k
+    // large auto-nlist scales so centroids don't starve (the r7 finding:
+    // a fixed 100k at nlist=65,536 is ~1.5 points/centroid)
+    assert(IvfIndex.trainTarget(65536) === 39L * 65536)
+    assert(IvfIndex.trainTarget(65536) / 65536 >= 39L)
+    // the driver-side collect stays bounded regardless of nlist
+    assert(IvfIndex.trainTarget(1000000) === 4000000L)
+  }
+
+  test("window exact path guard: row threshold AND byte estimate") {
+    // the fixture shapes fit comfortably
+    assert(SparkSearcher.windowPathFits(60000L, 16, 2000000L))
+    // over the row threshold: aggregate path regardless of width
+    assert(!SparkSearcher.windowPathFits(3000000L, 16, 2000000L))
+    // UNDER the row threshold but wide: 1.9M rows of dim=4096 is ~31 GB —
+    // past Spark's 8 GB broadcast hard limit, must refuse
+    assert(!SparkSearcher.windowPathFits(1900000L, 4096, 2000000L))
+    // custom cap is honored
+    assert(!SparkSearcher.windowPathFits(100L, 16, 2000000L, byteCap = 1024L))
+  }
+
   test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
     // the shared resolver: ~16-row buckets, floored at 8 bits
     assert(IndexStrategy.resolveBits(Some(6), 1000000L) === 6)

@@ -302,4 +302,44 @@ class TextAnalysisSpec extends SparkSpec {
     // deterministic fixture weights are stable across calls
     assert(QualityModel.demoWeights(128).toSeq === w.toSeq)
   }
+
+  test("hashed linear quality model: sparse path (large buckets) is bit-identical to dense") {
+    import graft.text.QualityModel
+    val sp = spark
+    import sp.implicits._
+    // 16384 buckets exceeds DenseBucketLimit (8192) → open-addressed map
+    // path; 8192 exactly hits the dense path. Same weight FORMULA, so the
+    // same (bucket, count) pairs hash identically where ids coincide — the
+    // assertion is against an independent plain-Scala reference per size.
+    val bias = 0.125
+    val texts = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a a a b"), (3L, "x"), (4L, ""),
+      (5L, (1 to 500).map(i => s"tok$i").mkString(" "))).toDF("id", "t")
+    for (buckets <- Seq(8192, 16384, 1 << 20)) {
+      val w = QualityModel.demoWeights(buckets)
+      val got = texts.select(col("id"), QualityModel.score(col("t"), w, bias).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def ref(text: String): Double = {
+        import graft.functions.PolyHash
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) return bias
+        val feats = toks ++ toks.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+        val counts = scala.collection.mutable.Map.empty[Int, Int]
+        feats.foreach { f =>
+          val b = (PolyHash.hash(f, PolyHash.B1) % buckets).toInt
+          counts(b) = counts.getOrElse(b, 0) + 1
+        }
+        var z = bias
+        counts.toSeq.sortBy(_._1).foreach { case (b, c) =>
+          z += w(b) * (c.toDouble / feats.length)
+        }
+        z
+      }
+      Seq(1L, 2L, 3L, 4L, 5L).foreach { id =>
+        val t = Seq("the quick brown fox jumps over the lazy dog",
+          "a a a a a b", "x", "", (1 to 500).map(i => s"tok$i").mkString(" "))(id.toInt - 1)
+        assert(got(id) === ref(t), s"doc $id at buckets=$buckets")
+      }
+    }
+  }
 }
