@@ -660,6 +660,37 @@ object SparkEntry {
           sum(col("fs").cast(DecimalType(28, 10))).cast("double").as("sum_feat"))
         .orderBy("media_id")
     }),
+    // incremental index maintenance under IVF (faiss add-after-train):
+    // fit on the even half, add() the odd half — added rows are assigned
+    // to the FITTED centroids, so in the exhaustive regime (nprobe =
+    // nlist) the result must equal a search over the union, regardless of
+    // which half trained the cells. The brute-force oracle IS that union.
+    "knn_add_ivf" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF16,Flat", nprobe = 16))
+        .fit(items.filter(col("vec_id") % 2 === 0))
+        .add(items.filter(col("vec_id") % 2 === 1))
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // range search over a QUANTIZED index: SQfp16 decodes its codes in
+    // the scoring projection and ranges over the reconstruction (faiss SQ
+    // range_search semantics; lossy byte codes still reject, like faiss)
+    "knn_range_fp16" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "SQfp16"))
+        .fit(items)
+      model.searchRange(items.filter(col("vec_id") < 10), threshold = 0.35,
+          queryIdCol = Some("vec_id"))
+        .select(col("vec_id").as("source_id"),
+          col("sim_item").cast("long").as("sim_id"),
+          col("label").as("sim_label"), col("sim_val"))
+        .orderBy("source_id", "sim_id")
+    }),
     // faiss range_search analog: ALL neighbors within the similarity
     // threshold (no top-k bound) — exact scan, fully SQL-expressible,
     // hash-match gated
@@ -1212,6 +1243,24 @@ object SparkEntry {
     "dedup_ngram_spans" -> ((s, dir) => Dedup.duplicatedSpanDocs(
       table(s, dir, "documents"), "doc_id", "text", w = 8, minDf = 2)
       .orderBy("doc_id")),
+    // dedup: line-level REMOVAL returning the cleaned corpus (Lee et al.
+    // substring dedup at exact line granularity). The synthetic corpus is
+    // single-line, so the gate first reshapes each document into 10-token
+    // lines — a deterministic formatter both engines reproduce — then
+    // keeps only each ≥8-char line's global first occurrence
+    "dedup_lines" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
+      val reshaped = docs.select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(size(toks) === 0, lit(""))
+          .otherwise(array_join(transform(sequence(lit(0), nl - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
+          .as("text"))
+      Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    }),
     // PII scrubbing over deterministic synthetic PII (the corpus carries
     // none): the SAME augmented text is built by both engines from
     // doc_id, then redacted with the shared RE2-compatible pattern set
@@ -1359,6 +1408,9 @@ object SparkEntry {
     "save_load_search" -> knnOracle("cos", 10),
     // IVF probing all cells ≡ exact ⇒ brute-force oracle applies
     "knn_ivf_cos" -> knnOracle("cos", 10),
+    // add-after-fit in the exhaustive regime ≡ search over the union
+    "knn_add_ivf" -> knnOracle("cos", 10),
+    "knn_range_fp16" -> fp16RangeOracle(0.35),
     "knn_window_cos" -> knnOracle("cos", 10),
     "knn_hnsw" -> knnOracle("cos", 10),
     // raw multi-K: every derived k must equal the exact top-k (the slice of
@@ -1797,6 +1849,33 @@ object SparkEntry {
          |FROM ex e JOIN hot h ON e.g = h.g
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin.replace("\n", " ")
     },
+    // the same 10-token-line reshape, then keep-first per distinct ≥8-char
+    // line ordered by (doc_id, line position) — grouped by the LINE STRING
+    // itself, so the gate doubles as a collision canary for the Spark
+    // side's 64-bit line fingerprints
+    "dedup_lines" ->
+      """WITH b0 AS (SELECT doc_id, text,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
+        |ln0 AS (SELECT r0.doc_id, r0.li,
+        |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
+        |  FROM r0 JOIN b0 USING (doc_id)),
+        |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
+        |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+        |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
+        |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
+        |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
+        |k AS (SELECT doc_id, i, line,
+        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, i) rn FROM l),
+        |kept AS (SELECT doc_id, i, line FROM k WHERE len(line) < 8 OR rn = 1),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
+        |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
+        |  ELSE coalesce(agg.t, '') END text_dedup
+        |FROM re LEFT JOIN agg USING (doc_id)
+        |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
     "pii_redact" -> {
       val raw = "concat(text, ' contact u', doc_id, '@mail.example.com call ', " +
         "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0'), '-555-', " +
@@ -2137,28 +2216,47 @@ object SparkEntry {
     * has no overflow-to-±Inf branch, so it diverges from `Fp16.toHalf`
     * for |x| ≥ 65520 — reusing this oracle for a raw-magnitude metric
     * gate needs an explicit e ≥ 16 → Inf case first. */
-  private def fp16Oracle(k: Int): String = {
-    val half =
-      """CASE WHEN x = 0 THEN 0.0 ELSE
-        |  list_transform([CAST(floor(log2(abs(x))) AS BIGINT)], e0 ->
-        |    list_transform([CASE WHEN abs(x) < pow(2.0, e0) THEN e0 - 1
-        |                         WHEN abs(x) >= pow(2.0, e0 + 1) THEN e0 + 1
-        |                         ELSE e0 END], e ->
-        |      list_transform([CASE WHEN e < -14 THEN pow(2.0, -24) ELSE pow(2.0, e - 10) END], ulp ->
-        |        list_transform([floor(abs(x) / ulp)], fq ->
-        |          (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) * ulp *
-        |          (CASE WHEN abs(x) / ulp - fq > 0.5 THEN fq + 1
-        |                WHEN abs(x) / ulp - fq < 0.5 THEN fq
-        |                ELSE fq + CAST(CAST(fq AS BIGINT) % 2 AS DOUBLE) END)
-        |        )[1])[1])[1])[1] END""".stripMargin
+  /** IEEE binary16 round-to-nearest-even of a double `x`, exactly in SQL:
+    * exponent from log2 repaired against pow(2, e) boundaries, exact ulp
+    * scaling, floor + explicit tie-to-even; subnormals use the fixed
+    * 2^-24 unit. Nested single-element list_transforms are DuckDB's
+    * let-binding chain. */
+  private val halfRound =
+    """CASE WHEN x = 0 THEN 0.0 ELSE
+      |  list_transform([CAST(floor(log2(abs(x))) AS BIGINT)], e0 ->
+      |    list_transform([CASE WHEN abs(x) < pow(2.0, e0) THEN e0 - 1
+      |                         WHEN abs(x) >= pow(2.0, e0 + 1) THEN e0 + 1
+      |                         ELSE e0 END], e ->
+      |      list_transform([CASE WHEN e < -14 THEN pow(2.0, -24) ELSE pow(2.0, e - 10) END], ulp ->
+      |        list_transform([floor(abs(x) / ulp)], fq ->
+      |          (CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END) * ulp *
+      |          (CASE WHEN abs(x) / ulp - fq > 0.5 THEN fq + 1
+      |                WHEN abs(x) / ulp - fq < 0.5 THEN fq
+      |                ELSE fq + CAST(CAST(fq AS BIGINT) % 2 AS DOUBLE) END)
+      |        )[1])[1])[1])[1] END""".stripMargin
+
+  private def fp16Oracle(k: Int): String =
     s"""WITH $normCtes,
-       |hx AS (SELECT vec_id, label, list_transform(v, x -> $half) v FROM f),
+       |hx AS (SELECT vec_id, label, list_transform(v, x -> $halfRound) v FROM f),
        |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
        |sc AS (SELECT q.qid, x.vec_id xid,
        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) score
        |  FROM q CROSS JOIN hx x),
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
-  }
+
+  /** knn_range_fp16: range search over the fp16 RECONSTRUCTION (faiss SQ
+    * range_search semantics) — corpus normalized at fit (codes-cos path),
+    * half-rounded, scored with the full cos kernel against the normalized
+    * float32 query; every neighbor at or past the threshold. */
+  private def fp16RangeOracle(threshold: Double): String =
+    s"""WITH $normCtes,
+       |hx AS (SELECT vec_id, label, list_transform(v, x -> $halfRound) v FROM f),
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |s AS (SELECT q.qid source_id, x.vec_id sim_id, x.label sim_label,
+       |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) c
+       |  FROM q CROSS JOIN hx x)
+       |SELECT source_id, sim_id, sim_label, CAST(c AS FLOAT) sim_val
+       |FROM s WHERE c >= $threshold ORDER BY source_id, sim_id""".stripMargin.replace("\n", " ")
 
   private def sqOracle(s: SparkSession, dir: String, k: Int): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),

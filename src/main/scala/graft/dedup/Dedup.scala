@@ -286,6 +286,60 @@ object Dedup {
   }
 
   /**
+   * Line-level corpus dedup that REMOVES repeated lines and returns the
+   * cleaned corpus — the Lee et al. "Deduplicating Training Data Makes
+   * Language Models Better" substring dedup at exact line granularity
+   * (the granularity every production LLM pipeline runs first: boilerplate
+   * headers, navigation, license blocks). Each distinct line (≥ `minLen`
+   * chars) keeps exactly its FIRST occurrence — ordered by `(doc_id,
+   * line position)` — everywhere else it is dropped, including repeats
+   * within one document; lines shorter than `minLen` are never touched
+   * (blank lines and separators are structure, not duplication). Returns
+   * `[doc_id, text_dedup]` for EVERY input document: null text stays
+   * null, a document whose every line was removed becomes `""`.
+   *
+   * Shape at scale: explode lines once (persisted — it feeds both sides),
+   * one hash aggregation per distinct line FINGERPRINT for the global
+   * first occurrence, an equi-join back, and one per-document reassembly
+   * aggregation. Lines travel the first-occurrence shuffle as 64-bit
+   * xxhash fingerprints, not strings (the span-flagging trick above —
+   * exact up to 64-bit collisions; the gate's oracle groups by the line
+   * itself, so it doubles as a collision canary). Nothing is quadratic,
+   * nothing is collected; per-task memory is bounded by the largest
+   * single document (the reassembly sort).
+   */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 1, delim: String = "\n"): DataFrame = {
+    require(minLen >= 0, s"minLen must be >= 0, got $minLen")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // global first occurrence per eligible line fingerprint: one hash agg
+    // over 8-byte keys; min(struct) orders by (doc_id, pos) — deterministic
+    val firsts = lines.filter(length(col("line")) >= minLen)
+      .groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    val kept = lines.join(firsts, Seq("lh"), "left")
+      .filter(length(col("line")) < minLen ||
+        (col("__first.doc_id") === col("doc_id") && col("__first.pos") === col("pos")))
+    // reassemble in original order: per-doc sort of (pos, line) pairs is
+    // bounded by the document's own line count
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__pl"))
+      .select(col("doc_id"),
+        array_join(transform(col("__pl"), _.getField("line")), delim).as("text_dedup"))
+    val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__orig").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("text_dedup"), lit(""))).as("text_dedup"))
+    graft.util.CacheDiscipline.materializeAndFree(out, lines)
+  }
+
+  /**
    * MinHash signature: `numHashes` permutation-hashes over the shingle
    * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
    * deterministic seeded coefficients — one narrow projection, no shuffle.

@@ -262,4 +262,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_.getLong(1) === 0L))
     assert(labels.count(_.getBoolean(2)) === 1)
   }
+
+  test("dedupLines: keep-first removal, minLen guard, null/empty preservation") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "boilerplate header line\nunique alpha\n--\nboilerplate header line"),
+      (2L, "boilerplate header line\nunique beta\n--"),
+      (3L, "unique gamma"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""),
+      (6L, "boilerplate header line")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 owns the first occurrence; its own within-doc repeat is removed
+    assert(got(1L) === "boilerplate header line\nunique alpha\n--")
+    // cross-doc repeat removed, short "--" separator (len 2 < minLen) kept
+    assert(got(2L) === "unique beta\n--")
+    assert(got(3L) === "unique gamma")
+    assert(got(4L) === null)     // null text stays null
+    assert(got(5L) === "")       // empty doc: its one "" line is short, kept
+    // a doc reduced to nothing becomes "", not a dropped row
+    assert(got(6L) === "")
+    assert(got.size === 6)
+  }
 }
