@@ -638,6 +638,27 @@ object SparkEntry {
       Multimodal.featureStats(Multimodal.decodeFeatures(media, dim = 16))
         .orderBy("modality")
     }),
+    // REAL binary ingest → decode → similarity search, end to end: actual
+    // files read through Spark's binaryFile source (a deterministic
+    // printable-ASCII fixture, so the DuckDB oracle can read_blob the
+    // SAME bytes), featurized by the pluggable codec, then cos top-3 over
+    // the features. Exercises the full media pipeline the way a user
+    // would point it at an image directory.
+    "multimodal_binary_knn" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Multimodal.ingestBinaryFiles(
+        s, Multimodal.ensureBinaryFixture(), "image", glob = "*.bin")
+      val feats = Multimodal.decodeFeatures(media, dim = 16)
+        .select(col("media_id"), col("features"))
+      val model = new SparkSearcher(new PassthroughEncoder("features"),
+        SearcherParams(itemCol = Some("media_id"), idCol = Some("media_id"),
+          measurement = "cos"))
+        .fit(feats)
+      model.search(feats, 3, keepRankNo = true, queryIdCol = Some("media_id"))
+        .select(col("media_id").as("source_id"), col("rank_no"),
+          col("sim_item").cast("long").as("sim_id"), col("sim_val"))
+        .orderBy("source_id", "rank_no")
+    }),
     // multimodal frame sampling: payload → 64-byte frames, every 2nd kept,
     // per-frame stub features, per-media aggregate (DECIMAL-disciplined).
     // frameSample slices BYTES (the honest video-payload contract); DuckDB
@@ -1495,6 +1516,23 @@ object SparkEntry {
         |SELECT modality, count(*) n_media, CAST(sum(payload_bytes) AS BIGINT) total_bytes,
         |  CAST(sum(CAST(fs AS DECIMAL(28,10))) AS DOUBLE) sum_feat
         |FROM f GROUP BY modality ORDER BY modality""".stripMargin.replace("\n", " "),
+    // the ingest gate reads the SAME fixture bytes the Spark side wrote
+    // (Verify runs first): read_blob → stub-codec histogram features →
+    // brute-force cos top-3 with the engine's tie-break (score DESC, id)
+    "multimodal_binary_knn" ->
+      """WITH b AS (SELECT CAST(regexp_extract(filename, '(\d+)\.bin$', 1) AS BIGINT) media_id,
+        |  decode(content) s FROM read_blob('/tmp/graft_media_fixture/*.bin')),
+        |h AS (SELECT media_id, list_transform(range(0, 16), i -> len(list_filter(
+        |  list_transform(regexp_extract_all(s, '.'), ch -> ascii(ch) % 16), c -> c = i))) hist FROM b),
+        |n0 AS (SELECT media_id, hist, sqrt(list_sum(list_transform(hist, c -> (c * c)::DOUBLE))) nrm FROM h),
+        |f AS (SELECT media_id, CASE WHEN nrm = 0 THEN list_transform(hist, c -> 0.0)
+        |  ELSE list_transform(hist, c -> ((c::DOUBLE / nrm)::FLOAT)::DOUBLE) END v FROM n0),
+        |sc AS (SELECT q.media_id qid, x.media_id xid,
+        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) score
+        |  FROM f q CROSS JOIN f x),
+        |r AS (SELECT sc.*, row_number() OVER (PARTITION BY qid ORDER BY score DESC, xid) rn FROM sc)
+        |SELECT qid source_id, CAST(rn - 1 AS INT) rank_no, xid sim_id, CAST(score AS FLOAT) sim_val
+        |FROM r WHERE rn <= 3 ORDER BY source_id, rank_no""".stripMargin.replace("\n", " "),
     "multimodal_frames" ->
       """WITH m AS (SELECT doc_id media_id, text FROM documents
         |  WHERE doc_id < 100 AND octet_length(encode(text)) = length(text)),

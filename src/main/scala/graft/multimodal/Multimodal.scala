@@ -14,6 +14,34 @@ import org.apache.spark.sql.types._
  * libraries in this environment): a real deployment would swap
  * [[stubDecode]] for JavaCV/TwelveMonkeys/etc. behind the same signature.
  */
+/**
+ * Pluggable media codec: the seam a real deployment fills with
+ * JavaCV/TwelveMonkeys/ffmpeg bindings (the same pattern as
+ * [[graft.encoders.Encoder]] — the reference blesses pluggable encode,
+ * /root/reference/backend/faiss_searcher.py:41-48). Implementations must
+ * be deterministic for a given payload (the oracle gates re-derive the
+ * features) and serializable (instances ship to executors inside the
+ * decode task closure).
+ */
+trait MediaDecoder extends Serializable {
+  /** Decode one payload into a `dim`-dimensional feature vector.
+    * A null payload must still return a (zero) vector of length `dim`. */
+  def decode(payload: Array[Byte], dim: Int): Array[Float]
+
+  /** Batch hook — real codecs amortize per-call setup (model load, native
+    * context) across a batch; the default just maps [[decode]]. */
+  def decodeBatch(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    payloads.map(decode(_, dim))
+}
+
+/** The deterministic stand-in codec (see [[Multimodal.stubDecode]]):
+  * UTF-8 code-point histogram, L2-normalized — shape-compatible with a
+  * real embedding and bit-reproducible in SQL. */
+object StubDecoder extends MediaDecoder {
+  override def decode(payload: Array[Byte], dim: Int): Array[Float] =
+    Multimodal.stubDecode(payload, dim)
+}
+
 object Multimodal {
 
   /** Canonical media-row schema: id, modality tag, raw bytes, metadata. */
@@ -22,6 +50,46 @@ object Multimodal {
     StructField("modality", StringType, nullable = false),
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /**
+   * REAL binary ingestion: read media files through Spark's `binaryFile`
+   * source into the canonical media schema. The id is parsed from the
+   * trailing digits of each file name (`..._<id>.<ext>`); path, size and
+   * mtime ride in `meta`. At scale this is the actual 100 TB entry point:
+   * `binaryFile` splits per file across executors, filters on
+   * `pathGlobFilter`/size push into the listing, and nothing is collected.
+   */
+  def ingestBinaryFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, modality: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.[A-Za-z0-9]+$", 1)
+          .cast(LongType).as("media_id"),
+        lit(modality).as("modality"),
+        col("content").as("payload"),
+        map(lit("path"), col("path"),
+          lit("bytes"), col("length").cast(StringType),
+          lit("mtime"), col("modificationTime").cast(StringType)).as("meta"))
+
+  /** Deterministic binary fixture for the ingest gate: `n` files of
+    * printable-ASCII bytes (`0x20 + (31·i + 7·j) mod 95`, length
+    * `256 + 7·i`) written once under `dir` — byte-stable across runs and
+    * engines, so the DuckDB oracle can `read_blob` the same files. ASCII
+    * keeps byte==char positions, letting SQL reproduce the stub codec
+    * exactly; the INGEST path (binaryFile → content bytes) is the real
+    * one either way. Returns the directory for [[ingestBinaryFiles]]. */
+  def ensureBinaryFixture(dir: String = "/tmp/graft_media_fixture",
+      n: Int = 16): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    (0 until n).foreach { i =>
+      val f = new java.io.File(d, f"media_$i%03d.bin")
+      val len = 256 + 7 * i
+      val bytes = Array.tabulate[Byte](len)(j => (0x20 + (31 * i + 7 * j) % 95).toByte)
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    dir
+  }
 
   /** Wrap any table into media rows, treating a string column's bytes as
     * the payload (demo ingestion; a real pipeline reads image/audio files
@@ -65,21 +133,20 @@ object Multimodal {
   /**
    * Batched decode + featurize over media rows: `mapPartitions` in
    * fixed-size groups (the Scala analog of a pandas-batched decode UDF —
-   * batching matters because real codecs amortize per-call setup).
-   * Appends `features: array<float>`.
+   * batching matters because real codecs amortize per-call setup). The
+   * codec is pluggable ([[MediaDecoder]]); each batch goes to
+   * `decodeBatch` in one call. Appends `features: array<float>`.
    */
-  def decodeFeatures(media: DataFrame, dim: Int = 32, batchSize: Int = 64): DataFrame = {
+  def decodeFeatures(media: DataFrame, dim: Int = 32, batchSize: Int = 64,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false))
     val enc: org.apache.spark.sql.Encoder[Row] = RowEncoder.encoderFor(outSchema)
     val idx = media.schema.fieldIndex("payload")
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real impl would hand the whole batch to the codec here
-        batch.map { r =>
-          val feats = stubDecode(r.getAs[Array[Byte]](idx), dim)
-          Row.fromSeq(r.toSeq :+ feats.toSeq)
-        }
+        val feats = decoder.decodeBatch(batch.map(_.getAs[Array[Byte]](idx)), dim)
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
       }
     }(enc)
   }

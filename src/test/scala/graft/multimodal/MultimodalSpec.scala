@@ -81,4 +81,45 @@ class MultimodalSpec extends SparkSpec {
     val resized = rows.map(_.getSeq[Float](0).map(_.toDouble).sum * 4)
     orig.zip(resized).foreach { case (o, rz) => assert(math.abs(o - rz) < 1e-4) }
   }
+
+  test("binaryFile ingest: real files → canonical media schema, parsed ids, exact bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    graft.multimodal.Multimodal.ensureBinaryFixture(dir, n = 4)
+    val media = graft.multimodal.Multimodal
+      .ingestBinaryFiles(spark, dir, "image", glob = "*.bin")
+    val rows = media.orderBy("media_id").collect()
+    assert(rows.length === 4)
+    assert(media.schema.fieldNames.toSeq ===
+      Seq("media_id", "modality", "payload", "meta"))
+    // ids parsed from trailing digits of the file name
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    // bytes round-trip exactly (content column IS the file)
+    val p2 = rows(2).getAs[Array[Byte]]("payload")
+    val expect2 = Array.tabulate[Byte](256 + 14)(j => (0x20 + (31 * 2 + 7 * j) % 95).toByte)
+    assert(p2.toSeq === expect2.toSeq)
+    assert(rows.forall(_.getString(1) == "image"))
+    // meta carries path + size
+    val meta0 = rows(0).getMap[String, String](3)
+    assert(meta0("bytes") === "256")
+    assert(meta0("path").endsWith("media_000.bin"))
+  }
+
+  test("MediaDecoder is pluggable: a custom codec replaces the stub in decodeFeatures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media2").toString
+    graft.multimodal.Multimodal.ensureBinaryFixture(dir, n = 3)
+    val media = graft.multimodal.Multimodal
+      .ingestBinaryFiles(spark, dir, "audio", glob = "*.bin")
+    object LengthDecoder extends graft.multimodal.MediaDecoder {
+      override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+        val out = new Array[Float](dim)
+        out(0) = if (payload == null) 0f else payload.length.toFloat
+        out
+      }
+    }
+    val feats = graft.multimodal.Multimodal
+      .decodeFeatures(media, dim = 4, decoder = LengthDecoder)
+      .select(col("media_id"), col("features")).orderBy("media_id").collect()
+    assert(feats.map(_.getSeq[Float](1).head).toSeq === Seq(256f, 263f, 270f))
+    assert(feats.forall(_.getSeq[Float](1).drop(1).forall(_ == 0f)))
+  }
 }
