@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.encoders.PassthroughEncoder
+import graft.search.{SearcherParams, SparkSearcher}
+
+/**
+ * Recall certification for the approximate access paths: measures
+ * recall@k AGAINST THE EXACT SCAN at realistic operating points — the
+ * settings a user would actually run, not the exhaustive regimes the
+ * hash gates pin (full probes / exhaustive ef are exact by construction;
+ * they certify correctness of the machinery, not the recall/latency
+ * trade the factory string exists to make —
+ * /root/reference/backend/faiss_searcher.py:100-107).
+ *
+ * For each (index, operating point): fit wall-time, min-of-2 search
+ * wall-time over the query batch, and recall@k vs the exact top-k.
+ * One JSON line per scale factor; the driver artifact (RECALL_r08.json)
+ * aggregates the sections.
+ *
+ * Usage: `runMain graft.Recall <outJson> <sfDir>[,<sfDir>...]`
+ */
+object Recall {
+
+  private case class Cfg(name: String, family: String, params: SearcherParams)
+
+  def main(args: Array[String]): Unit = {
+    val outPath = if (args.nonEmpty) args(0) else "RECALL_r08.json"
+    val sfDirs =
+      (if (args.length > 1) args(1) else "/root/testdata/sf0.1")
+        .split(",").toSeq
+    val k = 10
+    val nQueries = 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+
+    val base = SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+      measurement = "cos")
+    // the certified frontier: every approximate family at the operating
+    // points a user would pick (HNSW efSearch sweep, IVF nprobe sweep,
+    // LSH/PQ/OPQ/refine at their defaults)
+    val cfgs = Seq(
+      Cfg("HNSW32 efSearch=16", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 16)),
+      Cfg("HNSW32 efSearch=64", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 64)),
+      Cfg("HNSW32 efSearch=256", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 256)),
+      Cfg("IVF0(auto) nprobe=1", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 1)),
+      Cfg("IVF0(auto) nprobe=4", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 4)),
+      Cfg("IVF0(auto) nprobe=16", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 16)),
+      Cfg("LSH(12 tables, auto bits)", "lsh", base.copy(indexParam = "LSH")),
+      Cfg("PQ8 (byte codes)", "pq", base.copy(indexParam = "PQ8")),
+      Cfg("PQ8x4 (nibble codes)", "pq", base.copy(indexParam = "PQ8x4")),
+      Cfg("OPQ8,PQ8", "opq", base.copy(indexParam = "OPQ8,PQ8")),
+      Cfg("PQ8,RFlat (refine x4)", "refine", base.copy(indexParam = "PQ8,RFlat")))
+
+    def clearState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    /** query id -> ranked neighbor ids */
+    def hits(res: DataFrame): Map[Long, Seq[Long]] =
+      res.select(col("vec_id").cast("long"), col("sim_item").cast("long"),
+          col("rank_no").cast("int"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+        }
+
+    val sections = sfDirs.map { sfDir =>
+      val items = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = items.count()
+      val queries = items.filter(col("vec_id") < nQueries)
+
+      // exact ground truth + the latency reference point
+      clearState()
+      val exactModel = new SparkSearcher(new PassthroughEncoder("embedding"), base)
+        .fit(items)
+      val t0 = System.nanoTime()
+      val exactRes = exactModel.search(queries, k, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      val truth = hits(exactRes)
+      val exactSec1 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      hits(exactModel.search(queries, k, keepRankNo = true,
+        queryIdCol = Some("vec_id")))
+      val exactSec = math.min(exactSec1, (System.nanoTime() - t1) / 1e9)
+      exactModel.unpersist()
+      require(truth.size == nQueries, s"expected $nQueries queries, got ${truth.size}")
+
+      val rows = cfgs.map { cfg =>
+        clearState()
+        val tf = System.nanoTime()
+        val model = new SparkSearcher(new PassthroughEncoder("embedding"), cfg.params)
+          .fit(items)
+        val fitSec = (System.nanoTime() - tf) / 1e9
+        // min-of-2 search, recall from the first run (both identical —
+        // every path is deterministic given the fitted state)
+        val ts1 = System.nanoTime()
+        val got = hits(model.search(queries, k, keepRankNo = true,
+          queryIdCol = Some("vec_id")))
+        val sec1 = (System.nanoTime() - ts1) / 1e9
+        val ts2 = System.nanoTime()
+        hits(model.search(queries, k, keepRankNo = true,
+          queryIdCol = Some("vec_id")))
+        val searchSec = math.min(sec1, (System.nanoTime() - ts2) / 1e9)
+        model.unpersist()
+        val recall = truth.map { case (q, exp) =>
+          val gotSet = got.getOrElse(q, Seq.empty).toSet
+          exp.count(gotSet.contains).toDouble / k
+        }.sum / truth.size
+        System.err.println(f"[recall] $sfDir ${cfg.name}%-28s recall@$k=$recall%.3f " +
+          f"fit=$fitSec%6.2fs search=$searchSec%6.2fs (exact $exactSec%6.2fs)")
+        f"""{"name":"${cfg.name}","family":"${cfg.family}","index":"${cfg.params.indexParam}","recall_at_$k":$recall%.4f,"fit_sec":$fitSec%.3f,"search_sec":$searchSec%.3f}"""
+      }
+      f"""{"sf":"$sfDir","n":$n,"k":$k,"queries":$nQueries,""" +
+        f""""exact_search_sec":$exactSec%.3f,""" +
+        s""""configs":[${rows.mkString(",")}]}"""
+    }
+
+    val json = s"""{"metric":"recall_at_$k","sections":[${sections.mkString(",")}]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
