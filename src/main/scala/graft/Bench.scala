@@ -1,5 +1,9 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.graftshim.GraftCore
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every SparkEntry query executed to completion via a
@@ -38,6 +42,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Per-task metric accumulator: a machine-state episode (GC storm, memory
+    // pressure → spill) should carry its own diagnosis in the artifact
+    // instead of costing a cross-machine triage (r7 lesson: sq4/sq8 driver
+    // outliers). Listener delivery is async — flush the bus around each
+    // snapshot so deltas attribute to the right run.
+    val gcAcc = new AtomicLong; val spillAcc = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          gcAcc.addAndGet(m.jvmGCTime)
+          spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      }
+    })
+    def metricSnapshot(): (Long, Long) = {
+      GraftCore.flushListenerBus(spark.sparkContext)
+      (gcAcc.get, spillAcc.get)
+    }
     // min-of-2 per query: one-off GC pauses / page-cache misses stop moving
     // the official number; repeats run back-to-back for OS-cache locality
     val repeats = math.max(1,
@@ -47,6 +70,7 @@ object Bench {
       .map { case (name, fn) =>
       val runs = (1 to repeats).map { _ =>
         clearState()
+        val (gc0, sp0) = metricSnapshot()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,24 +78,38 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (gc1, sp1) = metricSnapshot()
+        (sec, ok, gc1 - gc0, sp1 - sp0)
       }
       // ok only if EVERY repeat succeeded: a flaky query is a bug and must
       // surface as FAILED in the official output, not vanish behind a
       // lucky retry
       val ok = runs.forall(_._2)
       val dt = runs.map(_._1).min
+      // diagnosis rides with the SLOWEST repeat — that's the one that needs
+      // explaining when min and max disagree
+      val slowest = runs.maxBy(_._1)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
-      (name, dt, ok)
+      (name, dt, ok, slowest._1, slowest._3, slowest._4)
     }
     // a failed query records sentinel -1 (not its time-to-failure: a fast
     // regression must not read as an improvement) and is excluded from total
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
+    val metricsJson = results.map { case (k, _, _, maxSec, gcMs, spill) =>
+      f""""$k":{"max_sec":$maxSec%.3f,"gc_ms":$gcMs,"spill_bytes":$spill}"""
+    }.mkString("{", ",", "}")
+    // noise flag: min/max spread over 3x AND over 0.3 s absolute (sub-second
+    // queries jitter multiplicatively without meaning anything)
+    val noisy = results.collect {
+      case (k, dt, ok, maxSec, _, _) if ok && maxSec > 3 * dt && maxSec - dt > 0.3 =>
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"run_metrics":$metricsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
