@@ -751,10 +751,17 @@ object Dedup {
     math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
 
   /** Auto-nlist for [[embeddingNearDupsBlocked]] (`nlist = 0`): expected
-    * cell occupancy ~64 rows, floor 16; clamped in Long (total/64
-    * overflows Int past 2^37 rows). Shared with the oracle builder. */
+    * cell occupancy ~64 rows, floor 16, CAP 65,536 (the searcher's
+    * resolveNlist cap). The cap bounds the driver Lloyd fit — its cost is
+    * nlist · sample, and the sample itself scales with nlist
+    * ([[graft.search.IvfIndex.trainTarget]]), so uncapped occupancy-64
+    * nlist makes the fit quadratic in corpus size (the sf10 probe measured
+    * exactly this decade). Past the cap (n > 4.2M vectors) occupancy grows
+    * linearly and the candidate join degrades with it — at THAT scale use
+    * [[embeddingNearDupsLsh]], whose auto-bits grow logarithmically and
+    * keep occupancy constant at any corpus size. */
   def autoBlockNlist(total: Long): Int =
-    math.min(math.max(16L, total / 64L), Int.MaxValue.toLong).toInt
+    math.min(math.max(16L, total / 64L), 65536L).toInt
 
   /**
    * LSH-bucketed embedding near-dup: sign-random-projection tables
@@ -863,10 +870,14 @@ object Dedup {
       }
     val cents = IvfIndex.fitCentroids(vecs, "v",
       math.min(resolvedNlist.toLong, total max 1L).toInt, total) // long-domain min: no toInt overflow
+    // persisted: both sides of the self-join read it, and without the pin
+    // Spark recomputes the O(n·nlist·d) nearest-centroid assignment once
+    // per side (nprobe·n rows — small relative to the dots it saves)
     val celled = vecs
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .withColumn("cell",
         explode(IvfIndex.nearestCentroidsCol(col("v"), cents, nprobe)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = celled.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = celled.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
@@ -876,6 +887,6 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= threshold)
       .distinct() // a pair can share several probed cells
-    graft.util.CacheDiscipline.materializeAndFree(pairs, vecs)
+    graft.util.CacheDiscipline.materializeAndFree(pairs, vecs, celled)
   }
 }

@@ -126,27 +126,45 @@ object IvfIndex {
       while (i < d) { val t = a(i).toDouble - b(i); s += t * t; i += 1 }
       s
     }
-    // farthest-point init (deterministic k-means++ analog, no RNG)
+    // assignment + partial sums parallelized over FIXED chunks (count not
+    // tied to thread scheduling), partials merged in chunk order — so the
+    // result is bit-deterministic run to run while the O(n·k·d) inner loops
+    // (the whole cost of a driver-side fit) use every core
+    val nChunks = math.min(32, n)
+    val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * n / nChunks).toInt)
+    // farthest-point init (deterministic k-means++ analog, no RNG). The
+    // O(k·n·d) scan is chunk-parallel with the same in-order merge as the
+    // Lloyd iterations: per-i minD updates are independent, and the global
+    // argmax under strict-> keeps the EARLIEST index among ties whether
+    // found in one sequential pass or merged chunk-by-chunk — so the picked
+    // centroids are bit-identical to the sequential version (oracle gates
+    // embed these centroids; sf10 measured the sequential init dominating
+    // the blocked-dedup fit at nlist=3125: ~73 GFLOP on one core)
     val cents = new Array[Array[Float]](k)
     cents(0) = xs(0).clone()
     val minD = Array.fill(n)(Double.MaxValue)
     var c = 1
     while (c < k) {
-      var far = 0; var farD = -1.0; var i = 0
-      while (i < n) {
-        val dd = d2(xs(i), cents(c - 1))
-        if (dd < minD(i)) minD(i) = dd
-        if (minD(i) > farD) { farD = minD(i); far = i }
-        i += 1
+      val prev = cents(c - 1)
+      val chunkFar = java.util.stream.IntStream.range(0, nChunks).parallel()
+        .mapToObj { ch =>
+          var far = -1; var farD = -1.0; var i = bounds(ch)
+          while (i < bounds(ch + 1)) {
+            val dd = d2(xs(i), prev)
+            if (dd < minD(i)) minD(i) = dd
+            if (minD(i) > farD) { farD = minD(i); far = i }
+            i += 1
+          }
+          (farD, far)
+        }
+        .toArray(new Array[(Double, Int)](_))
+      var far = 0; var farD = -1.0; var ch = 0
+      while (ch < nChunks) {
+        if (chunkFar(ch)._1 > farD) { farD = chunkFar(ch)._1; far = chunkFar(ch)._2 }
+        ch += 1
       }
       cents(c) = xs(far).clone(); c += 1
     }
-    // assignment + partial sums parallelized over FIXED chunks (count not
-    // tied to thread scheduling), partials merged in chunk order — so the
-    // result is bit-deterministic run to run while the O(n·k·d) inner loop
-    // (the whole cost of a driver-side fit) uses every core
-    val nChunks = math.min(32, n)
-    val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * n / nChunks).toInt)
     var it = 0
     while (it < iters) {
       val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
