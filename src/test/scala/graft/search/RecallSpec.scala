@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.encoders.PassthroughEncoder
+import org.apache.spark.sql.functions._
+
+/** Regression floors for the APPROXIMATE operating points — the regimes
+  * `graft.Recall` certifies in RECALL_r08.json / RECALL.md. The hash
+  * gates run exact-by-construction regimes (full probes, exhaustive ef),
+  * so a silent recall regression at realistic settings (nprobe handling,
+  * beam traversal, ADC tables, refine re-rank) would pass every oracle
+  * gate; these floors catch it. All paths are deterministic (no RNG —
+  * farthest-point init, sign projections from hashed seeds), so measured
+  * recall on the fixed 500-vector sf0.001 corpus is a constant; floors
+  * sit a small margin under the measured values recorded in each assert.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val K = 10
+  private val base = SearcherParams(itemCol = Some("vec_id"),
+    idCol = Some("vec_id"), measurement = "cos")
+
+  private def topPairs(params: SearcherParams): Set[(Long, Long)] = {
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"), params)
+      .fit(sf("embeddings"))
+    val res = model.search(sf("embeddings").filter(col("vec_id") < 50), K,
+      keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select(col("vec_id").cast("long"), col("sim_item").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    model.unpersist()
+    res
+  }
+
+  private lazy val truth = topPairs(base) // exact Flat scan: ground truth
+
+  private def recallOf(params: SearcherParams): Double =
+    (truth intersect topPairs(params)).size.toDouble / truth.size
+
+  test("IVF recall grows monotonically in nprobe and clears its floors") {
+    val r = Seq(1, 4, 16).map(p =>
+      p -> recallOf(base.copy(indexParam = "IVF0,Flat", nprobe = p))).toMap
+    info(f"IVF0(auto) recall@$K: nprobe=1 ${r(1)}%.3f, 4 ${r(4)}%.3f, 16 ${r(16)}%.3f")
+    assert(r(1) <= r(4) && r(4) <= r(16),
+      s"recall must be monotone in nprobe: $r")
+    assert(r(16) >= 0.88, s"IVF nprobe=16 recall ${r(16)} (measured 0.950)")
+    assert(r(1) >= 0.18, s"IVF nprobe=1 recall ${r(1)} (measured 0.282)")
+  }
+
+  test("HNSW beam at ef=16 on a single graph stays near-exact") {
+    val r = recallOf(base.copy(indexParam = "HNSW32", efSearch = 16,
+      hnswGraphs = 1))
+    info(f"HNSW32 (1 graph, ef=16) recall@$K: $r%.3f")
+    assert(r >= 0.95, s"HNSW ef=16 recall $r (measured 1.000)")
+  }
+
+  test("RFlat refine strictly buys back PQ8 quantization loss") {
+    val pq = recallOf(base.copy(indexParam = "PQ8"))
+    val refined = recallOf(base.copy(indexParam = "PQ8,RFlat"))
+    info(f"PQ8 recall@$K: $pq%.3f; PQ8,RFlat: $refined%.3f")
+    assert(refined > pq, s"refine must improve PQ8: $pq -> $refined")
+    assert(pq >= 0.65, s"PQ8 recall $pq (measured 0.738)")
+    assert(refined >= 0.92, s"PQ8,RFlat recall $refined (measured 0.996)")
+  }
+
+  test("PQ8 nibble codes trade recall for size against byte codes") {
+    val pq8 = recallOf(base.copy(indexParam = "PQ8"))
+    val pq4 = recallOf(base.copy(indexParam = "PQ8x4"))
+    info(f"PQ8 recall@$K: $pq8%.3f; PQ8x4: $pq4%.3f")
+    assert(pq4 >= 0.28 && pq4 <= pq8, // measured 0.382
+      s"nibble codes should floor above random and below byte codes: $pq4 vs $pq8")
+  }
+}
