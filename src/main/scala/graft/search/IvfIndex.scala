@@ -87,6 +87,16 @@ object IvfIndex {
   private[search] def trainTarget(nlist: Int): Long =
     math.min(math.max(MaxTrainRows, MinPointsPerCentroid * nlist), TrainRowsCap)
 
+  /** Above this many centroids the fit goes two-level ([[hierLloyd]]):
+    * flat Lloyd assignment is O(n·k·d) per iteration, and with the sample
+    * itself scaling as 39·k the flat fit is quadratic in k — the sf10
+    * probe measured exactly this on the blocked-dedup path (nlist=3125).
+    * Two-level is O(n·√k·d): the standard large-nlist recipe (faiss's
+    * two-level clustering / HNSW coarse quantizers exist for the same
+    * reason). Below the threshold the flat path is kept bit-identical —
+    * every oracle gate fits well under it. */
+  private[search] val TwoLevelNlist = 1024
+
   def nearestCentroidsCol(v: Column, cents: Array[Array[Float]], n: Int): Column =
     column(NearestCentroids(expression(v), cents, n))
 
@@ -112,7 +122,102 @@ object IvfIndex {
       .collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "IVF fit: no vectors to train on")
-    lloyd(sample, math.min(nlist, sample.length), iters = 10)
+    val k = math.min(nlist, sample.length)
+    if (k >= TwoLevelNlist) hierLloyd(sample, k, iters = 10)
+    else lloyd(sample, k, iters = 10)
+  }
+
+  /** Two-level Lloyd for large k: cluster the sample into ⌈√k⌉ coarse
+    * cells, then Lloyd `k_c` sub-centroids inside each cell with `k_c`
+    * allocated proportionally to cell population (largest-remainder,
+    * deterministic lowest-id tie-break, capped by population). The
+    * returned flat centroid array is the concatenation in (coarse id,
+    * sub id) order — fully deterministic, so oracle refit-and-embed
+    * still reproduces it. Cost: O(n·√k·d) against flat Lloyd's
+    * O(n·k·d); quantization quality gives up a few percent (sub-fits
+    * never move points across coarse boundaries), which for an IVF
+    * coarse quantizer trades as cell-balance noise, not correctness —
+    * assignments remain nearest-of-k at index build and query time. */
+  private[search] def hierLloyd(xs: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val n = xs.length
+    val k1 = math.min(math.ceil(math.sqrt(k.toDouble)).toInt, n)
+    val coarse = lloyd(xs, k1, iters)
+    // deterministic nearest-coarse assignment (first-min wins, same rule
+    // as the Lloyd inner loop)
+    val d = xs(0).length
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i).toDouble - b(i); s += t * t; i += 1 }
+      s
+    }
+    val assign = new Array[Int](n)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < coarse.length) {
+        val dd = d2(xs(i), coarse(j))
+        if (dd < bestD) { bestD = dd; best = j }
+        j += 1
+      }
+      assign(i) = best
+    }
+    val counts = new Array[Int](coarse.length)
+    var i = 0
+    while (i < n) { counts(assign(i)) += 1; i += 1 }
+    // proportional sub-centroid allocation: floor share (≥1 for nonempty
+    // cells, ≤ population), then hand out the remainder one at a time to
+    // the most under-allocated cell (deficit vs exact share; lowest id on
+    // ties) — sums exactly to k because Σ caps = n ≥ k
+    val alloc = new Array[Int](coarse.length)
+    var allocated = 0
+    var c = 0
+    while (c < coarse.length) {
+      if (counts(c) > 0) {
+        alloc(c) = math.min(counts(c),
+          math.max(1, (k.toLong * counts(c) / n).toInt))
+        allocated += alloc(c)
+      }
+      c += 1
+    }
+    while (allocated < k) {
+      var best = -1; var bestDef = Double.NegativeInfinity
+      c = 0
+      while (c < coarse.length) {
+        if (alloc(c) < counts(c)) {
+          val deficit = k.toDouble * counts(c) / n - alloc(c)
+          if (deficit > bestDef) { bestDef = deficit; best = c }
+        }
+        c += 1
+      }
+      alloc(best) += 1; allocated += 1
+    }
+    while (allocated > k) { // over-allocation from the max(1, …) floors;
+      // a cell with alloc > 1 always exists here: allocated > k ≥ 1024
+      // across ≤ ⌈√k⌉ cells forces an average alloc well above 1
+      var best = -1; var bestExc = Double.NegativeInfinity
+      c = 0
+      while (c < coarse.length) {
+        if (alloc(c) > 1) {
+          val excess = alloc(c) - k.toDouble * counts(c) / n
+          if (excess > bestExc) { bestExc = excess; best = c }
+        }
+        c += 1
+      }
+      alloc(best) -= 1; allocated -= 1
+    }
+    // per-cell sub-fit over the cell's points, in sample order
+    val members = Array.fill(coarse.length)(new scala.collection.mutable.ArrayBuilder.ofRef[Array[Float]])
+    i = 0
+    while (i < n) { members(assign(i)) += xs(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[Array[Float]]
+    out.sizeHint(k)
+    c = 0
+    while (c < coarse.length) {
+      if (alloc(c) > 0) out ++= lloyd(members(c).result(), alloc(c), iters)
+      c += 1
+    }
+    val cents = out.result()
+    assert(cents.length == k, s"hierLloyd produced ${cents.length} of $k centroids")
+    cents
   }
 
   /** Plain Lloyd k-means over a local sample: deterministic spread-out init
