@@ -764,6 +764,14 @@ object SparkEntry {
         n = 5, numHashes = 64, bands = 8, threshold = 0.5),
       "id_a", "id_b")
       .orderBy("id")),
+    // dedup: the CLEANED corpus at document level — minhash pairs → CC →
+    // keep the canonical (min-id) doc per duplicate cluster. The
+    // deliverable of a near-dup pipeline (dedup_lines is its line-level
+    // sibling); pairs/clusters above gate the intermediate signals
+    "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numHashes = 64, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")),
     // dedup: SimHash hamming-band pairs, block count PINNED at the old
     // fixed policy (maxHamming+1 single-block bands) for plan determinism
     "dedup_simhash" -> ((s, dir) => Dedup.simHashNearDups(
@@ -1499,6 +1507,19 @@ object SparkEntry {
          |ORDER BY id_a""".stripMargin.replace("\n", " "),
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+    // same pair CTEs + reachability as the cluster oracle, then the
+    // cleaned corpus: every document except non-canonical cluster members
+    "dedup_corpus" ->
+      s"""WITH RECURSIVE ${minhashPairCtes(5, 64, 8, 0.5)},
+         |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
+         |reach(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+         |  UNION
+         |  SELECT ed.u, reach.comp FROM ed JOIN reach ON ed.v = reach.id),
+         |dropped AS (SELECT id FROM reach GROUP BY id HAVING min(comp) <> id)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     // the result set is banding-invariant (exact pigeonhole), so the same
     // oracle gates the corpus-scaled auto-banding twin

@@ -676,6 +676,28 @@ object Dedup {
   }
 
   /**
+   * Document-level corpus dedup returning the CLEANED corpus — the
+   * end-product the pair/cluster machinery exists for: MinHash-banded
+   * near-dup pairs ([[minHashNearDups]]) → connected components
+   * ([[connectedComponents]], O(log n) rounds) → keep the canonical
+   * (minimum-id) document of every duplicate cluster, drop the rest.
+   * Untouched documents pass through. 100 TB shape: banded equi-join for
+   * candidates (never all-pairs), log-round star contraction for
+   * clusters, one broadcast-able anti-join of the (small) drop list
+   * against the corpus — the only full-corpus pass after pair generation.
+   */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, n, numHashes, bands, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    // non-canonical members of any duplicate cluster; singletons never
+    // appear in `comp`, so they survive by construction
+    val drop = comp.filter(!col("is_canonical")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
+  /**
    * Min-label propagation connected components — every node adopts the
    * smallest label among itself and its neighbors until fixpoint. Rounds =
    * component DIAMETER (vs O(log n) for [[connectedComponents]]); kept as

@@ -286,4 +286,21 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) === "")
     assert(got.size === 6)
   }
+
+  test("dedupCorpus: canonical doc per near-dup cluster survives, uniques pass through") {
+    val sp = spark
+    import sp.implicits._
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (10L, body),                    // cluster canonical (min id)
+      (11L, body + " extra"),         // near-dup of 10 -> dropped
+      (12L, body + " extras"),        // near-dup of 10/11 -> dropped
+      (20L, "completely different content about spark catalyst planning"),
+      (21L, "another unrelated document on parquet column pruning"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text",
+        n = 5, numHashes = 64, bands = 8, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 20L, 21L))
+  }
 }
