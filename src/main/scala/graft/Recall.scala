@@ -55,6 +55,14 @@ object Recall {
       Cfg("IVF0(auto) nprobe=1", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 1)),
       Cfg("IVF0(auto) nprobe=4", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 4)),
       Cfg("IVF0(auto) nprobe=16", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 16)),
+      // auto-nlist grows ∝ √n, so a FIXED nprobe scans a shrinking
+      // fraction of the corpus as it grows — recall decays with scale
+      // unless nprobe scales with it. nprobe=64 is the ~√n-scaled
+      // operating point for the 200k-vector corpus (16 is right at 2k)
+      Cfg("IVF0(auto) nprobe=64", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 64)),
+      // the engine's auto (nprobe=0): ~1/8 of fitted cells, floor 4 —
+      // holds the scanned fraction, hence recall, across corpus growth
+      Cfg("IVF0(auto) nprobe=auto", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 0)),
       Cfg("LSH(12 tables, auto bits)", "lsh", base.copy(indexParam = "LSH")),
       Cfg("PQ8 (byte codes)", "pq", base.copy(indexParam = "PQ8")),
       Cfg("PQ8x4 (nibble codes)", "pq", base.copy(indexParam = "PQ8x4")),

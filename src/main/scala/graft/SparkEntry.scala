@@ -520,6 +520,21 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // auto-nprobe twin (nprobe=0): resolved at search time against the
+    // FITTED cell count (~1/8 of cells, floor 4,
+    // IndexStrategy.resolveNprobe). Completes the auto family — a fixed
+    // nprobe scans a shrinking corpus fraction as auto-nlist grows ∝ √n,
+    // and recall decays with scale (RECALL.md measures 0.8 → 0.46 across
+    // a decade); the auto holds the fraction instead
+    "knn_ivf_nprobe_auto" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF0", nprobe = 0))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // O14/O15 persistence: fit → save → load → search must equal a direct
     // search, so it shares the knn cos oracle
     "save_load_search" -> ((s, dir) => {
@@ -2403,19 +2418,22 @@ object SparkEntry {
     * identical [[graft.search.IndexStrategy.resolveNlist]] arithmetic, so
     * the embedded centroids match the gate's run bit-for-bit. */
   private def ivfPrunedOracle(s: SparkSession, dir: String, k: Int,
-      indexParam: String = "IVF16,Flat"): String = {
+      indexParam: String = "IVF16,Flat", nprobe: Int = 4): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-        measurement = "cos", indexParam = indexParam, nprobe = 4))
+        measurement = "cos", indexParam = indexParam, nprobe = nprobe))
       .fit(table(s, dir, "embeddings"))
     val cents = model.fittedCentroids.get
     model.unpersist()
+    // the SAME resolution the search path applies (nprobe=0 = auto): the
+    // embedded probe count can never diverge from the gate's run
+    val probes = graft.search.IndexStrategy.resolveNprobe(nprobe, cents.length)
     s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
        |x AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
        |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
        |  FROM x CROSS JOIN ce),
        |xcell AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
-       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= 4),
+       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= $probes),
        |q AS (SELECT vec_id, v FROM x WHERE vec_id < 10),
        |s0 AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label,
        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) sim
@@ -2594,6 +2612,7 @@ object SparkEntry {
         "knn_ivfsq_cos" -> (() => ivfSqOracle(s, dir, 10)),
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
         "knn_ivf_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0")),
+        "knn_ivf_nprobe_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0", nprobe = 0)),
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),

@@ -347,10 +347,12 @@ object IvfIndex {
       cents: Array[Array[Float]], q: DataFrame, topK: Int,
       nprobe: Int): DataFrame = {
     import SparkSearcher._
-    // nprobe clamps to the FITTED cell count (auto-sized `IVF0` models
-    // parse as nlist=0; the fit may also clamp below the requested nlist)
+    // nprobe resolves against the FITTED cell count (auto-sized `IVF0`
+    // models parse as nlist=0; the fit may also clamp below the requested
+    // nlist; nprobe=0 = auto-scaled, IndexStrategy.resolveNprobe)
     val probes = q.withColumn(CID,
-      explode(nearestCentroidsCol(col(QVEC), cents, math.min(nprobe, cents.length))))
+      explode(nearestCentroidsCol(col(QVEC), cents,
+        IndexStrategy.resolveNprobe(nprobe, cents.length))))
     val scored = probes.join(slim, CID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
     val hits = scored

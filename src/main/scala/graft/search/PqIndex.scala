@@ -322,8 +322,8 @@ object IvfPqScorer {
     val chunkPartials = PqIndex.queryChunks(queries, queryChunkSize).flatMap { chunk =>
       val qRows = chunk
         .select(col(QID).cast("long").as(QID), col(QVEC),
-          IvfIndex.nearestCentroidsCol(col(QVEC), centroids, math.min(nprobe, nlist))
-            .as("__probes"))
+          IvfIndex.nearestCentroidsCol(col(QVEC), centroids,
+            IndexStrategy.resolveNprobe(nprobe, nlist)).as("__probes"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
           r.getSeq[Int](2).toArray))

@@ -229,6 +229,25 @@ object IndexStrategy {
     log.info(s"LSH auto-bits: n=$n -> bits=$b (occupancy ~${n >> b} rows/bucket)")
     b
   }
+
+  /** Query-time probe count. A positive `nprobe` is the caller's knob,
+    * clamped to the FITTED cell count. `nprobe == 0` (auto) resolves to
+    * ~1/8 of the fitted cells, floor 4: auto-nlist grows ∝ √n, so any
+    * FIXED nprobe scans a shrinking fraction of the corpus as it grows
+    * and recall decays with scale (measured in RECALL.md: nprobe=16
+    * holds ~0.8 at 2k–20k vectors, 0.46 at 200k). Holding the scanned
+    * FRACTION is what holds recall — the same occupancy discipline as
+    * [[resolveNlist]] / [[resolveBits]], and shared with the oracle
+    * builder so gate and oracle can never diverge. */
+  def resolveNprobe(nprobe: Int, nCells: Int): Int = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
+    if (nprobe > 0) math.min(nprobe, nCells)
+    else {
+      val auto = math.min(nCells, math.max(4, math.ceil(nCells / 8.0).toInt))
+      log.info(s"IVF auto-nprobe: nlist=$nCells -> nprobe=$auto (~1/8 of cells)")
+      auto
+    }
+  }
 }
 
 /**
@@ -1036,7 +1055,7 @@ class SearcherModel private[search] (
         // too, so the parsed number can overstate the cells that exist)
         val probes = qn.withColumn(IvfIndex.CID,
           explode(IvfIndex.nearestCentroidsCol(col(QVEC), cents,
-            math.min(searcher.effectiveNprobe, cents.length))))
+            IndexStrategy.resolveNprobe(searcher.effectiveNprobe, cents.length))))
         scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)

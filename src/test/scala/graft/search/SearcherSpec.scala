@@ -269,6 +269,29 @@ class SearcherSpec extends SparkSpec {
     assert(!SparkSearcher.windowPathFits(100L, 16, 2000000L, byteCap = 1024L))
   }
 
+  test("auto-nprobe (nprobe=0): fraction formula, and the resolved search ≡ its pinned twin") {
+    // the shared resolver: ~1/8 of fitted cells, floor 4, clamp to cells
+    assert(IndexStrategy.resolveNprobe(4, 1000) === 4)     // explicit knob untouched
+    assert(IndexStrategy.resolveNprobe(100, 23) === 23)    // clamp to fitted cells
+    assert(IndexStrategy.resolveNprobe(0, 23) === 4)       // floor
+    assert(IndexStrategy.resolveNprobe(0, 447) === 56)     // ~1/8 of cells
+    assert(IndexStrategy.resolveNprobe(0, 3) === 3)        // tiny index: all cells
+    val emb = sf("embeddings")
+    val params = SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+      measurement = "cos", indexParam = "IVF0")
+    val auto = new SparkSearcher(new PassthroughEncoder("embedding"),
+      params.copy(nprobe = 0)).fit(emb)
+    val resolved = IndexStrategy.resolveNprobe(0, auto.centroids.get.length)
+    val pinned = new SparkSearcher(new PassthroughEncoder("embedding"),
+      params.copy(nprobe = resolved)).fit(emb)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(m: SearcherModel) = m.search(q, 5, keepRankNo = true,
+      queryIdCol = Some("vec_id")).orderBy("vec_id", "rank_no").collect()
+    assert(rows(auto) === rows(pinned),
+      s"auto-nprobe must equal its resolved pinned twin (resolved=$resolved)")
+    auto.unpersist(); pinned.unpersist()
+  }
+
   test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
     // the shared resolver: ~16-row buckets, floored at 8 bits
     assert(IndexStrategy.resolveBits(Some(6), 1000000L) === 6)
