@@ -21,8 +21,11 @@ import graft.whitening.VecsWhitening
   */
 object SparkEntry {
 
+  // `ts` normalizes to epoch-nanos long whatever the parquet physical type
+  // (int64 nanos vs timestamp[us] across testdata generations) — every
+  // query and oracle below assumes the nanos-long contract (TimeCols).
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.TimeCols.normalizeEpochNanos(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Fitted searcher over `<dir>/embeddings.parquet` (the README raw-vector
     * flow, /root/reference/README.md:43-58): item/id = vec_id, vector =

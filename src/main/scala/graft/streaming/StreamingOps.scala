@@ -23,6 +23,12 @@ object StreamingOps {
   def nsToTimestamp(ns: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros((ns / 1000L).cast("long"))
 
+  /** Event-time column for watermarking, tolerant of the ts column's
+    * physical type (epoch-nanos long or timestamp[us] — see
+    * [[graft.util.TimeCols]]). */
+  private def eventTimeOf(df: DataFrame, tsCol: String) =
+    graft.util.TimeCols.eventTime(df, tsCol)
+
   /**
    * Watermarked hourly tumbling aggregation per event type — the streaming
    * twin of SparkEntry's `q_events_hourly` (same shape: time bucket ×
@@ -31,7 +37,7 @@ object StreamingOps {
    */
   def hourlyEventStats(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("event_time", nsToTimestamp(col("ts")))
+      .withColumn("event_time", eventTimeOf(events, "ts"))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -108,7 +114,7 @@ object StreamingOps {
   def dedupStream(events: DataFrame, keyCols: Seq[String],
       watermark: String = "1 hour"): DataFrame =
     events
-      .withColumn("event_time", nsToTimestamp(col("ts")))
+      .withColumn("event_time", eventTimeOf(events, "ts"))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
@@ -123,7 +129,7 @@ object StreamingOps {
   def nearDupDedupStream(docs: DataFrame, textCol: String, tsCol: String,
       watermark: String = "1 hour"): DataFrame =
     docs
-      .withColumn("event_time", nsToTimestamp(col(tsCol)))
+      .withColumn("event_time", eventTimeOf(docs, tsCol))
       .withColumn("__fp", graft.dedup.Dedup.simHash62(col(textCol)))
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark(Seq("__fp"))
