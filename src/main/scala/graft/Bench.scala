@@ -109,7 +109,26 @@ object Bench {
     }.mkString("[", ",", "]")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"run_metrics":$metricsJson,"sf":"$sfDir"}""")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"run_metrics":$metricsJson,"sf":"$sfDir"}"""
+    // The harness keeps only the last ~2000 chars of stdout and parses a
+    // JSON line out of them (r3-r8 lesson: the one-line-per-query format
+    // outgrew that window and every driver-side parse came back null). So:
+    // the FULL per-query record goes to a file, and stdout's LAST line is a
+    // compact summary — total + failures + noise flags + the slowest
+    // queries — sized to survive the tail window with room for sbt's
+    // trailing "[success]" line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LAST.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullJson + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query record -> $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    val slowest = results.filter(_._3).sortBy(-_._2).take(25)
+      .map { case (k, v, _, _, _, _) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_ok":${results.count(_._3)},"failed":$failed,"noisy":$noisy,"queries_note":"slowest 25 of ${results.size}; full per-query record in $outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
