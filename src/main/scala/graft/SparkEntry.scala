@@ -1308,6 +1308,26 @@ object SparkEntry {
       Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8)
         .orderBy("doc_id")
     }),
+    // span-level substring dedup: every duplicated 8-token window keeps
+    // only its global first occurrence; all other occurrences are masked
+    // out of the rebuilt text (the finest Lee-et-al granularity — line
+    // level is dedup_lines, document level is dedup_corpus)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.dedupSpans(table(s, dir, "documents"), "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+    // Gopher rule filter: per-doc rule statistics + verdicts in one scan
+    "text_gopher" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.alpha_ratio"), col("g.symbol_ratio"), col("g.n_stop"),
+        col("g.word_count_ok"), col("g.mean_len_ok"), col("g.symbol_ok"),
+        col("g.alpha_ok"), col("g.stop_ok"), col("g.keep"))
+      .orderBy("doc_id")),
+    // context-window chunking: 32-token windows, 8 tokens of overlap
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id")),
     // PII scrubbing over deterministic synthetic PII (the corpus carries
     // none): the SAME augmented text is built by both engines from
     // doc_id, then redacted with the shared RE2-compatible pattern set
@@ -1953,6 +1973,72 @@ object SparkEntry {
         |  ELSE coalesce(agg.t, '') END text_dedup
         |FROM re LEFT JOIN agg USING (doc_id)
         |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
+    // duplicated 8-token windows keep their global (doc_id, pos)-first
+    // occurrence; other occurrences mask their covered tokens. Grouped by
+    // the gram STRING (Spark side shuffles 64-bit fingerprints) — the gate
+    // doubles as a collision canary
+    "dedup_spans" ->
+      """WITH b0 AS (SELECT doc_id, text, CASE WHEN text IS NULL THEN NULL
+        |  ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0
+        |  WHERE toks IS NOT NULL AND len(toks) >= 8),
+        |gs AS (SELECT g0.doc_id, g0.gp,
+        |  array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
+        |  FROM g0 JOIN b0 USING (doc_id)),
+        |r AS (SELECT doc_id, gp,
+        |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, gp) rn,
+        |  count(*) OVER (PARTITION BY gram) c FROM gs),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM
+        |  (SELECT doc_id, unnest(range(gp, gp + 8)) tp FROM r WHERE c >= 2 AND rn > 1)),
+        |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0 WHERE toks IS NOT NULL),
+        |tok AS (SELECT t0.doc_id, t0.tp, b0.toks[t0.tp+1] tok FROM t0 JOIN b0 USING (doc_id)),
+        |kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp WHERE cov.tp IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) t FROM kept GROUP BY doc_id)
+        |SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+        |  ELSE coalesce(agg.t, '') END text_dedup
+        |FROM b0 LEFT JOIN agg USING (doc_id)
+        |ORDER BY b0.doc_id""".stripMargin.replace("\n", " "),
+    // integer counts + one double division per ratio — exact across engines
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) toks FROM documents),
+        |s AS (SELECT doc_id, text, toks, len(toks) n,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(toks, x -> len(x)::BIGINT))::DOUBLE / len(toks) END mean_word_len,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(toks) END alpha_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE ((len(text) - len(replace(text, '#', ''))) +
+        |          (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE / len(toks) END symbol_ratio,
+        |  len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))),
+        |    ['the','be','to','of','and','that','have','with'])) n_stop
+        |  FROM t),
+        |f AS (SELECT doc_id, n, mean_word_len, alpha_ratio, symbol_ratio, n_stop,
+        |  CAST(n >= 50 AND n <= 100000 AS INT) word_count_ok,
+        |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) mean_len_ok,
+        |  CAST(symbol_ratio <= 0.1 AS INT) symbol_ok,
+        |  CAST(alpha_ratio >= 0.8 AS INT) alpha_ok,
+        |  CAST(n_stop >= 2 AS INT) stop_ok FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) n_words, mean_word_len, alpha_ratio,
+        |  symbol_ratio, CAST(n_stop AS BIGINT) n_stop,
+        |  word_count_ok, mean_len_ok, symbol_ok, alpha_ok, stop_ok,
+        |  word_count_ok * mean_len_ok * symbol_ok * alpha_ok * stop_ok keep
+        |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // 32-token windows, stride 24 (8 tokens of overlap); final chunk short
+    "text_chunk" ->
+      """WITH b0 AS (SELECT doc_id,
+        |  list_filter(str_split(text, ' '), t -> len(t) > 0) toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c0 AS (SELECT doc_id, unnest(range(0,
+        |  1 + greatest(0, CAST(ceil((len(toks) - 32)::DOUBLE / 24) AS INT)))) cid
+        |  FROM b0 WHERE len(toks) > 0),
+        |ch AS (SELECT c0.doc_id, c0.cid,
+        |  array_to_string(b0.toks[c0.cid*24+1 : c0.cid*24+32], ' ') chunk_text
+        |  FROM c0 JOIN b0 USING (doc_id))
+        |SELECT doc_id, cid chunk_id, chunk_text,
+        |  len(list_filter(str_split(chunk_text, ' '), t -> len(t) > 0)) n_tokens
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", " "),
     "pii_redact" -> {
       val raw = "concat(text, ' contact u', doc_id, '@mail.example.com call ', " +
         "lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0'), '-555-', " +

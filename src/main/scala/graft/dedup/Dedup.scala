@@ -340,6 +340,76 @@ object Dedup {
   }
 
   /**
+   * Span-level corpus dedup that REMOVES duplicated token spans and
+   * returns the cleaned corpus — the finest granularity of the Lee et al.
+   * substring-dedup family ([[dedupLines]] is the line-level sibling;
+   * [[duplicatedSpanDocs]] only FLAGS). Every token `w`-gram that occurs
+   * more than once corpus-wide keeps exactly its first occurrence —
+   * ordered by `(doc_id, token position)` — and every OTHER occurrence
+   * has its `w` covered tokens deleted (overlapping duplicated grams
+   * union their covered ranges, so a long copied passage vanishes as a
+   * block). Masking is single-pass over the original corpus — the
+   * standard distributed approximation of suffix-array exact-substring
+   * dedup: any duplicated run of ≥ `w` tokens is caught; runs shorter
+   * than `w` are below the resolution and kept. Returns
+   * `[doc_id, text_dedup]` for every input document (null text stays
+   * null; a fully-masked document becomes `""`).
+   *
+   * Shape at scale: grams travel as 64-bit fingerprints of the
+   * `U+0001`-joined token window (8 bytes per gram through the shuffle;
+   * the gate's oracle groups by the gram STRING, making it a collision
+   * canary). One hash aggregation on the fingerprint finds each gram's
+   * global first occurrence and count; only duplicate OCCURRENCES (a
+   * small fraction of the corpus) pay the w× covered-position expansion;
+   * the survivor set is a positional anti-join; reassembly is the same
+   * per-document bounded sort as [[dedupLines]]. Nothing is quadratic,
+   * nothing is collected.
+   */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    val toks = filter(split(col(textCol), " ", -1), t => length(t) > 0)
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        when(col(textCol).isNull, lit(null)).otherwise(toks).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positioned tokens (0-based) — the survivor candidate stream
+    val tokens = base.filter(col("__toks").isNotNull)
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("tp", "tok")))
+    // positioned gram fingerprints: gram at gp covers tokens [gp, gp+w-1]
+    val grams = base
+      .filter(col("__toks").isNotNull && size(col("__toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__toks")) - w),
+          i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(w)), "\u0001"))))
+          .as(Seq("gp", "gh")))
+    // global first occurrence + occurrence count per gram: one 8-byte-key
+    // hash aggregation; min(struct) = deterministic (doc_id, gp) order
+    val firsts = grams.groupBy(col("gh"))
+      .agg(min(struct(col("doc_id"), col("gp"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+    // duplicate occurrences = every occurrence except the global first;
+    // only these expand into covered token positions
+    val covered = grams.join(firsts, Seq("gh"))
+      .filter(!(col("__first.doc_id") === col("doc_id") &&
+        col("__first.gp") === col("gp")))
+      .select(col("doc_id"),
+        explode(sequence(col("gp"), col("gp") + (w - 1))).as("tp"))
+      .dropDuplicates("doc_id", "tp")
+    val kept = tokens.join(covered, Seq("doc_id", "tp"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("tp"), col("tok")))).as("__pt"))
+      .select(col("doc_id"),
+        array_join(transform(col("__pt"), _.getField("tok")), " ").as("__t"))
+    val out = base.select(col("doc_id"), col("__text"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__t"), lit(""))).as("text_dedup"))
+    graft.util.CacheDiscipline.materializeAndFree(out, base)
+  }
+
+  /**
    * MinHash signature: `numHashes` permutation-hashes over the shingle
    * set, each `min((a_i · h(s) + b_i) mod p)` with `h` = xxhash64 and
    * deterministic seeded coefficients — one narrow projection, no shuffle.

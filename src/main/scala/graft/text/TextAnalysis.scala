@@ -253,4 +253,89 @@ object TextAnalysis {
     graft.util.CacheDiscipline.materializeAndFree(
       scored.orderBy(col("lift").desc, col("bigram")).limit(topN), base)
   }
+
+  /** The Gopher rule-filter stopword set (Rae et al. 2021, §A1.1.2:
+    * "contains at least two of the following English words"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style repetition-free quality rules (Rae et al. 2021, Appendix
+   * A1.1) as one struct: the per-document statistics each rule reads
+   * (word count, mean word length, alphabetic-word ratio, symbol-to-word
+   * ratio, distinct-stopword count) plus the five rule verdicts and their
+   * conjunction. All arithmetic is integer counts with at most one double
+   * division per ratio — exact across engines. Single projection, no
+   * shuffle: the 100 TB shape is "one scan, keep the survivors".
+   *
+   * Rules: 50 ≤ words ≤ 100,000; 3 ≤ mean word length ≤ 10;
+   * symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words contain an
+   * alphabetic character; ≥ 2 distinct [[GopherStopwords]].
+   */
+  def gopherFlags(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val n = size(toks)
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+    val alphaRatio = when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n)
+    // '#' chars and literal '...' runs, per word (Gopher's symbol list)
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsis =
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symbolRatio = when(n === 0, lit(0.0)).otherwise(
+      (nHash + nEllipsis).cast("double") / n)
+    val nStop = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(GopherStopwords.map(lit): _*)))
+    val wordCountOk = (n >= 50 && n <= 100000).cast("int")
+    val meanLenOk = (meanLen >= 3.0 && meanLen <= 10.0).cast("int")
+    val symbolOk = (symbolRatio <= 0.1).cast("int")
+    val alphaOk = (alphaRatio >= 0.8).cast("int")
+    val stopOk = (nStop >= 2).cast("int")
+    struct(
+      n.cast("long").as("n_words"), meanLen.as("mean_word_len"),
+      alphaRatio.as("alpha_ratio"), symbolRatio.as("symbol_ratio"),
+      nStop.cast("long").as("n_stop"),
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"), stopOk.as("stop_ok"),
+      (wordCountOk * meanLenOk * symbolOk * alphaOk * stopOk).as("keep"))
+  }
+
+  /**
+   * Context-window chunking — shard each document into overlapping
+   * `maxTokens`-token windows with `overlap` tokens of context carried
+   * across the cut (the training-prep / RAG-ingest sibling of
+   * [[graft.operators.Relational.packByBudget]], which PACKS short docs
+   * up; this SPLITS long docs down). Chunk `c` covers token positions
+   * `[c·stride, c·stride + maxTokens)` with `stride = maxTokens −
+   * overlap`; the final chunk may be shorter. Returns `[<idCol>,
+   * chunk_id, chunk_text, n_tokens]`; empty/null documents produce no
+   * chunks.
+   *
+   * Pure projection — explode of a computed per-row sequence, no shuffle,
+   * no state: at 100 TB this pipelines inside whole-stage codegen between
+   * the scan and the sink.
+   */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int,
+      overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val toks = filter(split(col(textCol), " ", -1), t => length(t) > 0)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(lit(0),
+            ceil((size(col("__toks")) - maxTokens).cast("double") / stride)
+              .cast("int"))),
+          c => array_join(slice(col("__toks"), c * stride + 1, lit(maxTokens)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens",
+        size(filter(split(col("chunk_text"), " ", -1), t => length(t) > 0)))
+  }
 }

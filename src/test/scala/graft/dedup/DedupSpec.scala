@@ -303,4 +303,41 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(10L, 20L, 21L))
   }
+
+  test("dedupSpans: keep-first masking, sub-width runs kept, null/empty preservation") {
+    val sp = spark
+    import sp.implicits._
+    // w=3 grams; "a b c d" repeated across docs 1/2 and within doc 1
+    val docs = Seq(
+      (1L, "a b c d x y z a b c d"),  // owns first occurrence of all grams
+      (2L, "p q a b c d r"),          // copied span -> masked
+      (3L, "a b x"),                  // shares a 2-token run only: below w, kept
+      (4L, null.asInstanceOf[String]),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 5)
+    // doc 1: grams at positions 0..1 are firsts; the within-doc repeat at
+    // position 7 ("a b c" / "b c d") masks tokens 7..10
+    assert(got(1L) === "a b c d x y z")
+    // doc 2: duplicated window "a b c d" masked, unique neighbors survive
+    assert(got(2L) === "p q r")
+    assert(got(3L) === "a b x")
+    assert(got(4L) === null)
+    assert(got(5L) === "")
+  }
+
+  test("dedupSpans: overlapping duplicated grams union their covered ranges") {
+    val sp = spark
+    import sp.implicits._
+    // doc 2 copies a 5-token passage: its three overlapping 3-grams must
+    // mask the whole run, not punch disjoint holes
+    val docs = Seq(
+      (1L, "m n o p q"),
+      (2L, "u v m n o p q w")).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "m n o p q")
+    assert(got(2L) === "u v w")
+  }
 }

@@ -342,4 +342,53 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("gopherFlags: rule statistics and verdicts") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // 60 words, mean length in range, all alphabetic, 2 distinct stopwords
+    val good = (Seq.fill(29)("alpha beta").flatMap(_.split(" ")) ++
+      Seq("the", "with")).mkString(" ")
+    val short = "tiny doc"                       // fails word count
+    val symbols = Seq.fill(60)("###").mkString(" ") // fails symbol + alpha
+    val df = Seq((1L, good), (2L, short), (3L, symbols)).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.gopherFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+        col("g.alpha_ratio"), col("g.symbol_ratio"), col("g.n_stop"),
+        col("g.keep"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getInt(6))).toMap
+    val (n1, ml1, ar1, sr1, st1, keep1) = got(1L)
+    assert(n1 === 60L && st1 === 2L && ar1 === 1.0 && sr1 === 0.0)
+    assert(ml1 >= 3.0 && ml1 <= 10.0)
+    assert(keep1 === 1)
+    assert(got(2L)._1 === 2L && got(2L)._6 === 0)   // word count rule
+    val (_, _, ar3, sr3, _, keep3) = got(3L)
+    assert(ar3 === 0.0 && sr3 === 3.0 && keep3 === 0) // symbol + alpha rules
+  }
+
+  test("chunkByTokens: stride windows, overlap carry, short tail") {
+    val sp = spark
+    import sp.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text",
+        maxTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // stride 3: chunks at 0,3,6 cover all 10 tokens; ceil((10-4)/3)=2 -> 3 chunks
+    assert(got.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)).toSeq === Seq(
+      (0, "w1 w2 w3 w4", 4), (1, "w4 w5 w6 w7", 4), (2, "w7 w8 w9 w10", 4)))
+    // short doc: one short chunk; empty/null docs produce no chunks
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq ===
+      Seq((0, "a b", 2)))
+    assert(!got.exists(c => c._1 == 3L || c._1 == 4L))
+    // every token position is covered by at least one chunk
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+  }
 }
