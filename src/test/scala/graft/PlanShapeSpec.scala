@@ -165,4 +165,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("text_chunk: pure projection — zero exchanges, zero joins") {
+    val plan = physical(graft.text.TextAnalysis.chunkByTokens(
+      sf("documents"), "doc_id", "text", maxTokens = 32, overlap = 8))
+    assert(!plan.contains("Exchange"), "chunking must not shuffle")
+    assert(!plan.contains("Join"), "chunking must not join")
+  }
+
+  test("text_gopher: rule filter is one scan — zero exchanges") {
+    val plan = physical(sf("documents").select(col("doc_id"),
+      graft.text.TextAnalysis.gopherFlags(col("text")).as("g")))
+    assert(!plan.contains("Exchange"), "gopher rules must not shuffle")
+  }
+
+  test("dedup_spans: fingerprint equi-joins only, never cartesian") {
+    val plan = physical(graft.dedup.Dedup.dedupSpans(
+      sf("documents"), "doc_id", "text", w = 8))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
