@@ -1328,6 +1328,16 @@ object SparkEntry {
       TextAnalysis.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
           maxTokens = 32, overlap = 8)
         .orderBy("doc_id", "chunk_id")),
+    // trainable BPE: merge table fitted from the corpus word-frequency
+    // histogram (one shuffle + bounded driver loop), then one stateless
+    // encode scan; the oracle re-fits the same deterministic model and
+    // replays the encode as a recursive CTE over the embedded merges
+    "text_bpe" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.text.BpeTokenizer.fit(docs, "text")
+      graft.text.BpeTokenizer.tokenize(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     // PII scrubbing over deterministic synthetic PII (the corpus carries
     // none): the SAME augmented text is built by both engines from
     // doc_id, then redacted with the shared RE2-compatible pattern set
@@ -2681,6 +2691,47 @@ object SparkEntry {
        |${knnTail(k, "DESC")}""".stripMargin.replace("\n", " ")
   }
 
+  /** text_bpe: re-fit the deterministic merge table exactly as the gate
+    * does, embed it (rank = 1-based list position), and replay the encode
+    * spec — "merge the lowest-(rank, position) adjacent pair, one
+    * occurrence per step" — as a recursive CTE over per-character symbol
+    * lists. */
+  private def bpeOracle(s: SparkSession, dir: String): String = {
+    val model = graft.text.BpeTokenizer.fit(table(s, dir, "documents"), "text")
+    val mm = model.merges
+      .map { case (a, b) => "'" + (a + "|" + b).replace("'", "''") + "'" }
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE mm(m) AS (SELECT $mm),
+       |t0 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> len(w) > 0) ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |w0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) wp FROM t0),
+       |wd AS (SELECT w0.doc_id, w0.wp, t0.ws[w0.wp] w FROM w0 JOIN t0 USING (doc_id)),
+       |init AS (SELECT doc_id, wp, list_transform(range(1, len(w)+1), i -> w[i:i]) syms FROM wd),
+       |rec AS (
+       |  SELECT doc_id, wp, syms FROM init
+       |  UNION ALL
+       |  SELECT doc_id, wp,
+       |    s.syms[1:s.b[2]-1] || [s.syms[s.b[2]] || s.syms[s.b[2]+1]] || s.syms[s.b[2]+2:len(s.syms)]
+       |  FROM (SELECT doc_id, wp, syms,
+       |      list_sort(list_filter(list_transform(range(1, len(syms)),
+       |        i -> [CAST(list_position(mm.m, syms[i] || '|' || syms[i+1]) AS BIGINT), i]),
+       |        p -> p[1] IS NOT NULL AND p[1] > 0))[1] b
+       |    FROM rec CROSS JOIN mm) s
+       |  WHERE s.b IS NOT NULL),
+       |fin AS (SELECT doc_id, wp, syms FROM (SELECT doc_id, wp, syms,
+       |    list_sort(list_filter(list_transform(range(1, len(syms)),
+       |      i -> [CAST(list_position(mm.m, syms[i] || '|' || syms[i+1]) AS BIGINT), i]),
+       |      p -> p[1] IS NOT NULL AND p[1] > 0))[1] b
+       |  FROM rec CROSS JOIN mm) WHERE b IS NULL),
+       |tok AS (SELECT doc_id, wp, array_to_string(syms, ' ') wt, len(syms) n FROM fin),
+       |agg AS (SELECT doc_id, string_agg(wt, ' ' ORDER BY wp) bpe_text, sum(n) n_bpe
+       |  FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE CAST(coalesce(agg.n_bpe, 0) AS BIGINT) END n_bpe,
+       |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.bpe_text, '') END bpe_text
+       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+  }
+
   /** Optional gate-name filter (set by Verify's local-iteration arg): each
     * dynamic oracle costs a model refit, so skip the builders whose gate
     * wasn't requested. */
@@ -2708,6 +2759,7 @@ object SparkEntry {
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
         "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),
         "dedup_embedding_lsh_auto" -> (() => lshAutoOracle(s, dir)),
+        "text_bpe" -> (() => bpeOracle(s, dir)),
         "whitening_transform" -> (() => whiteningOracle(s, dir)),
         // SQL next to the kernel (NgramLm.oracleSql); the fitted count
         // tables are data-dependent -> dynamic entry refits and embeds them
