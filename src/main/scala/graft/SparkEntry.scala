@@ -1338,6 +1338,24 @@ object SparkEntry {
       graft.text.BpeTokenizer.tokenize(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+    // the round-9 operators composed end to end — rule filter → span-level
+    // dedup over the survivors → context-window chunking — summarized as
+    // chunk count + token mass + content fingerprint sum (rolling-hash,
+    // SQL-reproducible), so the gate pins every stage's output
+    "pipeline_curation_v2" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs.select(col("doc_id"), col("text"),
+          TextAnalysis.gopherFlags(col("text")).as("g"))
+        .filter(col("g.word_count_ok") === 1 && col("g.mean_len_ok") === 1)
+        .select("doc_id", "text")
+      val cleaned = Dedup.dedupSpans(kept, "doc_id", "text", w = 8)
+      val chunks = TextAnalysis.chunkByTokens(cleaned, "doc_id", "text_dedup",
+        maxTokens = 32, overlap = 8)
+      chunks.agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"),
+        sum(TextAnalysis.fingerprint(col("chunk_text"))).cast("long").as("sum_fp"))
+    }),
     // PII scrubbing over deterministic synthetic PII (the corpus carries
     // none): the SAME augmented text is built by both engines from
     // doc_id, then redacted with the shared RE2-compatible pattern set
@@ -2035,6 +2053,44 @@ object SparkEntry {
         |  word_count_ok, mean_len_ok, symbol_ok, alpha_ok, stop_ok,
         |  word_count_ok * mean_len_ok * symbol_ok * alpha_ok * stop_ok keep
         |FROM f ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // rule filter → span dedup over survivors → chunking → summary
+    "pipeline_curation_v2" ->
+      """WITH k0 AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) gt
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT doc_id, text FROM k0
+        |  WHERE len(gt) BETWEEN 50 AND 100000
+        |  AND (CASE WHEN len(gt) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(gt, x -> len(x)::BIGINT))::DOUBLE / len(gt) END)
+        |    BETWEEN 3.0 AND 10.0),
+        |b0 AS (SELECT doc_id, list_filter(str_split(text, ' '), t -> len(t) > 0) toks FROM k),
+        |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0 WHERE len(toks) >= 8),
+        |gs AS (SELECT g0.doc_id, g0.gp,
+        |  array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
+        |  FROM g0 JOIN b0 USING (doc_id)),
+        |r AS (SELECT doc_id, gp,
+        |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, gp) rn,
+        |  count(*) OVER (PARTITION BY gram) c FROM gs),
+        |cov AS (SELECT DISTINCT doc_id, tp FROM
+        |  (SELECT doc_id, unnest(range(gp, gp + 8)) tp FROM r WHERE c >= 2 AND rn > 1)),
+        |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0),
+        |tok AS (SELECT t0.doc_id, t0.tp, b0.toks[t0.tp+1] tok FROM t0 JOIN b0 USING (doc_id)),
+        |kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp WHERE cov.tp IS NULL),
+        |dd AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) td FROM kept GROUP BY doc_id),
+        |cb AS (SELECT doc_id, list_filter(str_split(td, ' '), t -> len(t) > 0) ctoks FROM dd),
+        |c0 AS (SELECT doc_id, unnest(range(0,
+        |  1 + greatest(0, CAST(ceil((len(ctoks) - 32)::DOUBLE / 24) AS INT)))) cid
+        |  FROM cb WHERE len(ctoks) > 0),
+        |ch AS (SELECT c0.doc_id, c0.cid,
+        |  array_to_string(cb.ctoks[c0.cid*24+1 : c0.cid*24+32], ' ') ct
+        |  FROM c0 JOIN cb USING (doc_id))
+        |SELECT count(*) n_chunks,
+        |  CAST(sum(len(list_filter(str_split(ct, ' '), t -> len(t) > 0))) AS BIGINT) sum_tokens,
+        |  CAST(sum(list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(regexp_extract_all(ct, '.'), ch2 -> ascii(ch2)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007)) AS BIGINT) sum_fp
+        |FROM ch""".stripMargin.replace("\n", " "),
     // 32-token windows, stride 24 (8 tokens of overlap); final chunk short
     "text_chunk" ->
       """WITH b0 AS (SELECT doc_id,
