@@ -2018,13 +2018,16 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY gram) c FROM gs),
         |cov AS (SELECT DISTINCT doc_id, tp FROM
         |  (SELECT doc_id, unnest(range(gp, gp + 8)) tp FROM r WHERE c >= 2 AND rn > 1)),
-        |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0 WHERE toks IS NOT NULL),
+        |aff AS (SELECT DISTINCT doc_id FROM cov),
+        |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0
+        |  WHERE toks IS NOT NULL AND doc_id IN (SELECT doc_id FROM aff)),
         |tok AS (SELECT t0.doc_id, t0.tp, b0.toks[t0.tp+1] tok FROM t0 JOIN b0 USING (doc_id)),
         |kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN cov
         |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp WHERE cov.tp IS NULL),
         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) t FROM kept GROUP BY doc_id)
         |SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
-        |  ELSE coalesce(agg.t, '') END text_dedup
+        |  WHEN b0.doc_id IN (SELECT doc_id FROM aff) THEN coalesce(agg.t, '')
+        |  ELSE b0.text END text_dedup
         |FROM b0 LEFT JOIN agg USING (doc_id)
         |ORDER BY b0.doc_id""".stripMargin.replace("\n", " "),
     // integer counts + one double division per ratio — exact across engines

@@ -360,27 +360,33 @@ object Dedup {
    * the gate's oracle groups by the gram STRING, making it a collision
    * canary). One hash aggregation on the fingerprint finds each gram's
    * global first occurrence and count; only duplicate OCCURRENCES (a
-   * small fraction of the corpus) pay the w× covered-position expansion;
-   * the survivor set is a positional anti-join; reassembly is the same
-   * per-document bounded sort as [[dedupLines]]. Nothing is quadratic,
-   * nothing is collected.
+   * small fraction of the corpus) expand into covered positions, which
+   * collapse to ONE bounded per-document array. Untouched documents —
+   * the overwhelming majority at any realistic dup rate — pass their
+   * text through without being exploded, joined, or reassembled;
+   * affected documents rebuild with a linear `array_except` positional
+   * mask inside one projection. (The first cut exploded every token and
+   * reassembled every document through a corpus-wide sort aggregation —
+   * at 100× data that measured 7×/decade, dominated by GC; this shape
+   * keeps the corpus-sized work to the gram fingerprint stream alone.)
+   * Nothing is quadratic, nothing is collected.
    */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    val toks = filter(split(col(textCol), " ", -1), t => length(t) > 0)
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        when(col(textCol).isNull, lit(null)).otherwise(toks).as("__toks"))
+    // only (id, text) is cached: token arrays materialize exclusively in
+    // the rebuild projection of AFFECTED documents
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // positioned tokens (0-based) — the survivor candidate stream
-    val tokens = base.filter(col("__toks").isNotNull)
-      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("tp", "tok")))
-    // positioned gram fingerprints: gram at gp covers tokens [gp, gp+w-1]
+    val toks = filter(split(col("__text"), " ", -1), t => length(t) > 0)
+    // positioned gram fingerprints: gram at gp covers tokens [gp, gp+w-1].
+    // Single-pass codegen kernel ([[GramHashesExpr]]) — no per-position
+    // gram strings; a short document (< w tokens) yields an empty array,
+    // so the explode drops it without a separate filter
     val grams = base
-      .filter(col("__toks").isNotNull && size(col("__toks")) >= w)
+      .filter(col("__text").isNotNull)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("__toks")) - w),
-          i => xxhash64(array_join(slice(col("__toks"), i + 1, lit(w)), "\u0001"))))
+        posexplode(toCol(GramHashesExpr(toExpr(col("__text")), w)))
           .as(Seq("gp", "gh")))
     // global first occurrence + occurrence count per gram: one 8-byte-key
     // hash aggregation; min(struct) = deterministic (doc_id, gp) order
@@ -389,23 +395,28 @@ object Dedup {
         count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
     // duplicate occurrences = every occurrence except the global first;
-    // only these expand into covered token positions
+    // only these expand into covered positions, collapsing to one bounded
+    // array per AFFECTED document (collect_set dedups overlapping windows)
     val covered = grams.join(firsts, Seq("gh"))
       .filter(!(col("__first.doc_id") === col("doc_id") &&
         col("__first.gp") === col("gp")))
       .select(col("doc_id"),
         explode(sequence(col("gp"), col("gp") + (w - 1))).as("tp"))
-      .dropDuplicates("doc_id", "tp")
-    val kept = tokens.join(covered, Seq("doc_id", "tp"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("tp"), col("tok")))).as("__pt"))
-      .select(col("doc_id"),
-        array_join(transform(col("__pt"), _.getField("tok")), " ").as("__t"))
-    val out = base.select(col("doc_id"), col("__text"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tp")).as("__cov"))
+    // untouched docs pass through VERBATIM (zero-copy; the oracle mirrors
+    // this); affected docs rebuild via a linear positional mask:
+    // array_except keeps surviving positions in order, element_at gathers
+    // their tokens — one projection, no re-sort
+    val out = base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__text").isNull, lit(null).cast("string"))
-          .otherwise(coalesce(col("__t"), lit(""))).as("text_dedup"))
+          .when(col("__cov").isNull, col("__text"))
+          .otherwise(array_join(
+            transform(
+              array_except(sequence(lit(0), size(toks) - 1), col("__cov")),
+              p => element_at(toks, p + 1)),
+            " ")).as("text_dedup"))
     graft.util.CacheDiscipline.materializeAndFree(out, base)
   }
 

@@ -42,6 +42,35 @@ object ShingleKernels {
     toUtf8Array(seen)
   }
 
+  /** Positioned token w-gram fingerprints: element g is a 64-bit
+    * polynomial hash over the characters of tokens `[g, g+w)` with a
+    * separator fold between tokens — equal grams hash equal, and NO
+    * intermediate gram strings are built (the HOF slice+join formulation
+    * allocated ~50 chars per corpus position; at 100x data that was pure
+    * GC). Tokenization is single-space + drop-empties, matching the
+    * dedup_spans oracle's `str_split(text, ' ')`. */
+  def gramHashes(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1).filter(_.nonEmpty)
+    val n = toks.length
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - w + 1)
+    var g = 0
+    while (g <= n - w) {
+      var h = 1125899906842597L
+      var j = 0
+      while (j < w) {
+        val t = toks(g + j)
+        var k = 0
+        while (k < t.length) { h = h * 31L + t.charAt(k); k += 1 }
+        h = h * 31L + 1L // token separator: "ab c" never collides "a bc"
+        j += 1
+      }
+      out(g) = h
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def toUtf8Array(seen: java.util.LinkedHashSet[String]): ArrayData = {
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
@@ -174,6 +203,19 @@ case class WordShinglesExpr(child: Expression, w: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.wordShingles($c, $w)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Positioned token w-gram fingerprints (array<long>, index = gram
+  * position) — the allocation-free gram stream behind
+  * [[Dedup.dedupSpans]]. */
+case class GramHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ShingleKernels.gramHashes(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.gramHashes($c, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_hashes"
 }
 
 /** LSH band keys of a MinHash signature (array<long> → array<long> of

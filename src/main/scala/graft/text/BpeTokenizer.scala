@@ -20,7 +20,22 @@ case class BpeModel(merges: Vector[(String, String)]) {
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
+  // per-task encode memo (the closure deserializes per task, so this is
+  // single-threaded): real corpora repeat words constantly — Zipf says
+  // most of the stream is the memo's head. Bounded for web-scale vocab.
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Vector[String]]()
+  private val MaxMemo = 1 << 16
+
   def encodeWord(word: String): Vector[String] = {
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val out = encodeWordUncached(word)
+    if (memo.size < MaxMemo) memo.put(word, out)
+    out
+  }
+
+  private def encodeWordUncached(word: String): Vector[String] = {
     var syms: Vector[String] = word.map(_.toString).toVector
     var done = syms.length < 2
     while (!done) {
