@@ -271,8 +271,18 @@ object TextAnalysis {
    * Rules: 50 ≤ words ≤ 100,000; 3 ≤ mean word length ≤ 10;
    * symbol-to-word ratio (# and …) ≤ 0.1; ≥ 80% of words contain an
    * alphabetic character; ≥ 2 distinct [[GopherStopwords]].
+   *
+   * Single-pass codegen kernel ([[TextKernels.gopher]]);
+   * [[gopherFlagsColumns]] is the equivalent built-in-function
+   * formulation (kept as the semantic cross-check).
    */
-  def gopherFlags(text: Column): Column = {
+  def gopherFlags(text: Column): Column =
+    org.apache.spark.sql.graftshim.GraftSql.column(GopherExpr(
+      org.apache.spark.sql.graftshim.GraftSql.expression(text)))
+
+  /** Column/HOF formulation of [[gopherFlags]] — same arithmetic,
+    * interpreted (kept as the semantic cross-check). */
+  def gopherFlagsColumns(text: Column): Column = {
     val toks = filter(split(text, "\\s+"), t => length(t) > 0)
     val n = size(toks)
     val meanLen = when(n === 0, lit(0.0)).otherwise(

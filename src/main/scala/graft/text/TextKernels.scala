@@ -138,6 +138,84 @@ object TextKernels {
       Array[Any](ntoks, bpe, mtl, pr, sw))
   }
 
+  val gopherType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_words", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("mean_word_len", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("alpha_ratio", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("symbol_ratio", DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_stop", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("word_count_ok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mean_len_ok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("symbol_ok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("alpha_ok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("stop_ok", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  private val gopherStops: Array[String] = TextAnalysis.GopherStopwords.toArray
+
+  /** One-pass Gopher rule statistics + verdicts — identical arithmetic to
+    * [[TextAnalysis.gopherFlagsColumns]] and the text_gopher oracle:
+    * `\s+` tokens, per-token lowercase for the stopword set, '#' chars
+    * plus greedy-leftmost non-overlapping "..." runs as symbols, one
+    * double division per ratio. */
+  def gopher(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // symbol scan over the raw text ('#' and '.' never collide, so the
+    // fused pass equals the two independent replace()-diff counts)
+    var nHash = 0
+    var nEll = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '#') { nHash += 1; i += 1 }
+      else if (c == '.' && i + 2 < s.length &&
+        s.charAt(i + 1) == '.' && s.charAt(i + 2) == '.') { nEll += 1; i += 3 }
+      else i += 1
+    }
+    var ntoks = 0
+    var sumLen = 0L
+    var nAlpha = 0
+    val stopSeen = new Array[Boolean](gopherStops.length)
+    i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      val start = i
+      var hasAlpha = false
+      while (i < n && !isWs(s.charAt(i))) {
+        val c = s.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        i += 1
+      }
+      if (i > start) {
+        ntoks += 1
+        sumLen += s.codePointCount(start, i)
+        if (hasAlpha) nAlpha += 1
+        val lowerTok = s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+        var j = 0
+        while (j < gopherStops.length) {
+          if (!stopSeen(j) && gopherStops(j) == lowerTok) stopSeen(j) = true
+          j += 1
+        }
+      }
+    }
+    var nStop = 0
+    var j = 0
+    while (j < stopSeen.length) { if (stopSeen(j)) nStop += 1; j += 1 }
+    val mtl = if (ntoks == 0) 0.0 else sumLen.toDouble / ntoks
+    val ar = if (ntoks == 0) 0.0 else nAlpha.toDouble / ntoks
+    val sr = if (ntoks == 0) 0.0 else (nHash + nEll).toDouble / ntoks
+    val wcOk = if (ntoks >= 50 && ntoks <= 100000) 1 else 0
+    val mlOk = if (mtl >= 3.0 && mtl <= 10.0) 1 else 0
+    val syOk = if (sr <= 0.1) 1 else 0
+    val alOk = if (ar >= 0.8) 1 else 0
+    val stOk = if (nStop >= 2) 1 else 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](ntoks.toLong, mtl, ar, sr, nStop.toLong,
+        wcOk, mlOk, syOk, alOk, stOk, wcOk * mlOk * syOk * alOk * stOk))
+  }
+
   /** Canonical text normalization — the preprocessing step ahead of
     * hashing/dedup/tokenizing: Unicode NFC (composed forms, identity on
     * ASCII), every `\s+` run collapsed to one space, leading/trailing
@@ -299,6 +377,17 @@ case class RepetitionExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.repetition($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   override def prettyName: String = "text_repetition"
+}
+
+/** Codegen'd one-pass Gopher rules (see [[TextKernels.gopher]]). */
+case class GopherExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TextKernels.gopherType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.gopher(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.gopher($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "text_gopher"
 }
 
 /** Codegen'd canonical normalization (see [[TextKernels.normalize]]). */

@@ -391,4 +391,15 @@ class TextAnalysisSpec extends SparkSpec {
     val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
     assert(covered === (1 to 10).map(i => s"w$i").toSet)
   }
+
+  test("gopherFlags kernel == Columns formulation on the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = sf("documents")
+    val a = docs.select(col("doc_id"),
+      TextAnalysis.gopherFlags(col("text")).as("g")).orderBy("doc_id").collect()
+    val b = docs.select(col("doc_id"),
+      TextAnalysis.gopherFlagsColumns(col("text")).as("g")).orderBy("doc_id").collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
 }
