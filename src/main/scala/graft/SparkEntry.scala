@@ -1308,6 +1308,24 @@ object SparkEntry {
       Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8)
         .orderBy("doc_id")
     }),
+    // paragraph-level exact dedup (the Gopher preprocessing step): same
+    // keep-global-first machinery as dedup_lines but at paragraph
+    // granularity through the multi-character "\n\n" delimiter path —
+    // docs reshaped into 25-token paragraphs first (synthetic corpus is
+    // single-line)
+    "dedup_paragraphs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val np = floor((size(toks) + lit(24)) / lit(25)).cast("int")
+      val reshaped = docs.select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(size(toks) === 0, lit(""))
+          .otherwise(array_join(transform(sequence(lit(0), np - 1),
+            i => array_join(slice(toks, i * 25 + 1, lit(25)), " ")), "\n\n"))
+          .as("text"))
+      Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8, delim = "\n\n")
+        .orderBy("doc_id")
+    }),
     // span-level substring dedup: every duplicated 8-token window keeps
     // only its global first occurrence; all other occurrences are masked
     // out of the rebuilt text (the finest Lee-et-al granularity — line
@@ -1336,6 +1354,19 @@ object SparkEntry {
       val docs = table(s, dir, "documents")
       val model = graft.text.BpeTokenizer.fit(docs, "text")
       graft.text.BpeTokenizer.tokenize(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // tokenize → pack end to end: corpus-fitted BPE token counts feed the
+    // distributed-prefix-sum shard packer — the tokenizer/packing handoff
+    // every pretraining pipeline runs between curation and batching (null
+    // text packs as 0 tokens)
+    "pipeline_tokenize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val model = graft.text.BpeTokenizer.fit(docs, "text")
+      val counted = graft.text.BpeTokenizer.tokenize(docs, "doc_id", "text", model)
+        .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      operators.Relational.packByBudget(counted, "doc_id", "n_bpe", budget = 512L)
+        .select(col("doc_id"), col("n_bpe"), col("cum_before"), col("shard"))
         .orderBy("doc_id")
     }),
     // the round-9 operators composed end to end — rule filter → span-level
@@ -1397,6 +1428,23 @@ object SparkEntry {
         .withColumn("mix_weight",
           sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tokens").cast("double")))
         .select("source", "n_docs", "n_tokens", "mix_weight")
+        .orderBy("source")
+    }),
+    // temperature-damped mixing APPLIED: per-source keep rate
+    // (n_tok/max)^(1/4) via repeated sqrt (bit-reproducible), then a
+    // deterministic content-hash Bernoulli subsample at that rate —
+    // weights AND realized sample sizes pinned per source
+    "q_source_mix_temp" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val weights = operators.Relational.temperatureMixWeights(
+        docs, "source", TextAnalysis.tokenCountWs(col("text")), temperature = 4)
+      val kept = operators.Relational.mixSample(
+          docs.select(col("source"), TextAnalysis.fingerprint(col("text")).as("__fp")),
+          "source", col("__fp"), weights)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      weights.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("mix_weight"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("source")
     }),
     // outer joins: LEFT JOIN against a filtered dim forces unmatched rows;
@@ -2001,6 +2049,32 @@ object SparkEntry {
         |  ELSE coalesce(agg.t, '') END text_dedup
         |FROM re LEFT JOIN agg USING (doc_id)
         |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
+    // paragraph granularity: 25-token blocks joined by a BLANK line; the
+    // dedup splits on the two-char delimiter and keeps each >=8-char
+    // paragraph's global (doc_id, position)-first occurrence
+    "dedup_paragraphs" ->
+      """WITH b0 AS (SELECT doc_id, text,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+24)//25)) li FROM b0 WHERE toks IS NOT NULL),
+        |ln0 AS (SELECT r0.doc_id, r0.li,
+        |  array_to_string(b0.toks[r0.li*25+1 : r0.li*25+25], ' ') para
+        |  FROM r0 JOIN b0 USING (doc_id)),
+        |ra AS (SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
+        |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+        |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
+        |s0 AS (SELECT doc_id, str_split(text, chr(10)||chr(10)) ps FROM re WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(ps)+1)) i FROM s0),
+        |l AS (SELECT p0.doc_id, p0.i, s0.ps[p0.i] para FROM p0 JOIN s0 USING (doc_id)),
+        |k AS (SELECT doc_id, i, para,
+        |  row_number() OVER (PARTITION BY para ORDER BY doc_id, i) rn FROM l),
+        |kept AS (SELECT doc_id, i, para FROM k WHERE len(para) < 8 OR rn = 1),
+        |agg AS (SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
+        |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
+        |  ELSE coalesce(agg.t, '') END text_dedup
+        |FROM re LEFT JOIN agg USING (doc_id)
+        |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
     // duplicated 8-token windows keep their global (doc_id, pos)-first
     // occurrence; other occurrences mask their covered tokens. Grouped by
     // the gram STRING (Spark side shuffles 64-bit fingerprints) — the gate
@@ -2152,6 +2226,28 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens,
         |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) mix_weight
         |FROM s CROSS JOIN m ORDER BY source""".stripMargin.replace("\n", " "),
+    // T=4 damping is sqrt(sqrt(x)) — two correctly-rounded ops, so the
+    // double is bit-identical across engines; the sample keeps rows whose
+    // content-hash bucket clears floor(weight*1e6) — integer compare
+    "q_source_mix_temp" ->
+      """WITH t AS (SELECT source, text,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0)) n_tok,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(regexp_extract_all(text, '.'), ch -> ascii(ch)::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) fp
+        |  FROM documents),
+        |s AS (SELECT source, count(*) n_docs, CAST(sum(n_tok) AS BIGINT) n_tokens
+        |  FROM t GROUP BY source),
+        |m AS (SELECT max(n_tokens) max_tokens FROM s),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  sqrt(sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE))) mix_weight
+        |  FROM s CROSS JOIN m),
+        |k AS (SELECT t.source, count(*) n_kept FROM t JOIN w USING (source)
+        |  WHERE t.fp % 1000000 < CAST(floor(w.mix_weight * 1000000.0) AS BIGINT)
+        |  GROUP BY t.source)
+        |SELECT w.source, w.n_docs, w.n_tokens, w.mix_weight,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) n_kept
+        |FROM w LEFT JOIN k USING (source) ORDER BY w.source""".stripMargin.replace("\n", " "),
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') rf, coalesce(l_linestatus, 'ALL') ls,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty, count(*) n

@@ -317,6 +317,53 @@ object Relational {
       .withColumn("shard", expr(s"cum_before div ${budget}L"))
   }
 
+  /**
+   * Temperature-damped source-mixing weights — the multinomial data-mixture
+   * step of a training run (unigram-LM style: sample source `s` with
+   * probability ∝ mass_s^(1/T); T=1 is proportional, larger T flattens
+   * toward uniform). Returns per-source `[<sourceCol>, n_docs, n_tokens,
+   * mix_weight]` with `mix_weight = (n_tokens / max_tokens)^(1/T)` — the
+   * per-source KEEP RATE relative to the largest source.
+   *
+   * `temperature` must be a power of two: x^(1/2^j) is computed by
+   * REPEATED `sqrt`, which IEEE requires correctly rounded — so the weight
+   * is bit-reproducible across engines, unlike `pow(x, 1.0/T)` (the same
+   * reason the fixed-√ mixing gate documents). One hash aggregation plus a
+   * broadcast single-row max — no corpus-sized shuffle.
+   */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String,
+      tokenCount: Column, temperature: Int): DataFrame = {
+    require(temperature >= 1 && (temperature & (temperature - 1)) == 0,
+      s"temperature must be a power of two for sqrt-exact damping, got $temperature")
+    def damp(c: Column, t: Int): Column = if (t == 1) c else damp(sqrt(c), t / 2)
+    val perSource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount.cast("long")).as("n_tokens"))
+    val top = perSource.agg(max(col("n_tokens")).as("__max_tokens"))
+    perSource.crossJoin(broadcast(top))
+      .withColumn("mix_weight",
+        damp(col("n_tokens").cast("double") / col("__max_tokens").cast("double"),
+          temperature))
+      .drop("__max_tokens")
+  }
+
+  /**
+   * Apply mixing weights as an actual deterministic subsample: keep a row
+   * iff `hash mod 1e6 < floor(mix_weight · 1e6)` — a content-hash
+   * Bernoulli draw at the source's keep rate that is reproducible across
+   * engines AND across recomputes (the hash is a pure row function;
+   * `rand()` would re-draw on fetch-failure recompute, silently changing
+   * the sample — same failure mode [[saltedEquiJoin]]'s salt note
+   * documents). `weights` (one row per source) broadcasts past the corpus
+   * scan; the filter runs in the same codegen stage.
+   */
+  def mixSample(docs: DataFrame, sourceCol: String, rowHash: Column,
+      weights: DataFrame): DataFrame =
+    docs.join(broadcast(weights.select(col(sourceCol), col("mix_weight"))),
+        Seq(sourceCol))
+      .filter(pmod(rowHash, lit(1000000L)) <
+        floor(col("mix_weight") * lit(1000000.0)).cast("long"))
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int): DataFrame = {
     // Salt MUST be deterministic per row: it is a shuffle/join key, and a
