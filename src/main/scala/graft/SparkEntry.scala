@@ -2851,7 +2851,10 @@ object SparkEntry {
     * spec — "merge the lowest-(rank, position) adjacent pair, one
     * occurrence per step" — as a recursive CTE over per-character symbol
     * lists. */
-  private def bpeOracle(s: SparkSession, dir: String): String = {
+  private def bpeOracle(s: SparkSession, dir: String): String =
+    bpeOracleBody(s, dir) + " ORDER BY d.doc_id"
+
+  private def bpeOracleBody(s: SparkSession, dir: String): String = {
     val model = graft.text.BpeTokenizer.fit(table(s, dir, "documents"), "text")
     val mm = model.merges
       .map { case (a, b) => "'" + (a + "|" + b).replace("'", "''") + "'" }
@@ -2884,7 +2887,21 @@ object SparkEntry {
        |SELECT d.doc_id,
        |  CASE WHEN d.text IS NULL THEN NULL ELSE CAST(coalesce(agg.n_bpe, 0) AS BIGINT) END n_bpe,
        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.bpe_text, '') END bpe_text
-       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin.replace("\n", " ")
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin.replace("\n", " ")
+  }
+
+  /** pipeline_tokenize: the BPE replay (bpeOracleBody) feeding the same
+    * exclusive-prefix-sum shard SQL as q_pack_tokens, budget 512 — the
+    * composed tokenize→pack gate. Null text packs as 0 tokens, exactly as
+    * the Spark side coalesces before packByBudget. */
+  private def pipelineTokenizeOracle(s: SparkSession, dir: String): String = {
+    val bpe = bpeOracleBody(s, dir)
+    s"""WITH b AS (SELECT doc_id, CAST(coalesce(n_bpe, 0) AS BIGINT) n_bpe FROM ($bpe) z),
+       |c AS (SELECT doc_id, n_bpe,
+       |  CAST(coalesce(SUM(n_bpe) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) cum_before
+       |  FROM b)
+       |SELECT doc_id, n_bpe, cum_before, CAST(cum_before // 512 AS BIGINT) shard
+       |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " ")
   }
 
   /** Optional gate-name filter (set by Verify's local-iteration arg): each
@@ -2915,6 +2932,7 @@ object SparkEntry {
         "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),
         "dedup_embedding_lsh_auto" -> (() => lshAutoOracle(s, dir)),
         "text_bpe" -> (() => bpeOracle(s, dir)),
+        "pipeline_tokenize" -> (() => pipelineTokenizeOracle(s, dir)),
         "whitening_transform" -> (() => whiteningOracle(s, dir)),
         // SQL next to the kernel (NgramLm.oracleSql); the fitted count
         // tables are data-dependent -> dynamic entry refits and embeds them
