@@ -21,11 +21,16 @@ import graft.whitening.VecsWhitening
   */
 object SparkEntry {
 
-  // `ts` normalizes to epoch-nanos long whatever the parquet physical type
-  // (int64 nanos vs timestamp[us] across testdata generations) — every
-  // query and oracle below assumes the nanos-long contract (TimeCols).
+  // Time columns normalize to their contract type whatever the parquet
+  // physical type shipped (the driver flipped events.ts from int64-nanos
+  // to timestamp[us] between generations): `ts` → epoch-nanos long (every
+  // events query/oracle assumes it), date-family columns → TimestampType
+  // (every relational query/oracle assumes it). See TimeCols.
+  private val DateFamilyCols = Seq("l_shipdate", "o_orderdate")
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
-    graft.util.TimeCols.normalizeEpochNanos(s.read.parquet(s"$dir/$name.parquet"))
+    graft.util.TimeCols.normalizeTimestamp(
+      graft.util.TimeCols.normalizeEpochNanos(s.read.parquet(s"$dir/$name.parquet")),
+      DateFamilyCols)
 
   /** Fitted searcher over `<dir>/embeddings.parquet` (the README raw-vector
     * flow, /root/reference/README.md:43-58): item/id = vec_id, vector =

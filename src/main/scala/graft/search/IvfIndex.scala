@@ -150,20 +150,33 @@ object CentroidIndex {
     * never hashed) the ILP dot-form kernel takes over. */
   val FastThreshold = 512
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.search.CentroidIndex")
+
   // driver-side memo: the same fitted array flows to assignCells AND the
   // query-probe expression; identity keying is safe because fitted
-  // centroid arrays are never mutated after fit
-  private val cache = new java.util.WeakHashMap[Array[Array[Float]], CentroidIndex]()
+  // centroid arrays are never mutated after fit. The VALUE is only the
+  // norms array — caching the CentroidIndex itself would strongly
+  // reference the key (its own centroids) and pin every fitted matrix
+  // for the life of the session (the WeakHashMap value→key trap).
+  private val cache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
 
-  def forCentroids(cents: Array[Array[Float]]): CentroidIndex = cache.synchronized {
-    val hit = cache.get(cents)
-    if (hit != null) hit
-    else {
-      val built = build(cents)
-      cache.put(cents, built)
-      built
+  def forCentroids(cents: Array[Array[Float]]): CentroidIndex =
+    if (cents.length < FastThreshold) new CentroidIndex(cents, null)
+    else cache.synchronized {
+      val hit = cache.get(cents)
+      if (hit != null) new CentroidIndex(cents, hit)
+      else {
+        val built = build(cents)
+        // the ILP dot-form kernel reassociates the fp sum — by invariant
+        // every hashed gate resolves nlist below FastThreshold; log the
+        // switch so a gated run crossing it is visible, not a silent
+        // near-tie hash mismatch
+        log.info(s"nearest-centroid kernel: nlist=${cents.length} >= " +
+          s"$FastThreshold -> ILP dot-form scan (fp-reassociated, bench regime)")
+        cache.put(cents, built.centNorm2)
+        built
+      }
     }
-  }
 
   private[search] def build(cents: Array[Array[Float]]): CentroidIndex = {
     if (cents.length < FastThreshold) return new CentroidIndex(cents, null)

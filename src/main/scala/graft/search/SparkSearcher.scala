@@ -296,7 +296,19 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
       case _ => (None, raw)
     }
   }
-  val strategy: IndexStrategy = IndexStrategy.parse(innerIndexParam)
+  val strategy: IndexStrategy = {
+    val s = IndexStrategy.parse(innerIndexParam)
+    // recall advisory (no semantics change): bare code-based indexes score
+    // on quantized codes only — RECALL.md measured PQ8 recall@10 = 0.38 at
+    // sf1 vs 0.64 with an exact-rescale refine stage. faiss users expect
+    // the latter; recommend the `…,RFlat` spelling once at construction.
+    if (IndexStrategy.codesOnly(s) && !s.isInstanceOf[Refined])
+      org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
+        s"index_param '$innerIndexParam' scores on quantized codes only; " +
+          s"'$innerIndexParam,RFlat' adds an exact float re-rank of the " +
+          "top k*4 candidates and roughly doubles recall@10 (see RECALL.md)")
+    s
+  }
 
   /** nprobe the IVF search paths use — the caller's knob, untouched.
     * (Rounds ≤4 served HNSW requests by IVF(64) pruning with a floored

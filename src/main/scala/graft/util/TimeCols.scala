@@ -2,7 +2,7 @@ package graft.util
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * Event-time column normalization. The testdata `events.ts` column has
@@ -40,6 +40,28 @@ object TimeCols {
     else df.schema(tsCol).dataType match {
       case LongType => df
       case _        => df.withColumn(tsCol, epochNanos(df, tsCol))
+    }
+
+  /** The OTHER time contract: date-family columns (`l_shipdate`,
+    * `o_orderdate`) are TimestampType in every relational query and a
+    * naive TIMESTAMP in every oracle. The driver has already flipped one
+    * column's physical parquet type between generations (events.ts,
+    * round 9); this normalizes each named column present in `df` to
+    * TimestampType whatever it shipped as — `timestamp[us]` (no-op),
+    * `timestamp[ns]` (surfaces as LongType epoch-nanos under
+    * `nanosAsLong`; truncates to micros), naive `timestamp` (NTZ →
+    * reinterpret as UTC instant), or `date32` (midnight UTC). */
+  def normalizeTimestamp(df: DataFrame, tsCols: Seq[String]): DataFrame =
+    tsCols.filter(df.columns.contains).foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case TimestampType    => d
+        case LongType         =>
+          d.withColumn(c, timestamp_micros((col(c) / 1000L).cast(LongType)))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case DateType         => d.withColumn(c, col(c).cast(TimestampType))
+        case other => throw new IllegalArgumentException(
+          s"unsupported physical type for date-family column '$c': $other")
+      }
     }
 
   /** `tsCol` as a proper TimestampType column (for watermarks / windows),
