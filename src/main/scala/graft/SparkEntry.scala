@@ -2859,17 +2859,43 @@ object SparkEntry {
   private def bpeOracle(s: SparkSession, dir: String): String =
     bpeOracleBody(s, dir) + " ORDER BY d.doc_id"
 
+  /** SQL string literal that survives the one-line flattening AND any
+    * corpus character: quotes double, control chars emit as chr(n)
+    * concatenations (an embedded newline would otherwise be rewritten to
+    * a space by the final `.replace("\n", " ")`). */
+  private def sqlLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+    s.foreach { c =>
+      if (c < ' ' || c == '\u007f') { flush(); parts += s"chr(${c.toInt})" }
+      else sb.append(c)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
   private def bpeOracleBody(s: SparkSession, dir: String): String = {
     val model = graft.text.BpeTokenizer.fit(table(s, dir, "documents"), "text")
     val mm = model.merges
-      .map { case (a, b) => "'" + (a + "|" + b).replace("'", "''") + "'" }
+      .map { case (a, b) => sqlLit(a + "|" + b) }
+      .mkString("[", ", ", "]")
+    // fitted alphabet for the byte-level OOV fallback: characters outside
+    // it expand to <0xNN> UTF-8 byte tokens, exactly as BpeModel.baseSyms
+    val alph = model.alphabet.get.toSeq.sorted.map(sqlLit)
       .mkString("[", ", ", "]")
     s"""WITH RECURSIVE mm(m) AS (SELECT $mm),
+       |al(a) AS (SELECT $alph),
        |t0 AS (SELECT doc_id, list_filter(str_split(text, ' '), w -> len(w) > 0) ws
        |  FROM documents WHERE text IS NOT NULL),
        |w0 AS (SELECT doc_id, unnest(range(1, len(ws)+1)) wp FROM t0),
        |wd AS (SELECT w0.doc_id, w0.wp, t0.ws[w0.wp] w FROM w0 JOIN t0 USING (doc_id)),
-       |init AS (SELECT doc_id, wp, list_transform(range(1, len(w)+1), i -> w[i:i]) syms FROM wd),
+       |init AS (SELECT doc_id, wp, flatten(list_transform(range(1, len(w)+1), i ->
+       |    CASE WHEN list_contains(al.a, w[i:i]) THEN [w[i:i]]
+       |    ELSE list_transform(range(1, octet_length(encode(w[i:i]))+1),
+       |      j -> '<0x' || substr(hex(encode(w[i:i])), j*2-1, 2) || '>') END)) syms
+       |  FROM wd CROSS JOIN al),
        |rec AS (
        |  SELECT doc_id, wp, syms FROM init
        |  UNION ALL

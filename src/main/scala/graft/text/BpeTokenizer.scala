@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
  * pair is mergeable. One merge per step keeps the spec trivially
  * order-deterministic on both engines.
  */
-case class BpeModel(merges: Vector[(String, String)]) {
+case class BpeModel(merges: Vector[(String, String)],
+    alphabet: Option[Set[String]] = None) {
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
 
@@ -35,8 +36,27 @@ case class BpeModel(merges: Vector[(String, String)]) {
     out
   }
 
+  /** Base symbols: with a fitted alphabet, characters OUTSIDE it expand
+    * to their UTF-8 bytes as `<0xNN>` escape tokens (the GPT-2-style
+    * byte-level fallback) — so the output vocabulary is CLOSED: alphabet
+    * ∪ merge products ∪ 256 byte tokens, whatever characters the corpus
+    * throws at encode. Without an alphabet (hand-built models, unit
+    * specs) every character is its own symbol. */
+  private def baseSyms(word: String): Vector[String] = alphabet match {
+    case None => word.map(_.toString).toVector
+    case Some(a) =>
+      val out = Vector.newBuilder[String]
+      word.foreach { ch =>
+        val s = ch.toString
+        if (a.contains(s)) out += s
+        else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => out += f"<0x${b & 0xff}%02X>")
+      }
+      out.result()
+  }
+
   private def encodeWordUncached(word: String): Vector[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = baseSyms(word)
     var done = syms.length < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -86,9 +106,17 @@ object BpeTokenizer {
    * iteration merges the most frequent adjacent symbol pair (count
    * desc, then pair lexicographic), rewriting dictionary words
    * leftmost-non-overlapping; stops early when no pair occurs twice.
+   *
+   * Real-sized defaults (512 merges over a 65,536-word histogram): the
+   * driver loop maintains pair counts and a pair→words occurrence index
+   * INCREMENTALLY, so each merge touches only the words that contain
+   * the chosen pair — O(affected words) per merge plus one counts scan
+   * for the deterministic argmax — instead of recounting the whole
+   * dictionary 512 times. The fitted alphabet (every character of the
+   * histogram words) rides in the model for byte-level OOV fallback.
    */
-  def fit(df: DataFrame, textCol: String, numMerges: Int = 40,
-      maxWords: Int = 4096): BpeModel = {
+  def fit(df: DataFrame, textCol: String, numMerges: Int = 512,
+      maxWords: Int = 65536): BpeModel = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     val words = df
       .select(explode(filter(split(col(textCol), " ", -1),
@@ -97,47 +125,69 @@ object BpeTokenizer {
       .orderBy(col("c").desc, col("w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var dict: Array[(Vector[String], Long)] =
-      words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val alphabet: Set[String] =
+      words.iterator.flatMap(_._1.iterator.map(_.toString)).toSet
+    val dict: Array[Vector[String]] = words.map(_._1.map(_.toString).toVector)
+    val freq: Array[Long] = words.map(_._2)
+
+    // pair machinery: counts weighted by word frequency; occ = indices of
+    // words with >=1 adjacent occurrence (a BitSet per pair)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    def eachPair(syms: Vector[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    def indexWord(wi: Int, sign: Long): Unit = {
+      val syms = dict(wi)
+      val c = freq(wi) * sign
+      eachPair(syms) { p =>
+        val n = counts.getOrElse(p, 0L) + c
+        if (n == 0L) counts.remove(p) else counts.update(p, n)
+      }
+      if (sign > 0) eachPair(syms)(p =>
+        occ.getOrElseUpdate(p, scala.collection.mutable.BitSet.empty) += wi)
+      else eachPair(syms)(p => occ.get(p).foreach(_ -= wi))
+    }
+    dict.indices.foreach(indexWord(_, 1L))
+
     val merges = Vector.newBuilder[(String, String)]
     var made = 0
     var stop = numMerges == 0
     while (!stop) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      dict.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + c)
-          i += 1
-        }
+      // deterministic argmax: count desc, then pair lexicographic — a
+      // full scan, but over distinct pairs only (bounded by total syms)
+      var bestP: (String, String) = null
+      var bestC = 1L // require >= 2
+      counts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && bestP != null &&
+            Ordering[(String, String)].lt(p, bestP))) { bestP = p; bestC = c }
       }
-      val best = counts.reduceOption { (x, y) =>
-        val cmp = java.lang.Long.compare(y._2, x._2) match {
-          case 0 => Ordering[(String, String)].compare(x._1, y._1)
-          case c => c
-        }
-        if (cmp <= 0) x else y
-      }
-      best match {
-        case Some(((pa, pb), c)) if c >= 2 =>
-          dict = dict.map { case (syms, cnt) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
-                out += (pa + pb); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), cnt)
+      if (bestP == null) stop = true
+      else {
+        val (pa, pb) = bestP
+        val affected = occ.getOrElse(bestP, scala.collection.mutable.BitSet.empty)
+          .toArray // snapshot: indexWord mutates occ during the rewrite
+        affected.foreach { wi =>
+          indexWord(wi, -1L)
+          val syms = dict(wi)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
+              out += (pa + pb); i += 2
+            } else { out += syms(i); i += 1 }
           }
-          merges += ((pa, pb))
-          made += 1
-          if (made >= numMerges) stop = true
-        case _ => stop = true
+          dict(wi) = out.result()
+          indexWord(wi, 1L)
+        }
+        merges += bestP
+        made += 1
+        if (made >= numMerges) stop = true
       }
     }
-    BpeModel(merges.result())
+    BpeModel(merges.result(), Some(alphabet))
   }
 
   /** Encode column: BPE token array (null text → null). */
