@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /**
  * Scale-probe data generator: replicates the driver's sf0.1 tables `copies`×
- * with referentially-consistent key shifts (copy i adds `i·10⁹` to every
- * key/foreign-key), producing an sf1-equivalent dataset for headroom
- * measurement (BASELINE.md scale table). Deterministic — no RNG:
+ * with referentially-consistent key shifts (copy i adds `i·SHIFT` to every
+ * key/foreign-key, SHIFT = next power of 10 above every input key — safe
+ * to re-apply to its own output), producing an sf1-equivalent dataset for
+ * headroom measurement (BASELINE.md scale table). Deterministic — no RNG:
  *
  *  - dimension tables (region, nation) keep their TPC-H-fixed cardinality;
  *  - documents REPLACE every 4th word (and the last word, covering short
@@ -32,9 +33,30 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val SHIFT = 1000000000L
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    // Generation-aware key shift: applying ScaleGen to its own output with
+    // a FIXED shift collides ids — copy (k, i) of a twice-scaled corpus
+    // lands on base + (k+i)·shift, merging up to `copies` distinct rows
+    // onto one id (the r10 sf10 probe measured a 100-way near-clone
+    // corpus partly through this). The shift is instead the next power of
+    // 10 above every key in the INPUT, so re-application keeps ids
+    // disjoint at any depth; it also salts the text markers below, so
+    // marker chains decorrelate across generations.
+    val SHIFT: Long = {
+      val keyMax = Seq(
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "events" -> "event_id", "events" -> "user_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+        .map { case (t, c) => read(t).agg(max(col(c))).head().getLong(0) }
+        .max
+      var s = 1000000000L
+      while (s <= keyMax) s *= 10L
+      s
+    }
+    println(s"[scalegen] key shift = $SHIFT")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
@@ -79,18 +101,30 @@ object ScaleGen {
     //    different polynomial weights — cross-copy marker hashes
     //    decorrelate;
     //  - token COUNT is preserved, so text_stats/bm25/pack costs stay
-    //    comparable across copies.
+    //    comparable across copies;
+    //  - the replacement is the FULL word — hash(word, position, copy,
+    //    shift) in hex — not the original word with a suffix appended.
+    //    The r10 sf10 probe caught the append variant under CHAR-5-gram
+    //    minhash: appending keeps every internal character gram of the
+    //    original word, and after a second ScaleGen application the
+    //    marked words ("wzM1zM2" vs "wzM2zM2") differed in 6 of ~20
+    //    chars — char-gram Jaccard crossed the 0.7 near-dup threshold
+    //    and the probe measured 4.79M pairs (a 100-way clone corpus)
+    //    instead of linear growth. Full replacement shares zero internal
+    //    grams, and repeated application re-replaces (stable length, no
+    //    generational correlation). The SHIFT salt decorrelates equal
+    //    copy indices across generations.
     // The LAST word is also always replaced: a 1–3-token doc would
     // otherwise get no change and its copies would stay exact duplicates
     write(scaled("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else {
-        val mark = java.lang.Long.toHexString(0x9E3779B97F4A7C15L * i).take(6)
         d.withColumn("text", array_join(
             transform(split(col("text"), "\\s+"), (w, p) =>
               when(pmod(p, lit(4)) === 3 ||
                    p === size(split(col("text"), "\\s+")) - 1,
-                concat(w, lit(s"z$mark"))).otherwise(w)),
+                concat(lit("z"), lower(hex(abs(hash(w, p, lit(i), lit(SHIFT))))))
+              ).otherwise(w)),
             " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
