@@ -480,21 +480,26 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    // shingle once, reuse for signatures (banding self-join) and verify;
-    // drop empty-shingle docs (shorter than the shingle width): their
-    // all-sentinel signatures would band-collide with every other short doc
-    // and their jaccard is 0/0 — mirrors the oracle's WHERE len(s) > 0
-    val texts = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+    // ONE fused kernel call per row ([[ShingleStatsKernel]]) produces the
+    // distinct-gram count, the sorted exact-Jaccard fingerprints, and the
+    // minhash signature — no per-gram strings on ASCII text, and only the
+    // numeric columns persist. The previous charShingles → size/hashes/
+    // signature trio materialized ~500 five-char strings per document
+    // (≈6 GB on-heap at sf10) and was GC-bound: 12–18 s of task GC per
+    // run, 3–7× wall-clock swings with heap pressure. Empty-shingle docs
+    // (shorter than the shingle width) drop: their all-sentinel
+    // signatures would band-collide with every other short doc and their
+    // jaccard is 0/0 — mirrors the oracle's WHERE len(s) > 0.
+    val (coefA, coefB) = minHashCoefficients(numHashes)
+    val st = toCol(ShingleStatsExpr(toExpr(col(textCol)), n, coefA, coefB))
+    val texts = df.select(col(idCol).as("id"), st.as("st"))
+      .select(col("id"), col("st.sz").as("sz"), col("st.hs").as("hs"),
+        col("st.sig").as("sig"))
       .filter(col("sz") > 0)
-      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = texts.select(col("id"),
-      minHashSignatureBy(col("sh"), numHashes).as("sig"))
     // persisted: both self-join sides consume it, and without this the
     // signature kernel (numHashes mins over every shingle) runs twice
-    val banded = sig.select(col("id"), posexplode(
+    val banded = texts.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))

@@ -128,6 +128,126 @@ object ShingleKernels {
   }
 }
 
+object ShingleStatsKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /**
+   * Fused one-pass shingle statistics: the distinct-gram COUNT, the
+   * SORTED xxhash64 fingerprints (the exact-Jaccard set representation),
+   * and the full MinHash signature — everything [[Dedup.minHashNearDups]]
+   * needs — computed in a single walk over the text, allocating ZERO
+   * gram strings on the ASCII path (gram hashes fold directly over the
+   * parent UTF8String's byte window). The separate charShingles →
+   * sortedHashes/minHashSignature formulation materialized ~500
+   * five-char strings per document three expressions deep; at sf10
+   * (500k docs) that allocation churn made the whole near-dup pipeline
+   * GC-bound (12–18 s of task GC per run, 3–7× wall-clock swings with
+   * heap pressure).
+   *
+   * Distinctness is keyed on the (xxhash64, polyhash) PAIR via open
+   * addressing — two distinct grams collide only if BOTH 64-bit and
+   * 31-bit hashes agree (≈2⁻⁹⁵); an xx-collision with differing poly
+   * keeps both entries, reproducing the string-distinct behavior
+   * (duplicate xx values in the sorted array) bit-for-bit. Non-ASCII
+   * text falls back to the exact string-building path so multi-byte
+   * code-point semantics stay identical to [[ShingleKernels.charShingles]].
+   */
+  def shingleStats(text: UTF8String, n: Int, coefA: Array[Long],
+      coefB: Array[Long]): InternalRow = {
+    val numBytes = text.numBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < numBytes) { if (text.getByte(i) < 0) ascii = false; i += 1 }
+    if (!ascii) return shingleStatsGeneric(text, n, coefA, coefB)
+    val k = coefA.length
+    val p = graft.functions.PolyHash.P
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (numBytes < n)
+      return pack(0, Array.emptyLongArray, mins)
+    val cap = Integer.highestOneBit(math.max(4, (numBytes - n + 1) * 2) - 1) << 1
+    val keyXx = new Array[Long](cap)
+    val keyPoly = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val hs = new Array[Long](numBytes - n + 1)
+    var m = 0 // distinct grams so far
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var pos = 0
+    while (pos <= numBytes - n) {
+      val xx = XXH64.hashUnsafeBytes(base, off + pos, n, 42L)
+      var poly = 0L
+      var j = 0
+      while (j < n) {
+        val b = text.getByte(pos + j)
+        if (b != '\n'.toByte) poly = (poly * graft.functions.PolyHash.B1 + b) % p
+        j += 1
+      }
+      // open addressing, linear probe on xx
+      var slot = (java.lang.Long.hashCode(xx) & (cap - 1))
+      var fresh = false
+      var done = false
+      while (!done) {
+        if (!used(slot)) { used(slot) = true; keyXx(slot) = xx; keyPoly(slot) = poly; fresh = true; done = true }
+        else if (keyXx(slot) == xx && keyPoly(slot) == poly) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (fresh) {
+        hs(m) = xx; m += 1
+        var q = 0
+        while (q < k) {
+          val v = (coefA(q) * poly + coefB(q)) % p
+          if (v < mins(q)) mins(q) = v
+          q += 1
+        }
+      }
+      pos += 1
+    }
+    val out = java.util.Arrays.copyOf(hs, m)
+    java.util.Arrays.sort(out)
+    pack(m, out, mins)
+  }
+
+  /** Non-ASCII fallback: identical output via the exact string-distinct
+    * path (code-point polyhash, xxhash of the gram's UTF-8 bytes). */
+  private def shingleStatsGeneric(text: UTF8String, n: Int,
+      coefA: Array[Long], coefB: Array[Long]): InternalRow = {
+    val k = coefA.length
+    val p = graft.functions.PolyHash.P
+    val mins = Array.fill(k)(Long.MaxValue)
+    val s = text.toString
+    if (s.length < n) return pack(0, Array.emptyLongArray, mins)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    val hs = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) {
+      val g = UTF8String.fromString(it.next())
+      hs(m) = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes, 42L)
+      m += 1
+      val poly = graft.functions.PolyHash.hash(g, graft.functions.PolyHash.B1)
+      var q = 0
+      while (q < k) {
+        val v = (coefA(q) * poly + coefB(q)) % p
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    pack(m, hs, mins)
+  }
+
+  private def pack(sz: Int, hs: Array[Long], sig: Array[Long]): InternalRow = {
+    val row = new GenericInternalRow(3)
+    row.update(0, sz)
+    row.update(1, new GenericArrayData(hs.map(Long.box)))
+    row.update(2, new GenericArrayData(sig.map(Long.box)))
+    row
+  }
+}
+
 object IntersectKernels {
   /** xxhash64 (seed 42) of each string, sorted ascending — the compact
     * set representation for O(n) merge intersections. */
@@ -228,6 +348,31 @@ case class BandKeysExpr(child: Expression, bands: Int, r: Int) extends UnaryExpr
     defineCodeGen(ctx, ev, c => s"graft.dedup.ShingleKernels.bandKeys($c, $bands, $r)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "band_keys"
+}
+
+/** Fused `(sz, hs, sig)` shingle statistics of a text column — see
+  * [[ShingleStatsKernel.shingleStats]]. One kernel call per row replaces
+  * the charShingles → size/sortedHashes/minHashSignature expression trio
+  * (and with it, every per-gram string allocation on ASCII text). */
+case class ShingleStatsExpr(child: Expression, n: Int, coefA: Array[Long],
+    coefB: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sz",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("hs",
+      ArrayType(LongType, containsNull = false), nullable = false),
+    org.apache.spark.sql.types.StructField("sig",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    ShingleStatsKernel.shingleStats(v.asInstanceOf[UTF8String], n, coefA, coefB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val b = ctx.addReferenceObj("coefB", coefB, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.dedup.ShingleStatsKernel.shingleStats($c, $n, $a, $b)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "shingle_stats"
 }
 
 /** `child` is an array<string> of shingles; coefficients ride as plan
