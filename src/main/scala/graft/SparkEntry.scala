@@ -763,6 +763,19 @@ object SparkEntry {
         "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("left_id", "right_id")
     }),
+    // exact token-8-gram decontamination (the GPT-3/PaLM eval-overlap
+    // check): eval = a deterministic ~5% slice, train = the rest; the
+    // eval gram-fingerprint set broadcasts into ONE shuffle-free train
+    // scan. Oracle joins gram STRINGS — the 64-bit fingerprint collision
+    // canary, same discipline as dedup_spans.
+    "decontam_ngrams" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminateNgrams(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 7),
+        "doc_id", "text", w = 8)
+        .orderBy("doc_id")
+    }),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -1734,6 +1747,21 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT left_id, right_id, c::DOUBLE / (sz_a + sz_b - c) jaccard FROM j
         |WHERE c::DOUBLE / (sz_a + sz_b - c) >= 0.5 ORDER BY left_id, right_id""".stripMargin.replace("\n", " "),
+    "decontam_ngrams" ->
+      """WITH b0 AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+        |  ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks FROM documents),
+        |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0
+        |  WHERE toks IS NOT NULL AND len(toks) >= 8),
+        |gs AS (SELECT g0.doc_id, array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
+        |  FROM g0 JOIN b0 USING (doc_id)),
+        |ev AS (SELECT DISTINCT gram FROM gs WHERE doc_id % 20 = 7),
+        |h AS (SELECT doc_id, count(*) n_hits, count(DISTINCT gram) n_distinct
+        |  FROM gs JOIN ev USING (gram) WHERE doc_id % 20 <> 7 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) n_hits,
+        |  CAST(coalesce(h.n_distinct, 0) AS BIGINT) n_distinct,
+        |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) contaminated
+        |FROM documents d LEFT JOIN h USING (doc_id)
+        |WHERE d.doc_id % 20 <> 7 ORDER BY d.doc_id""".stripMargin.replace("\n", " "),
     "dedup_embedding_cos" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |p AS (SELECT a.vec_id id_a, b.vec_id id_b,

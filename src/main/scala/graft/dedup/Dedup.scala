@@ -237,6 +237,37 @@ object Dedup {
   }
 
   /**
+   * Exact token n-gram decontamination — the eval-overlap check the
+   * GPT-3/PaLM/Llama reports run before training: a training document is
+   * contaminated if any of its token `w`-grams appears anywhere in the
+   * evaluation set. Returns `[<idCol>, n_hits, n_distinct, contaminated]`
+   * for EVERY training document (occurrence count, distinct eval grams
+   * hit, 0/1 flag; null/short texts count 0).
+   *
+   * Shape at 100 TB: the eval side is a benchmark suite — tiny by
+   * construction — so its distinct gram fingerprints collect to one
+   * sorted long array that rides into a codegen expression as a plan
+   * reference (the [[graft.search.NearestCentroids]] broadcast pattern).
+   * The training corpus is then ONE projection scan: no join, no
+   * shuffle, no exploded gram stream on the big side. Grams travel as
+   * the same 64-bit fingerprints as [[dedupSpans]] (the gate's oracle
+   * joins gram STRINGS, doubling as the collision canary).
+   */
+  def decontaminateNgrams(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, w: Int = 8): DataFrame = {
+    val evalSorted: Array[Long] = eval
+      .filter(col(textCol).isNotNull)
+      .select(explode(toCol(GramHashesExpr(toExpr(col(textCol)), w))).as("g"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val hits = toCol(GramHitsExpr(toExpr(col(textCol)), w, evalSorted))
+    train.select(col(idCol), hits.as("h"))
+      .select(col(idCol),
+        coalesce(col("h.n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("h.n_distinct"), lit(0L)).as("n_distinct"))
+      .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
+  }
+
+  /**
    * Duplicated-span flagging (the Lee et al. "Deduplicating Training Data
    * Makes Language Models Better" granularity, reduced to its
    * hash-join core): a document is flagged when any of its word `w`-grams

@@ -248,6 +248,63 @@ object ShingleStatsKernel {
   }
 }
 
+object DecontamKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Occurrence and distinct-gram hit counts of a document's token
+    * `w`-gram fingerprints against a SORTED eval-set fingerprint array
+    * (binary search per gram; the array rides broadcast as a plan
+    * reference). The zero-shuffle half of exact n-gram decontamination:
+    * the training corpus is scanned once, nothing is joined. */
+  def gramHits(text: UTF8String, w: Int, evalSorted: Array[Long]): InternalRow = {
+    val grams = ShingleKernels.gramHashes(text, w)
+    val n = grams.numElements()
+    var occ = 0
+    var matched: Array[Long] = null
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val g = grams.getLong(i)
+      if (java.util.Arrays.binarySearch(evalSorted, g) >= 0) {
+        occ += 1
+        if (matched == null) matched = new Array[Long](n)
+        matched(m) = g; m += 1
+      }
+      i += 1
+    }
+    var distinct = 0
+    if (m > 0) {
+      val hit = java.util.Arrays.copyOf(matched, m)
+      java.util.Arrays.sort(hit)
+      distinct = 1
+      var j = 1
+      while (j < m) { if (hit(j) != hit(j - 1)) distinct += 1; j += 1 }
+    }
+    val row = new GenericInternalRow(2)
+    row.update(0, occ.toLong)
+    row.update(1, distinct.toLong)
+    row
+  }
+}
+
+/** `(n_hits, n_distinct)` of a text's token w-gram fingerprints against a
+  * sorted eval fingerprint set — see [[DecontamKernel.gramHits]]. */
+case class GramHitsExpr(child: Expression, w: Int, evalSorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_hits", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct", LongType, nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    DecontamKernel.gramHits(v.asInstanceOf[UTF8String], w, evalSorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalSorted", evalSorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.dedup.DecontamKernel.gramHits($c, $w, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "gram_hits"
+}
+
 object IntersectKernels {
   /** xxhash64 (seed 42) of each string, sorted ascending — the compact
     * set representation for O(n) merge intersections. */

@@ -340,4 +340,37 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) === "m n o p q")
     assert(got(2L) === "u v w")
   }
+
+  test("decontaminateNgrams: occurrence + distinct hits against the eval gram set") {
+    val sp = spark
+    import sp.implicits._
+    // eval doc carries the 3-gram "a b c" (and "b c d"); train doc 1
+    // contains "a b c" twice and "b c d" once; doc 2 is clean; doc 3 is
+    // too short to form a gram; doc 4 is null
+    val eval = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c x a b c d"),   // grams hit: "a b c"@0, "a b c"? (pos 4: a b c), "b c d"@5
+      (2L, "p q r s t u v w"),
+      (3L, "a b"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.decontaminateNgrams(train, eval, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+         (if (r.isNullAt(2)) -1L else r.getLong(2)), r.getInt(3))).toMap
+    // doc 1 grams: [a b c][b c x][c x a][x a b][a b c][b c d] -> hits:
+    // "a b c" twice + "b c d" once = 3 occurrences, 2 distinct
+    assert(got(1L) === ((3L, 2L, 1)))
+    assert(got(2L) === ((0L, 0L, 0)))
+    assert(got(3L) === ((0L, 0L, 0)))
+    assert(got(4L) === ((0L, 0L, 0)))
+  }
+
+  test("decontaminateNgrams: empty eval set flags nothing") {
+    val sp = spark
+    import sp.implicits._
+    val eval = Seq((9L, "x")).toDF("doc_id", "text") // too short for any gram
+    val train = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val got = Dedup.decontaminateNgrams(train, eval, "doc_id", "text", w = 8).collect()
+    assert(got.length === 1 && got(0).getLong(1) === 0L && got(0).getInt(3) === 0)
+  }
 }
