@@ -97,6 +97,48 @@ object SparkEntry {
        |FROM r WHERE rn <= $k ORDER BY source_id, rank_no""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for the hybrid RRF gate ([[graft.search.HybridSearch]]):
+    * the text_bm25 CTE chain extended with ranks, the hash-embed dense
+    * chain ([[graft.encoders.HashEmbedKernel]] SQL mirror), and the
+    * 1/(60+rank) fusion — integer-input double math end to end, so the
+    * whole fused ranking is hash-match reproducible. */
+  private def hybridRrfOracle: String = {
+    import graft.encoders.HashEmbedKernel
+    s"""WITH t1 AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) dl,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks FROM documents),
+       |st AS (SELECT count(*) n_docs, sum(dl)::DOUBLE / count(*) avgdl FROM t1),
+       |tf AS (SELECT doc_id, dl, tok, count(*) tf FROM
+       |  (SELECT doc_id, dl, unnest(toks) tok FROM t1)
+       |  WHERE tok IN ('vector','spark','dup') GROUP BY 1, 2, 3),
+       |nt AS (SELECT tok, count(*) nt FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, tok,
+       |  ln((n_docs - nt + 0.5) / (nt + 0.5) + 1.0) * (tf * 2.2)
+       |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) s
+       |  FROM tf JOIN nt USING (tok) CROSS JOIN st),
+       |pv AS (SELECT doc_id,
+       |  coalesce(max(CASE WHEN tok = 'vector' THEN s END), 0.0) sv,
+       |  coalesce(max(CASE WHEN tok = 'spark' THEN s END), 0.0) ss,
+       |  coalesce(max(CASE WHEN tok = 'dup' THEN s END), 0.0) sd
+       |  FROM sc GROUP BY doc_id),
+       |lr AS (SELECT doc_id, rn lex_rank FROM (SELECT doc_id,
+       |  row_number() OVER (ORDER BY sv + ss + sd DESC, doc_id) rn FROM pv) WHERE rn <= 50),
+       |d0 AS (SELECT doc_id, ${HashEmbedKernel.sqlRawVec("text", 64)} v0 FROM documents WHERE text IS NOT NULL),
+       |${HashEmbedKernel.normCtes("d0")},
+       |q0 AS (SELECT ${HashEmbedKernel.sqlRawVec("'vector spark dup search'", 64)} v0),
+       |qn AS (SELECT v0, sqrt(list_sum(list_transform(v0, x -> (x * x)::DOUBLE))) nrm FROM q0),
+       |qf AS (SELECT CASE WHEN nrm = 0 THEN list_transform(v0, x -> (x::FLOAT)::DOUBLE)
+       |  ELSE list_transform(v0, x -> ((x::DOUBLE / nrm)::FLOAT)::DOUBLE) END v FROM qn),
+       |ds AS (SELECT doc_id, list_dot_product(fv.v, qf.v) s FROM fv CROSS JOIN qf),
+       |dr AS (SELECT doc_id, rn dense_rank FROM (SELECT doc_id,
+       |  row_number() OVER (ORDER BY s DESC, doc_id) rn FROM ds) WHERE rn <= 50),
+       |fu AS (SELECT coalesce(lr.doc_id, dr.doc_id) doc_id, lex_rank, dense_rank,
+       |  CAST(coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0) + coalesce(1.0::DOUBLE / (60 + dense_rank), 0.0) AS FLOAT) rrf_score
+       |  FROM lr FULL JOIN dr ON lr.doc_id = dr.doc_id)
+       |SELECT doc_id, CAST(lex_rank AS INT) lex_rank, CAST(dense_rank AS INT) dense_rank, rrf_score
+       |FROM fu ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " ")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knn(spark, "/root/testdata/sf0.001", "cos", 10)
@@ -753,6 +795,15 @@ object SparkEntry {
     "cluster_assign" -> ((s, dir) => Dedup.embeddingClusters(
       table(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
       .orderBy("vec_id")),
+    // cluster-quota diversity sampling: k-means cells (same deterministic
+    // quantizer as cluster_assign) + per-cell top-10 by vector norm —
+    // one assignment scan, one shuffle by cell with a WindowGroupLimit-
+    // bounded rank filter; no semantic region floods the sample
+    "q_diversity_sample" -> ((s, dir) => Dedup.clusterQuotaSample(
+      table(s, dir, "embeddings"), "vec_id", "embedding", k = 16, quota = 10,
+      scoreCol = sqrt(graft.functions.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding"))))
+      .orderBy("cluster", "rank")),
     // decontamination: cross-corpus exact w-gram overlap — "benchmark"
     // docs (doc_id < 50) leaked into the "training corpus" (the rest);
     // bipartite prefix-filtered set-similarity join, hash-match oracle
@@ -985,6 +1036,15 @@ object SparkEntry {
       terms = Seq("vector", "spark", "dup"), k = 20)
       .select(col("doc_id"), col("score").cast("float").as("score"))
       .orderBy(col("score").desc, col("doc_id"))),
+    // hybrid retrieval: BM25 top-50 + dense hash-embed cosine top-50,
+    // reciprocal-rank fused (1/(60+rank), Cormack et al.) — rank-based so
+    // the fusion is score-scale-free and bit-reproducible in SQL; two
+    // corpus scans, each ending in a bounded top-n, fusion joins two
+    // 50-row lists
+    "search_hybrid_rrf" -> ((s, dir) => graft.search.HybridSearch.hybridRrf(
+      table(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("vector", "spark", "dup"),
+      queryText = "vector spark dup search", k = 20, n = 50)),
     // corpus vocabulary: token frequencies, top 100 — the vocab-building
     // step of a tokenizer pipeline; partial (map-side) counts then one
     // shuffle on token, top-n via TakeOrderedAndProject, ties on token
@@ -1324,6 +1384,25 @@ object SparkEntry {
             i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
           .as("text"))
       Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    }),
+    // boilerplate-line removal: the frequency-threshold sibling of
+    // dedup_lines — a pseudo-line (same 10-token reshape) occurring in ≥3
+    // distinct documents is boilerplate and removed EVERYWHERE (no first
+    // occurrence kept); fingerprint shuffle, string-grouped oracle as the
+    // collision canary
+    "text_boilerplate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
+      val reshaped = docs.select(col("doc_id"),
+        when(col("text").isNull, lit(null).cast("string"))
+          .when(size(toks) === 0, lit(""))
+          .otherwise(array_join(transform(sequence(lit(0), nl - 1),
+            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
+          .as("text"))
+      Dedup.removeBoilerplate(reshaped, "doc_id", "text",
+          minDocs = 3, minLen = 8)
         .orderBy("doc_id")
     }),
     // paragraph-level exact dedup (the Gopher preprocessing step): same
@@ -1902,6 +1981,7 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, CAST(sv + ss + sd AS FLOAT) score FROM pv
         |ORDER BY sv + ss + sd DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
+    "search_hybrid_rrf" -> hybridRrfOracle,
     "text_vocab_top100" ->
       """SELECT tok, count(*) n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -2080,6 +2160,32 @@ object SparkEntry {
         |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
         |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
         |  ELSE coalesce(agg.t, '') END text_dedup
+        |FROM re LEFT JOIN agg USING (doc_id)
+        |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
+    // boilerplate removal: same 10-token pseudo-line reshape, then every
+    // line (>=8 chars) present in >=3 DISTINCT docs is dropped everywhere;
+    // groups by the line STRING where the operator groups by fingerprint
+    "text_boilerplate" ->
+      """WITH b0 AS (SELECT doc_id, text,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
+        |  FROM documents),
+        |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
+        |ln0 AS (SELECT r0.doc_id, r0.li,
+        |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
+        |  FROM r0 JOIN b0 USING (doc_id)),
+        |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
+        |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+        |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
+        |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
+        |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
+        |bf AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) df FROM l
+        |  WHERE len(line) >= 8 GROUP BY line) WHERE df >= 3),
+        |kept AS (SELECT l.doc_id, l.i, l.line FROM l ANTI JOIN bf USING (line)),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
+        |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
+        |  ELSE coalesce(agg.t, '') END text_clean
         |FROM re LEFT JOIN agg USING (doc_id)
         |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
     // paragraph granularity: 25-token blocks joined by a BLANK line; the
@@ -2778,6 +2884,28 @@ object SparkEntry {
        |WHERE rn = 1 ORDER BY vec_id""".stripMargin.replace("\n", " ")
   }
 
+  /** q_diversity_sample: cell assignment exactly as [[clusterAssignOracle]]
+    * (same refit centroids, same `ORDER BY dd, c` tie-break), then per-cell
+    * rank by L2 norm descending with id ties, quota 10 — mirroring
+    * [[graft.dedup.Dedup.clusterQuotaSample]]. */
+  private def diversityOracle(s: SparkSession, dir: String): String = {
+    import graft.search.IvfIndex
+    val vecs = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("__v"))
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "__v",
+      math.min(16L, total max 1L).toInt, total)
+    s"""WITH ce(c, cent) AS (VALUES ${centValues(cents)}),
+       |x AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
+       |  FROM x CROSS JOIN ce),
+       |asg AS (SELECT vec_id, c FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
+       |sc AS (SELECT asg.vec_id, asg.c, sqrt(list_dot_product(x.v, x.v)) s FROM asg JOIN x USING (vec_id)),
+       |r AS (SELECT vec_id, c, row_number() OVER (PARTITION BY c ORDER BY s DESC, vec_id) rk FROM sc)
+       |SELECT vec_id, CAST(c AS INT) "cluster", CAST(rk AS INT) "rank"
+       |FROM r WHERE rk <= 10 ORDER BY "cluster", "rank"""".stripMargin.replace("\n", " ")
+  }
+
   /** dedup_embedding_blocked[_auto]: cell blocking + exact cos verify of
     * co-celled pairs, mirroring
     * [[graft.dedup.Dedup.embeddingNearDupsBlocked]]. `nlist = 0` resolves
@@ -2987,6 +3115,7 @@ object SparkEntry {
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
+        "q_diversity_sample" -> (() => diversityOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),
         "dedup_embedding_blocked_auto" -> (() => blockedOracle(s, dir, nlist = 0, nprobe = 2)),
         "dedup_embedding_lsh_auto" -> (() => lshAutoOracle(s, dir)),

@@ -371,6 +371,56 @@ object Dedup {
   }
 
   /**
+   * Boilerplate-line removal — the frequency-threshold sibling of
+   * [[dedupLines]]: a line occurring in ≥ `minDocs` DISTINCT documents is
+   * boilerplate (cookie banners, license headers, navigation chrome — the
+   * C4/RefinedWeb "repeated line" cleanup) and is removed from EVERY
+   * document, including its first occurrence — where [[dedupLines]] keeps
+   * one copy, boilerplate keeps none, because the line never was content.
+   * Lines shorter than `minLen` chars are structure and never touched.
+   * Returns `[doc_id, text_clean]` for every input document (null text
+   * stays null; a fully-boilerplate document becomes `""`).
+   *
+   * Shape at scale: same skeleton as [[dedupLines]] — one persisted line
+   * explode, one hash aggregation per distinct line fingerprint
+   * (`count(distinct doc_id)` resolved as a two-level (lh, doc_id) agg so
+   * the per-gram distinct never materializes a set), and the boilerplate
+   * SET is the output of a `df ≥ minDocs` filter over heavy hitters —
+   * tiny by construction, so the join back is a broadcast anti-join
+   * under AQE. Fingerprints shuffle as 8 bytes; the gate's oracle groups
+   * by the line STRING (collision canary, like the dedup_lines gate).
+   */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 3, minLen: Int = 1, delim: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+          .as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // document frequency per line fingerprint: pre-aggregate (lh, doc_id)
+    // first — a line repeated inside one doc counts once, and the second
+    // agg sees one row per (line, doc) instead of per occurrence
+    val boiler = lines.filter(length(col("line")) >= minLen)
+      .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("lh"))
+    val kept = lines.join(boiler, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__pl"))
+      .select(col("doc_id"),
+        array_join(transform(col("__pl"), _.getField("line")), delim).as("text_clean"))
+    val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__orig").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("text_clean"), lit(""))).as("text_clean"))
+    graft.util.CacheDiscipline.materializeAndFree(out, lines)
+  }
+
+  /**
    * Span-level corpus dedup that REMOVES duplicated token spans and
    * returns the cleaned corpus — the finest granularity of the Lee et al.
    * substring-dedup family ([[dedupLines]] is the line-level sibling;
@@ -975,6 +1025,41 @@ object Dedup {
       math.min(k.toLong, total max 1L).toInt, total)
     vecs.select(col(idCol),
       IvfIndex.nearestCentroidsCol(col("__v"), cents, 1).getItem(0).as("cluster"))
+  }
+
+  /**
+   * Cluster-quota diversity sampling — the SemDeDup/DiverseSelect step a
+   * curation pipeline runs AFTER dedup: k-means the embedding space into
+   * `k` semantic cells (same deterministic coarse quantizer as
+   * [[embeddingClusters]] / the IVF index) and keep at most `quota` items
+   * per cell, ranked by `scoreCol` (quality, recency, perplexity — the
+   * caller's notion of "best"), so no semantic region floods the training
+   * mix. Returns `[<idCol>, cluster, rank]` for the survivors, `rank`
+   * 1-based within its cluster (ties broken by id — deterministic).
+   *
+   * Shape at scale: one projection scan assigns cells (centroids ride the
+   * plan as a literal, no join), then ONE shuffle by cluster id with a
+   * rank-filter window — Spark's WindowGroupLimit pushes the `rank ≤
+   * quota` bound into a per-partition bounded heap before the shuffle, so
+   * no cell ever sorts its full occupancy. Driver state is the k×dim
+   * centroid matrix (bounded; k caps at the auto formula's 65,536).
+   */
+  def clusterQuotaSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, quota: Int, scoreCol: Column): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    import graft.search.IvfIndex
+    val vecs = df.select(col(idCol), col(vecCol).cast("array<float>").as("__v"),
+      scoreCol.cast("double").as("__score"))
+    val total = vecs.count()
+    val cents = IvfIndex.fitCentroids(vecs, "__v",
+      math.min(k.toLong, total max 1L).toInt, total)
+    val assigned = vecs.select(col(idCol), col("__score"),
+      IvfIndex.nearestCentroidsCol(col("__v"), cents, 1).getItem(0).as("cluster"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__score").desc, col(idCol).asc)
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= quota)
+      .select(col(idCol), col("cluster"), col("rank"))
   }
 
   /**

@@ -1,0 +1,85 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.encoders.{HashEmbedKernel, HashEncoder}
+import graft.functions.VectorFunctions
+import graft.text.Relevance
+
+/**
+ * Hybrid lexical + dense retrieval with reciprocal-rank fusion — the
+ * retrieval pattern every RAG / training-data-curation stack runs on top
+ * of the reference's two scoring surfaces: BM25 keyword relevance
+ * ([[graft.text.Relevance]]) and embedding similarity (the encoder-path
+ * search of [[SparkSearcher]], reference faiss_searcher.py:160-185). The
+ * reference exposes the two signals separately; fusing them is the
+ * standard next step (RRF: Cormack/Clarke/Buettcher, SIGIR'09), kept
+ * here rank-based so the fusion is score-scale-free and bit-reproducible
+ * in a SQL oracle.
+ *
+ * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))` over the two top-`n`
+ * candidate lists; documents missing from a list contribute nothing for
+ * it. Ties broken by id everywhere, so the output is deterministic.
+ *
+ * Shape at scale: each candidate list is a single corpus scan feeding a
+ * bounded top-n — BM25 is the zero-shuffle two-narrow-scans plan, the
+ * dense side is one codegen'd hash-embed + dot-product projection into
+ * `TakeOrderedAndProject` (map-side partial top-n, one tiny reduce; no
+ * corpus shuffle, no sort of the full corpus). The fusion then joins two
+ * ≤`n`-row lists — driver-scale small by construction. The 100 TB cost
+ * is exactly two corpus scans, embarrassingly parallel.
+ */
+object HybridSearch {
+
+  /**
+   * Top-`k` fused hits: `[<idCol>, lex_rank, dense_rank, rrf_score]`,
+   * ordered by fused score descending (ties on id). `lex_rank` /
+   * `dense_rank` are 1-based positions in the BM25 / cosine candidate
+   * lists, null when the document is outside that list's top `n`.
+   *
+   * The dense query vector is computed on the driver with the same
+   * codegen kernel that embeds the corpus ([[HashEmbedKernel.embed]]) —
+   * bounded state (one `dim`-float array), no extra job.
+   */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], queryText: String, k: Int,
+      n: Int = 50, rrfK: Int = 60, dim: Int = 64): DataFrame = {
+    // the fused candidate union holds up to 2n docs, so k may exceed n
+    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+    val id = col(idCol)
+
+    // lexical candidates: zero-shuffle BM25 -> bounded top-n -> rank.
+    // The window runs over <= n rows (post-limit), not the corpus.
+    val lex = Relevance.bm25TopK(docs, idCol, textCol, terms, n)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score").desc, id.asc)))
+      .select(id, col("lex_rank"))
+
+    // dense candidates: embed corpus with the codegen kernel, dot against
+    // the driver-computed unit query vector (corpus embeds are already
+    // L2-normalized, so dot == cosine), TakeOrderedAndProject top-n.
+    val qv: Array[Float] = {
+      val a = HashEmbedKernel.embed(
+        org.apache.spark.unsafe.types.UTF8String.fromString(queryText), dim)
+      a.toFloatArray()
+    }
+    val dense = new HashEncoder(dim).encode(
+        docs.filter(col(textCol).isNotNull), textCol, "__v")
+      .select(id, VectorFunctions.vec_dot(col("__v"), typedlit(qv)).as("__s"))
+      .orderBy(col("__s").desc, id.asc).limit(n)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("__s").desc, id.asc)))
+      .select(id, col("dense_rank"))
+
+    // fusion over two tiny lists; fixed add order (lex + dense) keeps the
+    // double bit-reproducible for the hash gate
+    val fused = lex.join(dense, Seq(idCol), "full_outer")
+      .select(id, col("lex_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)))
+          .cast("float").as("rrf_score"))
+    fused.orderBy(col("rrf_score").desc, id.asc).limit(k)
+  }
+}

@@ -185,4 +185,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("hybrid RRF: both candidate lists end in bounded top-n, no corpus sort") {
+    val plan = physical(graft.search.HybridSearch.hybridRrf(
+      sf("documents"), "doc_id", "text", Seq("vector", "spark"),
+      "vector spark", k = 10, n = 50))
+    // TakeOrderedAndProject = map-side partial top-n + one tiny reduce;
+    // a global Sort of the corpus would be the 100 TB failure mode
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("cluster quota: rank filter becomes a WindowGroupLimit, no full-cell sort survives it") {
+    val plan = physical(graft.dedup.Dedup.clusterQuotaSample(
+      sf("embeddings"), "vec_id", "embedding", k = 4, quota = 5,
+      scoreCol = sqrt(graft.functions.VectorFunctions.vec_dot(
+        col("embedding"), col("embedding")))))
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=quota must push a per-partition bounded heap below the window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("boilerplate removal: fingerprint equi-joins only, never cartesian") {
+    val plan = physical(graft.dedup.Dedup.removeBoilerplate(
+      sf("documents"), "doc_id", "text", minDocs = 3, minLen = 8))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -373,4 +373,55 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.decontaminateNgrams(train, eval, "doc_id", "text", w = 8).collect()
     assert(got.length === 1 && got(0).getLong(1) === 0L && got(0).getInt(3) === 0)
   }
+
+  test("removeBoilerplate: >=minDocs lines dropped everywhere, rare/short lines kept") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "subscribe to newsletter\nreal content zero\nok"),
+      (1L, "subscribe to newsletter\nreal content one"),
+      (2L, "subscribe to newsletter\nreal content two"),
+      (3L, "rare line appears twice\nunique payload three"),
+      (4L, "rare line appears twice\nunique payload four"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "subscribe to newsletter")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        minDocs = 3, minLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the 3-doc line vanishes from every document, including its first
+    assert(got(0L) == "real content zero\nok") // "ok" short: never touched
+    assert(got(1L) == "real content one")
+    assert(got(2L) == "real content two")
+    // a 2-doc line is below the threshold: kept in both
+    assert(got(3L) == "rare line appears twice\nunique payload three")
+    assert(got(4L) == "rare line appears twice\nunique payload four")
+    assert(got(5L) == null) // null text preserved
+    assert(got(6L) == "")   // fully-boilerplate doc -> empty, not dropped
+  }
+
+  test("clusterQuotaSample: per-cell quota enforced, rank follows score desc with id ties") {
+    val sp = spark
+    import sp.implicits._
+    // two well-separated cells on an axis; scores = vector norms
+    val rows = (0 until 12).map { i =>
+      val base = if (i < 6) 10f else -10f
+      // norm grows with i inside each half -> highest norms win the quota
+      (i.toLong, Array(base + i * 0.01f, (1 + i % 6).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.clusterQuotaSample(df, "vec_id", "embedding",
+        k = 2, quota = 2, scoreCol =
+          sqrt(graft.functions.VectorFunctions.vec_dot(
+            col("embedding"), col("embedding"))))
+      .collect()
+    assert(got.length == 4) // 2 cells x quota 2
+    val byCluster = got.groupBy(_.getInt(1))
+    assert(byCluster.size == 2 && byCluster.values.forall(_.length == 2))
+    // within each cell the kept pair is the two largest norms (i%6 = 5, 4)
+    byCluster.values.foreach { rs =>
+      val ids = rs.sortBy(_.getInt(2)).map(_.getLong(0) % 6).toSeq
+      assert(ids == Seq(5L, 4L))
+    }
+  }
 }
