@@ -139,6 +139,47 @@ object SparkEntry {
        |FROM fu ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " ")
   }
 
+  /** DuckDB oracle for the retrieve→rerank gate
+    * ([[graft.search.HybridSearch.rerank]]): the BM25 top-50 CTE chain,
+    * then the pair score (hash-embed dot, float-cast like
+    * [[graft.encoders.PairScorer]]) over ONLY the candidates, reranked. */
+  private def rerankOracle: String = {
+    import graft.encoders.HashEmbedKernel
+    s"""WITH t1 AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) dl,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks FROM documents),
+       |st AS (SELECT count(*) n_docs, sum(dl)::DOUBLE / count(*) avgdl FROM t1),
+       |tf AS (SELECT doc_id, dl, tok, count(*) tf FROM
+       |  (SELECT doc_id, dl, unnest(toks) tok FROM t1)
+       |  WHERE tok IN ('vector','spark','dup') GROUP BY 1, 2, 3),
+       |nt AS (SELECT tok, count(*) nt FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, tok,
+       |  ln((n_docs - nt + 0.5) / (nt + 0.5) + 1.0) * (tf * 2.2)
+       |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) s
+       |  FROM tf JOIN nt USING (tok) CROSS JOIN st),
+       |pv AS (SELECT doc_id,
+       |  coalesce(max(CASE WHEN tok = 'vector' THEN s END), 0.0) sv,
+       |  coalesce(max(CASE WHEN tok = 'spark' THEN s END), 0.0) ss,
+       |  coalesce(max(CASE WHEN tok = 'dup' THEN s END), 0.0) sd
+       |  FROM sc GROUP BY doc_id),
+       |lr AS (SELECT doc_id, rn bm25_rank FROM (SELECT doc_id,
+       |  row_number() OVER (ORDER BY sv + ss + sd DESC, doc_id) rn FROM pv) WHERE rn <= 50),
+       |d0 AS (SELECT d.doc_id, ${HashEmbedKernel.sqlRawVec("d.text", 64)} v0
+       |  FROM documents d JOIN lr ON d.doc_id = lr.doc_id),
+       |${HashEmbedKernel.normCtes("d0")},
+       |q0 AS (SELECT ${HashEmbedKernel.sqlRawVec("'vector spark dup search'", 64)} v0),
+       |qn AS (SELECT v0, sqrt(list_sum(list_transform(v0, x -> (x * x)::DOUBLE))) nrm FROM q0),
+       |qf AS (SELECT CASE WHEN nrm = 0 THEN list_transform(v0, x -> (x::FLOAT)::DOUBLE)
+       |  ELSE list_transform(v0, x -> ((x::DOUBLE / nrm)::FLOAT)::DOUBLE) END v FROM qn),
+       |ce AS (SELECT fv.doc_id, lr.bm25_rank,
+       |  CAST(list_dot_product(qf.v, fv.v) AS FLOAT) ce_score
+       |  FROM fv JOIN lr ON fv.doc_id = lr.doc_id CROSS JOIN qf),
+       |rr AS (SELECT doc_id, bm25_rank, ce_score,
+       |  row_number() OVER (ORDER BY ce_score DESC, doc_id) rk FROM ce)
+       |SELECT doc_id, CAST(bm25_rank AS INT) bm25_rank, ce_score, CAST(rk AS INT) "rank"
+       |FROM rr WHERE rk <= 10 ORDER BY rk""".stripMargin.replace("\n", " ")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knn(spark, "/root/testdata/sf0.001", "cos", 10)
@@ -1045,6 +1086,15 @@ object SparkEntry {
       table(s, dir, "documents"), "doc_id", "text",
       terms = Seq("vector", "spark", "dup"),
       queryText = "vector spark dup search", k = 20, n = 50)),
+    // two-stage retrieve -> rerank: BM25 recall top-50, then the pair
+    // scorer (the reference's cross-encoder surface) reranks ONLY the
+    // candidates — the candidate list broadcasts into one corpus scan,
+    // the expensive scoring never touches the corpus
+    "search_rerank_ce" -> ((s, dir) => graft.search.HybridSearch.rerank(
+      table(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("vector", "spark", "dup"),
+      queryText = "vector spark dup search", k = 10, n = 50)
+      .orderBy("rank")),
     // corpus vocabulary: token frequencies, top 100 — the vocab-building
     // step of a tokenizer pipeline; partial (map-side) counts then one
     // shuffle on token, top-n via TakeOrderedAndProject, ties on token
@@ -1982,6 +2032,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(sv + ss + sd AS FLOAT) score FROM pv
         |ORDER BY sv + ss + sd DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
     "search_hybrid_rrf" -> hybridRrfOracle,
+    "search_rerank_ce" -> rerankOracle,
     "text_vocab_top100" ->
       """SELECT tok, count(*) n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

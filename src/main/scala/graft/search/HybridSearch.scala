@@ -82,4 +82,42 @@ object HybridSearch {
           .cast("float").as("rrf_score"))
     fused.orderBy(col("rrf_score").desc, id.asc).limit(k)
   }
+
+  /**
+   * Two-stage retrieve → rerank — the other canonical retrieval stack: a
+   * cheap recall stage (BM25 top-`n`) followed by pair-interaction
+   * scoring of ONLY those candidates ([[graft.encoders.PairScorer]], the
+   * reference's cross-encoder surface, bert_encoder.py:187-192). Returns
+   * top-`k` as `[<idCol>, bm25_rank, ce_score, rank]`, reranked by the
+   * pair score (ties on id).
+   *
+   * Shape at scale: the recall stage is the zero-shuffle BM25 plan ending
+   * in a bounded top-n; the candidate list (≤ n rows) then BROADCASTS
+   * into one more corpus scan to recover the document text — the
+   * expensive pair scoring touches only n rows, never the corpus. That
+   * inversion (score candidates, not the corpus) is exactly why the
+   * two-stage stack exists at 100 TB.
+   */
+  def rerank(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], queryText: String, k: Int,
+      n: Int = 50, dim: Int = 64): DataFrame = {
+    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+    val id = col(idCol)
+    val cands = Relevance.bm25TopK(docs, idCol, textCol, terms, n)
+      .withColumn("bm25_rank", row_number().over(
+        Window.orderBy(col("score").desc, id.asc)))
+      .select(id, col("bm25_rank"))
+    // recover candidate text: broadcast the <=n-row list into the corpus
+    // scan (never the corpus into the list)
+    val withText = docs.select(id, col(textCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("__q", lit(queryText))
+    val scored = new graft.encoders.PairScorer(new graft.encoders.HashEncoder(dim))
+      .score(withText, "__q", textCol, "ce_score")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ce_score").desc, id.asc)))
+      .filter(col("rank") <= k)
+      .select(id, col("bm25_rank"), col("ce_score"), col("rank"))
+  }
 }

@@ -206,6 +206,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("rerank: candidate list broadcasts into the corpus scan, no corpus sort") {
+    val plan = physical(graft.search.HybridSearch.rerank(
+      sf("documents"), "doc_id", "text", Seq("vector", "spark"),
+      "vector spark", k = 10, n = 50))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the <=n-row candidate list must broadcast, not shuffle the corpus")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("boilerplate removal: fingerprint equi-joins only, never cartesian") {
     val plan = physical(graft.dedup.Dedup.removeBoilerplate(
       sf("documents"), "doc_id", "text", minDocs = 3, minLen = 8))

@@ -53,6 +53,22 @@ class HybridSearchSpec extends SparkSpec {
     assert(denseOnly.nonEmpty)
   }
 
+  test("rerank: candidates come from BM25 top-n, order follows the pair score") {
+    val out = HybridSearch.rerank(corpus, "doc_id", "text",
+      terms = Seq("vector", "spark", "dup"),
+      queryText = "vector spark dup search", k = 4, n = 10)
+      .orderBy("rank").collect()
+    assert(out.length == 4)
+    // doc 6 is the exact query text: pair score 1.0, rank 1
+    assert(out.head.getLong(0) == 6L && out.head.getInt(3) == 1)
+    assert(math.abs(out.head.getFloat(2) - 1.0f) < 1e-6f)
+    // every survivor carries its recall-stage rank
+    assert(out.forall(r => r.getInt(1) >= 1))
+    // rerank order is by ce_score descending
+    val scores = out.map(_.getFloat(2)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
   test("deterministic across runs") {
     def run() = HybridSearch.hybridRrf(corpus, "doc_id", "text",
       terms = Seq("vector", "spark"), queryText = "spark vector", k = 6, n = 6)
