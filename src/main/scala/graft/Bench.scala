@@ -45,6 +45,17 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The `sf` field of a prior bench artifact — None when absent. The
+    * suspect/self-heal pass only compares runs at the SAME scale: a 3×
+    * threshold against a reference measured on 10× less data would flag
+    * every query on every scale probe. */
+  def loadRefSf(path: String): Option[String] =
+    try {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      val sf = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes).get("sf")
+      if (sf == null) None else Some(sf.asText())
+    } catch { case _: Throwable => None }
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
     catch { case _: Throwable => "" }
@@ -141,7 +152,13 @@ object Bench {
     // the sweep — by then the episode has usually passed — and the min is
     // taken; both values are recorded so the artifact shows its work.
     val refPathPre = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "BENCH_REF.json")
-    val refPre = loadRef(refPathPre)
+    // cross-scale comparison is meaningless: a scale probe at sf1/sf10
+    // would trip the 3x threshold on every query vs an sf0.1 reference
+    val refScaleMatches = loadRefSf(refPathPre).forall(_ == sfDir)
+    val refPre = if (refScaleMatches) loadRef(refPathPre) else {
+      System.err.println(s"[bench] ref $refPathPre measured a different sf dir; suspect check off")
+      Map.empty[String, Double]
+    }
     val firstPass = suspects(
       results.filter(_._3).map(r => r._1 -> r._2).toMap, refPre)
     val rechecked = firstPass.flatMap { name =>

@@ -1095,6 +1095,17 @@ object SparkEntry {
       terms = Seq("vector", "spark", "dup"),
       queryText = "vector spark dup search", k = 10, n = 50)
       .orderBy("rank")),
+    // hard-negative mining (DPR/SimCSE prep): top-100 retrieval pool per
+    // query, same-label hits (positives, incl. the query itself) dropped,
+    // top-5 survivors kept in retrieval order — the search is the only
+    // corpus-scale stage
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.search.NegativeMining.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+        k = 5, pool = 100)
+        .orderBy("source_id", "neg_rank")
+    }),
     // corpus vocabulary: token frequencies, top 100 — the vocab-building
     // step of a tokenizer pipeline; partial (map-side) counts then one
     // shuffle on token, top-n via TakeOrderedAndProject, ties on token
@@ -2033,6 +2044,21 @@ object SparkEntry {
         |ORDER BY sv + ss + sd DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
     "search_hybrid_rrf" -> hybridRrfOracle,
     "search_rerank_ce" -> rerankOracle,
+    // pool rank over the full corpus (same cos + tie-break as knnOracle),
+    // truncate to the 100-pool, drop same-label rows, re-rank survivors
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+        |s AS (SELECT q.vec_id qid, q.label qlabel, x.vec_id sim_id, x.label xlabel,
+        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) c
+        |  FROM q CROSS JOIN x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, sim_id) rn FROM s),
+        |p AS (SELECT * FROM r WHERE rn <= 100),
+        |n AS (SELECT qid, sim_id, xlabel, c,
+        |  row_number() OVER (PARTITION BY qid ORDER BY rn) nr FROM p WHERE xlabel <> qlabel)
+        |SELECT qid source_id, CAST(nr AS INT) neg_rank, sim_id neg_id,
+        |  xlabel neg_label, CAST(c AS FLOAT) sim_val
+        |FROM n WHERE nr <= 5 ORDER BY source_id, neg_rank""".stripMargin.replace("\n", " "),
     "text_vocab_top100" ->
       """SELECT tok, count(*) n FROM (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -35,6 +35,9 @@ class BenchSpec extends AnyFunSuite {
     val got = Bench.loadRef(f.toString)
     assert(got === Map("q1" -> 1.25, "q2" -> 0.5))
     assert(Bench.loadRef("/nonexistent/path.json") === Map.empty)
+    // the sf field gates cross-scale suspect comparisons
+    assert(Bench.loadRefSf(f.toString) === Some("s"))
+    assert(Bench.loadRefSf("/nonexistent/path.json") === None)
     val g = java.nio.file.Files.createTempFile("bench_ref", ".json")
     java.nio.file.Files.writeString(g, "not json at all")
     assert(Bench.loadRef(g.toString) === Map.empty)
