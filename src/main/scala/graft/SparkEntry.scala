@@ -1545,6 +1545,16 @@ object SparkEntry {
         sum(col("n_tokens")).cast("long").as("sum_tokens"),
         sum(TextAnalysis.fingerprint(col("chunk_text"))).cast("long").as("sum_fp"))
     }),
+    // quality top-p filter: keep the best 30% by heuristic quality score.
+    // The survival threshold is the exact rank-selection quantile at
+    // ceil(0.7*n) — computed via the two-hash-agg histogram path (no full
+    // sort) and broadcast as a 1-row literal into the second scan
+    "pipeline_quality_topp" -> ((s, dir) => {
+      val scored = table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      graft.operators.Relational.topFraction(scored, col("quality"), p = 0.3)
+        .orderBy("doc_id")
+    }),
     // PII scrubbing over deterministic synthetic PII (the corpus carries
     // none): the SAME augmented text is built by both engines from
     // doc_id, then redacted with the shared RE2-compatible pattern set
@@ -1947,6 +1957,31 @@ object SparkEntry {
         |  + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END) * 0.25
         |  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.0) END) * 0.25 quality
         |FROM c ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // same quality expression, then the rank-selection threshold at
+    // ceil(0.7*n) (ties at the threshold all survive)
+    "pipeline_quality_topp" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) toks,
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) ltoks
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  least(len(text)::DOUBLE / 400.0, 1.0) ls,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(toks, x -> len(x)::BIGINT))::DOUBLE / len(toks) END mtl,
+        |  CASE WHEN len(ltoks) = 0 THEN 0.0
+        |    ELSE len(list_filter(ltoks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it')))::DOUBLE / len(ltoks) END sw,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |    ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / len(text) END pr
+        | FROM t),
+        |sc AS (SELECT doc_id,
+        |  ls * 0.25 + (CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25
+        |  + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END) * 0.25
+        |  + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.0) END) * 0.25 quality
+        |FROM c),
+        |r AS (SELECT *, row_number() OVER (ORDER BY quality) rn, count(*) OVER () n FROM sc),
+        |th AS (SELECT max(CASE WHEN rn = ceil(0.7 * n) THEN quality END) thr FROM r)
+        |SELECT doc_id, quality FROM sc CROSS JOIN th
+        |WHERE quality >= thr ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "text_langid" ->
       s"""${langidCtesSql("documents")}
          |SELECT doc_id, CASE ${langidCaseSql} ELSE 'und' END lang_pred

@@ -381,4 +381,34 @@ object Relational {
           col(bigKey) === col(smallKey))
       .drop("__salt")
   }
+
+  /**
+   * Top-`p` fraction filter — the "keep the best X% by score" curation
+   * step (quality top-p, perplexity bottom-p via a negated score): the
+   * survival threshold is the exact rank-selection quantile at sorted
+   * position `ceil((1−p)·n)` (an actual data value, same definition as
+   * [[exactPercentiles]] — bit-exact, oracle-comparable), and every row
+   * whose score ties the threshold survives, so the cut is deterministic
+   * under any tie order.
+   *
+   * Shape at scale: the threshold comes from [[exactPercentilesHist]]
+   * over ONE synthetic group — two hash aggregations plus a window over
+   * only the candidate bucket, never a full sort — and then broadcasts
+   * as a 1-row literal into a second scan's filter. Two scans total, no
+   * corpus shuffle, no driver-side data beyond the histogram.
+   */
+  def topFraction(df: DataFrame, scoreCol: Column, p: Double,
+      bins: Int = 8192): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"p must lie in (0, 1), got $p")
+    val q = 1.0 - p
+    val label = s"p${(q * 100).round}"
+    val scored = df.withColumn("__score", scoreCol.cast("double"))
+    val thr = exactPercentilesHist(
+      scored.select(lit(0).as("__g"), col("__score")),
+      Seq("__g"), "__score", Seq(q), bins)
+      .select(col(label).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("__score") >= col("__thr"))
+      .drop("__score", "__thr")
+  }
 }

@@ -139,4 +139,21 @@ class RelationalSpec extends SparkSpec {
     graft.util.CacheDiscipline.release(out)
     assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
   }
+
+  test("topFraction: rank-selection threshold, threshold ties survive") {
+    val sp = spark
+    import sp.implicits._
+    // scores 1..10: top 30% -> threshold at ceil(0.7*10)=rank 7 -> value 7
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val got = Relational.topFraction(df, col("s"), p = 0.3)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(7L, 8L, 9L, 10L))
+    // ties at the threshold all survive: 1,1,2,2,2 with p=0.4 ->
+    // threshold value at rank ceil(0.6*5)=3 is 2 -> all three 2s kept
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0), (5L, 2.0))
+      .toDF("id", "s")
+    val got2 = Relational.topFraction(tied, col("s"), p = 0.4)
+      .select("id").as[Long].collect().sorted
+    assert(got2.toSeq == Seq(3L, 4L, 5L))
+  }
 }
