@@ -233,4 +233,37 @@ object BpeTokenizer {
           .otherwise(size(col("__t")).cast("long")).as("n_bpe"),
         array_join(col("__t"), " ").as("bpe_text"))
   }
+
+  /**
+   * Tokenizer-artifact persistence — a fitted tokenizer SHIPS WITH the
+   * dataset it produced (retokenizing from a refit model silently
+   * changes every token id downstream), so it gets the same ML-style
+   * parquet persistence as the searcher and whitening models: merges as
+   * `(ord, left, right)` rows (order IS the model — ranks reload from
+   * `ord`), the fitted alphabet as symbol rows alongside. Bounded small
+   * (≤ numMerges + |alphabet| rows).
+   */
+  def save(model: BpeModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("ord", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.alphabet.getOrElse(Set.empty).toSeq.sorted.toDF("sym")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/alphabet")
+  }
+
+  /** Inverse of [[save]]; an empty alphabet directory loads as `None`
+    * (hand-built models without byte-level fallback round-trip). */
+  def load(path: String): BpeModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("ord").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toVector
+    val alpha = spark.read.parquet(s"$path/alphabet")
+      .collect().map(_.getAs[String]("sym")).toSet
+    BpeModel(merges, if (alpha.isEmpty) None else Some(alpha))
+  }
 }

@@ -45,4 +45,25 @@ class BpeTokenizerSpec extends SparkSpec {
     assert(got(2L) === ((-1L, null)))
     assert(got(3L) === ((0L, "")))
   }
+
+  test("save/load round-trip: merges order, alphabet, and encodings identical") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq("low lower lowest", "low low newer wider")
+      .toDF("text")
+    val model = BpeTokenizer.fit(corpus, "text", numMerges = 16, maxWords = 64)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    BpeTokenizer.save(model, dir)
+    val back = BpeTokenizer.load(dir)
+    assert(back.merges === model.merges)
+    assert(back.alphabet === model.alphabet)
+    // byte-level OOV fallback survives the round-trip (ü outside alphabet)
+    for (w <- Seq("lowest", "newer", "zürich"))
+      assert(back.encodeWord(w) === model.encodeWord(w))
+    // a model without an alphabet round-trips to None
+    val bare = BpeModel(Vector(("a", "b")))
+    val dir2 = java.nio.file.Files.createTempDirectory("bpe_model2").toString
+    BpeTokenizer.save(bare, dir2)
+    assert(BpeTokenizer.load(dir2) === bare)
+  }
 }
