@@ -561,6 +561,19 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // faiss "PCARn,inner": PCA + a seeded random rotation composed into
+    // the kernel (variance balancing before PQ); orthonormal ⇒ same
+    // neighbor geometry as plain PCA, and the oracle replays the same
+    // seeded composition
+    "knn_pcar_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PCAR16,Flat"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // train-free IEEE half quantizer (faiss "SQfp16"): 2 bytes per dim,
     // decoded inside the scoring projection (one codegen span with the
     // distance kernel) — no ADC tables, no fitted state at all
@@ -3099,8 +3112,12 @@ object SparkEntry {
     * kernel + bias, project every vector in SQL with the same
     * double-accumulate + float-round as [[WhitenTransform]], then the
     * exact cos top-k tail in the 16-dim space. */
-  private def pcaKnnOracle(s: SparkSession, dir: String, k: Int): String = {
-    val m = new VecsWhitening(16).fit(table(s, dir, "embeddings"), "embedding")
+  private def pcaKnnOracle(s: SparkSession, dir: String, k: Int,
+      whiten: Boolean = true, rotate: Boolean = false): String = {
+    val m0 = new VecsWhitening(16, whiten)
+      .fit(table(s, dir, "embeddings"), "embedding")
+    // PCAR: the SAME seeded rotation the searcher composes at fit time
+    val m = if (rotate) graft.search.SparkSearcher.composeRotation(m0, 16) else m0
     val d = m.kernel.length
     val kbVals = (0 until m.kernel(0).length)
       .map(j => s"($j, ${dArr(Array.tabulate(d)(i => m.kernel(i)(j)))})")
@@ -3226,6 +3243,7 @@ object SparkEntry {
         "knn_ivf_nprobe_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0", nprobe = 0)),
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
+        "knn_pcar_cos" -> (() => pcaKnnOracle(s, dir, 10, whiten = false, rotate = true)),
         "cluster_assign" -> (() => clusterAssignOracle(s, dir)),
         "q_diversity_sample" -> (() => diversityOracle(s, dir)),
         "dedup_embedding_blocked" -> (() => blockedOracle(s, dir)),

@@ -276,14 +276,18 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
 
   val metric: Metric = VectorFunctions.metric(params.measurement, params.metricArg)
 
-  /** faiss `PCAn,…` / `PCAWn,…` vector-transform prefix: fit-time
-    * centered PCA (W = whitened) to n components BEFORE the inner index;
-    * queries project through the same fitted kernel at search. `PCARn`
-    * (random rotation) is not served — it falls through to the parse
-    * error. `calSim` stays in the raw encoder space by design (the
-    * reference's cal_sim never consults the index either,
+  /** faiss `PCAn,…` / `PCAWn,…` / `PCARn,…` vector-transform prefix:
+    * fit-time centered PCA (W = whitened, R = random-rotated output —
+    * faiss's variance-balancing trick before PQ) to n components BEFORE
+    * the inner index; queries project through the same fitted kernel at
+    * search. The R rotation is a SEEDED orthonormal matrix composed into
+    * the fitted kernel at fit time, so persistence and every downstream
+    * path see one affine projection, and distances are preserved exactly
+    * (orthonormality ⇒ the served neighbor SET equals the un-rotated
+    * PCA's — spec-asserted). `calSim` stays in the raw encoder space by
+    * design (the reference's cal_sim never consults the index either,
     * faiss_searcher.py:150-158). */
-  private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean)], String) = {
+  private[search] val (pcaSpec, innerIndexParam): (Option[(Int, Boolean, Boolean)], String) = {
     val raw = Option(params.indexParam).getOrElse("")
     // IDMap is the identity wrapper here (ids are always carried), so
     // faiss's `IDMap,PCAWn,…` composes: strip it before the PCA match.
@@ -292,7 +296,7 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     noIdMap match {
       case SparkSearcher.PcaSpelling(w, n, rest) =>
         require(n.toInt > 0, s"index_param '$raw': PCA to 0 components")
-        (Some((n.toInt, w == "W")), rest)
+        (Some((n.toInt, w == "W", w == "R")), rest)
       case _ => (None, raw)
     }
   }
@@ -337,9 +341,10 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     // it — without this a non-trivial encoder runs twice end-to-end
     val pcaCache = pcaSpec.map(_ => encoded.persist(StorageLevel.MEMORY_AND_DISK))
     val (pcaFit, encodedP) = pcaSpec match {
-      case Some((nc, whiten)) =>
+      case Some((nc, whiten, rotate)) =>
         val src = pcaCache.get
-        val m = new graft.whitening.VecsWhitening(nc, whiten).fit(src, VEC)
+        val m0 = new graft.whitening.VecsWhitening(nc, whiten).fit(src, VEC)
+        val m = if (rotate) SparkSearcher.composeRotation(m0, nc) else m0
         (Some(m), m.transform(src, VEC))
       case None => (None, encoded)
     }
@@ -632,8 +637,38 @@ object SparkSearcher {
   private[search] val RANK = "__rank"
   private[search] val ROW_ID = "row_id"
 
-  // faiss vector-transform prefix (index_factory grammar): PCAn / PCAWn
-  private[search] val PcaSpelling = "PCA(W?)(\\d+),(.+)".r
+  // faiss vector-transform prefix (index_factory grammar): PCAn / PCAWn /
+  // PCARn (random-rotated output)
+  private[search] val PcaSpelling = "PCA([WR]?)(\\d+),(.+)".r
+
+  /** Compose a SEEDED random orthonormal rotation into a fitted PCA
+    * kernel (faiss `PCARn`: balance variance across output components —
+    * matters before PQ's independent per-subspace quantizers). Rotation
+    * of the OUTPUT space: `y' = y · Q` with Q (n'×n') from QR of a
+    * seeded Gaussian matrix, sign-fixed (diag(R) ≥ 0) so the
+    * decomposition — and thus the fitted index — is deterministic.
+    * Orthonormal Q preserves dot products and L2 distances exactly, so
+    * the served neighbor set equals the un-rotated PCA's. */
+  private[graft] def composeRotation(m: graft.whitening.VecsWhiteningModel,
+      n: Int, seed: Long = 0x9e3779b97f4a7c15L): graft.whitening.VecsWhiteningModel = {
+    val rnd = new java.util.Random(seed)
+    val g = breeze.linalg.DenseMatrix.tabulate[Double](n, n)((_, _) => rnd.nextGaussian())
+    val breeze.linalg.qr.QR(q, r) = breeze.linalg.qr.reduced(g)
+    var j = 0
+    while (j < n) {
+      if (r(j, j) < 0) { var i = 0; while (i < n) { q(i, j) = -q(i, j); i += 1 } }
+      j += 1
+    }
+    // y = (x + bias) · kernel  ⇒  y·Q = (x + bias) · (kernel·Q)
+    val d = m.kernel.length
+    val k2 = Array.tabulate(d, n) { (i, jj) =>
+      var s = 0.0
+      var t = 0
+      while (t < n) { s += m.kernel(i)(t) * q(t, jj); t += 1 }
+      s
+    }
+    new graft.whitening.VecsWhiteningModel(k2, m.bias, m.nComponents, m.originDim)
+  }
 
   // public result schema (faiss_searcher.py:129-131)
   val SourceItem = "source_item"
@@ -776,7 +811,9 @@ object SparkSearcher {
     }
     // PCA-prefix kernel: indexParam carries the spelling, so the spec is
     // already parsed; n_components is re-asserted by the loader
-    val pca = searcher.pcaSpec.map { case (nc, _) =>
+    val pca = searcher.pcaSpec.map { case (nc, _, _) =>
+      // the R rotation was composed into the saved kernel at fit time —
+      // load sees a plain affine projection either way
       graft.whitening.VecsWhiteningModel.load(spark, s"$path/pca", Some(nc))
     }
     new SearcherModel(searcher,
