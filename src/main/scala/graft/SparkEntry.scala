@@ -497,6 +497,19 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // faiss `PQmx4fs` fast-scan: the SAME 16-centroid nibble codes —
+    // register blocking is physical-layout-only and a logged no-op on
+    // this engine's columnar ADC scan; gated against the x4 oracle to
+    // prove the spelling serves identical results
+    "knn_pq4fs_cos" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8x4fs"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // PQ over a NON-dot metric: l1 decomposes per subspace like l2, so the
     // same byte codes + per-query ADC tables serve it (all 8 reference
     // metrics do — PqSpec asserts recall for each); hash-match gate via
@@ -3231,6 +3244,8 @@ object SparkEntry {
       val builders: Map[String, () => String] = Map(
         "knn_pq_cos" -> (() => pqOracle(s, dir, "cos", 10)),
         "knn_pq4_cos" -> (() => pqOracle(s, dir, "cos", 10, "PQ8x4")),
+        // x4fs serves the identical x4 codes — same oracle by construction
+        "knn_pq4fs_cos" -> (() => pqOracle(s, dir, "cos", 10, "PQ8x4")),
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
         "knn_opq_cos" -> (() => opqOracle(s, dir, 10)),
         "knn_refine_cos" -> (() => refineOracle(s, dir, 10)),

@@ -88,7 +88,7 @@ final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrate
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
-  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x(\\d+))?".r
+  private val IvfWithPq = "IVF(\\d+),PQ(\\d+)(?:x(\\w+))?".r
   // match ANY ',SQ…' suffix (SQ8 / SQ4 / SQfp16 / SQ6 / …) so unsupported
   // scalar quantizers raise instead of falling through to the uncompressed
   // IVF(n) catch-all — a caller asking for compression must never be
@@ -106,7 +106,7 @@ object IndexStrategy {
   // codes, or 16-centroid nibble-packed codes; `PQmx4fs` fast-scan etc.
   // fall through to the catch-all error rather than silently serving a
   // different code width)
-  private val Pq = "PQ(\\d+)(?:x(\\d+))?".r
+  private val Pq = "PQ(\\d+)(?:x(\\w+))?".r
   private val Sq = "SQ(\\w+)".r
 
   /** Strategies that store byte codes instead of float vectors (PQ / SQ
@@ -176,9 +176,20 @@ object IndexStrategy {
   private def pqWidth(param: String, b: String): Int = b match {
     case null | "" | "8" => 8
     case "4"             => 4
+    // faiss `x4fs` fast-scan: the SAME 16-centroid 4-bit codes, differing
+    // only in a SIMD-register-blocked memory layout — a physical detail
+    // with no analog in this engine's columnar ADC scan. Served as x4
+    // (identical quantization, identical results), logged so the caller
+    // knows the blocked layout specifically is a no-op here.
+    case "4fs" =>
+      log.info(s"index_param '$param': fast-scan (x4fs) register blocking " +
+        "is a no-op on this engine's columnar ADC scan; serving the " +
+        "identical-semantics x4 nibble codes")
+      4
     case _ => throw new IllegalArgumentException(s"index_param '$param': " +
-      "supported PQ code widths are x8 (one byte per subspace) and x4 " +
-      "(two subspace codes nibble-packed per byte)")
+      "supported PQ code widths are x8 (one byte per subspace), x4 " +
+      "(two subspace codes nibble-packed per byte), and x4fs (fast-scan " +
+      "layout, served as x4 — identical codes)")
   }
 
   /** Scalar-quantizer width from the factory suffix: SQ8/SQ4 serve byte

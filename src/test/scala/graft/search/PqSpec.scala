@@ -428,13 +428,17 @@ class PqSpec extends SparkSpec {
     // an uncompressed IvfFlat (e.g. faiss fast-scan strings we don't serve)
     assert(IndexStrategy.parse("IVF16,Flat") === IvfFlat(16))
     // faiss's explicit-width spellings: PQmx8 == PQm; PQmx4 = 16-centroid
-    // nibble-packed codes; fast-scan / other widths raise
+    // nibble-packed codes; x4fs fast-scan = the SAME x4 codes (register
+    // blocking is physical-layout-only, a logged no-op here); other
+    // widths raise
     assert(IndexStrategy.parse("PQ8x8") === PqFlat(8))
     assert(IndexStrategy.parse("IVF16,PQ8x8") === IvfPq(16, 8))
     assert(IndexStrategy.parse("PQ8x4") === PqFlat(8, 4))
     assert(IndexStrategy.parse("IVF16,PQ8x4") === IvfPq(16, 8, 4))
+    assert(IndexStrategy.parse("PQ8x4fs") === PqFlat(8, 4))
+    assert(IndexStrategy.parse("IVF16,PQ8x4fs") === IvfPq(16, 8, 4))
     intercept[IllegalArgumentException](IndexStrategy.parse("PQ8x12"))
-    intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,PQ8x4fs"))
+    intercept[IllegalArgumentException](IndexStrategy.parse("PQ8x8fs"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,Foo"))
   }
 
