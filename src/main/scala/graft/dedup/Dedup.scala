@@ -625,25 +625,41 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
-  /** Block count for [[simHashNearDups]] scaled to the corpus: smallest
-    * `c` in `[maxHamming+1, 8]` whose join-key width `62·(c−maxHamming)/c`
-    * reaches ~`log2(n)+4` bits, i.e. expected RANDOM collisions per row
-    * stay ≤ 1/16 as n grows. `c = maxHamming+1` (single-block keys, the
-    * old fixed policy) holds to ~50k docs; a 10× corpus then moves to
-    * c=5 (two-block ~25-bit keys) instead of paying ~n²/2^15.5 candidate
-    * verifies — the measured 15× super-linearity of the fixed width. The
-    * price is C(c, c−maxHamming) band keys per row (4 → 10 at the first
-    * step), linear in n. Capped at 8 blocks (56 keys/row, ≥38-bit keys —
-    * enough for ~2^42 docs). */
+  /** Block count for [[simHashNearDups]] scaled to the corpus by an
+    * explicit COST MODEL (the result set is block-count-invariant —
+    * generalized pigeonhole is exact — so this only tunes the plan):
+    * pick the `c` in `[maxHamming+1, 8]` minimizing
+    *
+    *   `bands·n  +  2·bands·n²/2^width`
+    *
+    * where `bands = C(c, c−maxHamming)` is the banded-shuffle volume per
+    * row and the second term is the expected RANDOM (birthday) candidate
+    * pairs each paying a join-output verify, weighted 2× a shuffled row.
+    * The earlier rule held collisions ≤ 1/16 per row regardless of band
+    * cost, which stepped c = 5 → 6 at ~2M docs and DOUBLED the shuffle
+    * (10 → 20 bands/row) to suppress verifies that were still 3× cheaper
+    * than the extra shuffle — the sf100 probe's measured 116×. Under the
+    * cost model the same step happens one decade later (~20M docs),
+    * where the verify volume genuinely overtakes. Deterministic: minBy
+    * takes the smallest minimizing `c`. Capped at 8 blocks (56 keys/row,
+    * ≥38-bit keys — enough headroom for ~2^42 docs). */
   def simHashAutoChunks(n: Long, maxHamming: Int): Int = {
     val k = maxHamming
     // the cap must never drop below the pigeonhole minimum k+1: for k >= 8
     // the widening headroom is gone (keys get thin), but correctness holds
     // at exactly k+1 single-block bands — the uncapped pre-scaling policy
     val cap = math.max(k + 1, 8)
-    val target = math.min(48.0,
-      math.log(math.max(2.0, n.toDouble)) / math.log(2) + 4.0)
-    (k + 1 to cap).find(c => 62.0 * (c - k) / c >= target).getOrElse(cap)
+    def choose(c: Int, r: Int): Double = {
+      var num = 1.0; var i = 0
+      while (i < r) { num = num * (c - i) / (i + 1); i += 1 }
+      num
+    }
+    val nn = math.max(2.0, n.toDouble)
+    (k + 1 to cap).minBy { c =>
+      val bands = choose(c, math.min(k, c - k))
+      val width = math.min(48.0, 62.0 * (c - k) / c)
+      bands * nn + 2.0 * bands * nn * nn / math.pow(2.0, width)
+    }
   }
 
   /** SimHash near-dup pairs within `maxHamming`, generalized pigeonhole

@@ -102,10 +102,12 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(auto === base)
-    // auto policy: fixed-width holds at small n, widens as n grows
+    // auto policy (cost model): fixed-width holds at small n, widens as
+    // the expected random-verify volume overtakes the extra band shuffle
     assert(Dedup.simHashAutoChunks(500, 3) === 4)
     assert(Dedup.simHashAutoChunks(50000, 3) === 5)
-    assert(Dedup.simHashAutoChunks(5000000, 3) === 6)
+    assert(Dedup.simHashAutoChunks(5000000, 3) === 5) // was 6 pre-cost-model
+    assert(Dedup.simHashAutoChunks(50000000L, 3) === 6)
     // too few blocks to pigeonhole -> fail fast
     intercept[IllegalArgumentException](
       Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3, chunks = 3))
