@@ -180,6 +180,103 @@ object SparkEntry {
        |FROM rr WHERE rk <= 10 ORDER BY rk""".stripMargin.replace("\n", " ")
   }
 
+  /** The batch-retrieval gates' query set: (qid, terms, query text) —
+    * shared between the Spark-side DataFrame and the oracle's VALUES
+    * lists so the two can never drift. */
+  private val multiQueryDefs: Seq[(Long, Seq[String], String)] = Seq(
+    (0L, Seq("vector", "spark", "dup"), "vector spark dup search"),
+    (1L, Seq("merge", "sort", "fast"), "merge sort fast stream"),
+    (2L, Seq("scan", "filter", "table"), "scan filter big table"))
+
+  private def batchQueries(s: SparkSession): DataFrame =
+    s.createDataFrame(multiQueryDefs).toDF("qid", "terms", "qtext")
+
+  private def qtValues: String = multiQueryDefs
+    .flatMap { case (q, ts, _) => ts.map(t => s"($q,'$t')") }.mkString(",")
+  private def qxValues: String = multiQueryDefs
+    .map { case (q, _, tx) => s"($q,'$tx')" }.mkString(",")
+
+  /** Shared CTE chain for the multi-query BM25 oracles: the inverted
+    * postings restricted to the union of query terms, per-(query, doc)
+    * scores folded in ascending term order (list_reduce — mirrors the
+    * Spark side's aggregate(array_sort(...)) exactly), ranked per query.
+    * Ends at relation `r(qid, doc_id, score, rn)`. */
+  private def bm25MultiCtes: String =
+    s"""qt AS (SELECT * FROM (VALUES $qtValues) v(qid, tok)),
+       |t1 AS (SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0)) dl,
+       |  list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> len(x) > 0) toks FROM documents),
+       |st AS (SELECT count(*) n_docs, sum(dl)::DOUBLE / count(*) avgdl FROM t1),
+       |tf AS (SELECT doc_id, dl, tok, count(*) tf FROM
+       |  (SELECT doc_id, dl, unnest(toks) tok FROM t1)
+       |  WHERE tok IN (SELECT tok FROM qt) GROUP BY 1, 2, 3),
+       |nt AS (SELECT tok, count(*) nt FROM tf GROUP BY 1),
+       |sc AS (SELECT qt.qid, tf.doc_id, tf.tok,
+       |  ln((n_docs - nt + 0.5) / (nt + 0.5) + 1.0) * (tf * 2.2)
+       |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) s
+       |  FROM tf JOIN qt USING (tok) JOIN nt USING (tok) CROSS JOIN st),
+       |ag AS (SELECT qid, doc_id,
+       |  list_reduce(list_prepend(0.0::DOUBLE, list(s ORDER BY tok)), (a, x) -> a + x) score
+       |  FROM sc GROUP BY qid, doc_id),
+       |r AS (SELECT qid, doc_id, score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) rn FROM ag)""".stripMargin
+
+  /** Normalized query hash-embed vectors per qid, ending at
+    * `qf(qid, v: DOUBLE[])` — the query-side mirror of
+    * [[graft.encoders.HashEmbedKernel]]'s normCtes. */
+  private def queryVecCtes: String = {
+    import graft.encoders.HashEmbedKernel
+    s"""qx AS (SELECT * FROM (VALUES $qxValues) v(qid, qtext)),
+       |q0 AS (SELECT qid, ${HashEmbedKernel.sqlRawVec("qtext", 64)} v0q FROM qx),
+       |qn AS (SELECT qid, v0q, sqrt(list_sum(list_transform(v0q, x -> (x * x)::DOUBLE))) nrm FROM q0),
+       |qf AS (SELECT qid, CASE WHEN nrm = 0 THEN list_transform(v0q, x -> (x::FLOAT)::DOUBLE)
+       |  ELSE list_transform(v0q, x -> ((x::DOUBLE / nrm)::FLOAT)::DOUBLE) END v FROM qn)""".stripMargin
+
+  }
+
+  private def bm25MultiOracle(n: Int): String =
+    s"""WITH $bm25MultiCtes
+       |SELECT CAST(qid AS BIGINT) qid, doc_id, CAST(score AS FLOAT) score, CAST(rn AS INT) "rank"
+       |FROM r WHERE rn <= $n ORDER BY qid, rn""".stripMargin.replace("\n", " ")
+
+  private def hybridRrfMultiOracle(k: Int, n: Int): String = {
+    import graft.encoders.HashEmbedKernel
+    s"""WITH $bm25MultiCtes,
+       |lr AS (SELECT qid, doc_id, rn lex_rank FROM r WHERE rn <= $n),
+       |d0 AS (SELECT doc_id, ${HashEmbedKernel.sqlRawVec("text", 64)} v0 FROM documents WHERE text IS NOT NULL),
+       |${HashEmbedKernel.normCtes("d0")},
+       |$queryVecCtes,
+       |ds AS (SELECT qf.qid, fv.doc_id, list_dot_product(fv.v, qf.v) s FROM fv CROSS JOIN qf),
+       |dr AS (SELECT qid, doc_id, rn dense_rank FROM (SELECT qid, doc_id,
+       |  row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) rn FROM ds) WHERE rn <= $n),
+       |fu AS (SELECT coalesce(lr.qid, dr.qid) qid, coalesce(lr.doc_id, dr.doc_id) doc_id,
+       |  lex_rank, dense_rank,
+       |  CAST(coalesce(1.0::DOUBLE / (60 + lex_rank), 0.0) + coalesce(1.0::DOUBLE / (60 + dense_rank), 0.0) AS FLOAT) rrf_score
+       |  FROM lr FULL JOIN dr ON lr.qid = dr.qid AND lr.doc_id = dr.doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_score DESC, doc_id) rr FROM fu)
+       |SELECT CAST(qid AS BIGINT) qid, doc_id, CAST(lex_rank AS INT) lex_rank,
+       |  CAST(dense_rank AS INT) dense_rank, rrf_score
+       |FROM rk WHERE rr <= $k ORDER BY qid, rrf_score DESC, doc_id""".stripMargin.replace("\n", " ")
+  }
+
+  private def rerankMultiOracle(k: Int, n: Int): String = {
+    import graft.encoders.HashEmbedKernel
+    s"""WITH $bm25MultiCtes,
+       |lr AS (SELECT qid, doc_id, rn bm25_rank FROM r WHERE rn <= $n),
+       |d0 AS (SELECT d.doc_id, ${HashEmbedKernel.sqlRawVec("d.text", 64)} v0 FROM documents d
+       |  WHERE d.doc_id IN (SELECT doc_id FROM lr)),
+       |${HashEmbedKernel.normCtes("d0")},
+       |$queryVecCtes,
+       |ce AS (SELECT lr.qid, fv.doc_id, lr.bm25_rank,
+       |  CAST(list_dot_product(qf.v, fv.v) AS FLOAT) ce_score
+       |  FROM fv JOIN lr ON fv.doc_id = lr.doc_id JOIN qf ON qf.qid = lr.qid),
+       |rr AS (SELECT qid, doc_id, bm25_rank, ce_score,
+       |  row_number() OVER (PARTITION BY qid ORDER BY ce_score DESC, doc_id) rk FROM ce)
+       |SELECT CAST(qid AS BIGINT) qid, doc_id, CAST(bm25_rank AS INT) bm25_rank,
+       |  ce_score, CAST(rk AS INT) "rank"
+       |FROM rr WHERE rk <= $k ORDER BY qid, rk""".stripMargin.replace("\n", " ")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knn(spark, "/root/testdata/sf0.001", "cos", 10)
@@ -894,6 +991,17 @@ object SparkEntry {
         "doc_id", "text", w = 8)
         .orderBy("doc_id")
     }),
+    // twin gate: FORCE the equi-join fallback (maxBroadcast = 0) — the
+    // path a corpus-sized eval set takes when its gram table outgrows the
+    // driver broadcast bound. Same static oracle: both paths are exact.
+    "decontam_ngrams_join" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.decontaminateNgrams(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 7),
+        "doc_id", "text", w = 8, maxBroadcast = 0L)
+        .orderBy("doc_id")
+    }),
     // dedup: exact (hash aggregation on a prefix key)
     "dedup_exact_prefix" -> ((s, dir) => Dedup.exact(
       table(s, dir, "documents").withColumn("prefix", substring(col("text"), 1, 20)),
@@ -1121,6 +1229,24 @@ object SparkEntry {
       terms = Seq("vector", "spark", "dup"),
       queryText = "vector spark dup search", k = 10, n = 50)
       .orderBy("rank")),
+    // batch-query retrieval surfaces: query SETS, the curation-run shape.
+    // Lexical side is the inverted-postings multi-query BM25 (work =
+    // postings volume, not |Q|·corpus); per-query top-n via rank windows
+    // that compile to WindowGroupLimit (pinned in PlanShapeSpec)
+    "text_bm25_multi" -> ((s, dir) => graft.text.Relevance.bm25Batch(
+      table(s, dir, "documents"), "doc_id", "text",
+      batchQueries(s), "qid", "terms", n = 20)
+      .select(col("qid"), col("doc_id"),
+        col("score").cast("float").as("score"), col("rank"))
+      .orderBy("qid", "rank")),
+    "search_hybrid_rrf_multi" -> ((s, dir) => graft.search.HybridSearch.hybridRrfBatch(
+      table(s, dir, "documents"), "doc_id", "text",
+      batchQueries(s), "qid", "terms", "qtext", k = 20, n = 50)
+      .orderBy(col("qid"), col("rrf_score").desc, col("doc_id"))),
+    "search_rerank_ce_multi" -> ((s, dir) => graft.search.HybridSearch.rerankBatch(
+      table(s, dir, "documents"), "doc_id", "text",
+      batchQueries(s), "qid", "terms", "qtext", k = 10, n = 50)
+      .orderBy("qid", "rank")),
     // hard-negative mining (DPR/SimCSE prep): top-100 retrieval pool per
     // query, same-label hits (positives, incl. the query itself) dropped,
     // top-5 survivors kept in retrieval order — the search is the only
@@ -2105,6 +2231,9 @@ object SparkEntry {
         |ORDER BY sv + ss + sd DESC, doc_id LIMIT 20""".stripMargin.replace("\n", " "),
     "search_hybrid_rrf" -> hybridRrfOracle,
     "search_rerank_ce" -> rerankOracle,
+    "text_bm25_multi" -> bm25MultiOracle(20),
+    "search_hybrid_rrf_multi" -> hybridRrfMultiOracle(20, 50),
+    "search_rerank_ce_multi" -> rerankMultiOracle(10, 50),
     // pool rank over the full corpus (same cos + tie-break as knnOracle),
     // truncate to the 100-pool, drop same-label rows, re-rank survivors
     "q_hard_negatives" ->
@@ -2116,7 +2245,8 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, sim_id) rn FROM s),
         |p AS (SELECT * FROM r WHERE rn <= 100),
         |n AS (SELECT qid, sim_id, xlabel, c,
-        |  row_number() OVER (PARTITION BY qid ORDER BY rn) nr FROM p WHERE xlabel <> qlabel)
+        |  row_number() OVER (PARTITION BY qid ORDER BY rn) nr FROM p
+        |  WHERE xlabel IS DISTINCT FROM qlabel)
         |SELECT qid source_id, CAST(nr AS INT) neg_rank, sim_id neg_id,
         |  xlabel neg_label, CAST(c AS FLOAT) sim_val
         |FROM n WHERE nr <= 5 ORDER BY source_id, neg_rank""".stripMargin.replace("\n", " "),
@@ -2601,7 +2731,24 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
-  ) ++ dynamicOracles
+  ) ++ dynamicOracles ++ Map(
+    // the forced-join twin computes the identical result through the
+    // fallback plan — one oracle text serves both gates
+    "decontam_ngrams_join" ->
+        """WITH b0 AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+          |  ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks FROM documents),
+          |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0
+          |  WHERE toks IS NOT NULL AND len(toks) >= 8),
+          |gs AS (SELECT g0.doc_id, array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
+          |  FROM g0 JOIN b0 USING (doc_id)),
+          |ev AS (SELECT DISTINCT gram FROM gs WHERE doc_id % 20 = 7),
+          |h AS (SELECT doc_id, count(*) n_hits, count(DISTINCT gram) n_distinct
+          |  FROM gs JOIN ev USING (gram) WHERE doc_id % 20 <> 7 GROUP BY doc_id)
+          |SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) n_hits,
+          |  CAST(coalesce(h.n_distinct, 0) AS BIGINT) n_distinct,
+          |  CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT) contaminated
+          |FROM documents d LEFT JOIN h USING (doc_id)
+          |WHERE d.doc_id % 20 <> 7 ORDER BY d.doc_id""".stripMargin.replace("\n", " "))
 
   // ---------------------------------------------------------------------
   // Data-dependent oracles. Some gate models (PQ codebooks, IVF/k-means

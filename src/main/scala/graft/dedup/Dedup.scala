@@ -252,19 +252,53 @@ object Dedup {
    * shuffle, no exploded gram stream on the big side. Grams travel as
    * the same 64-bit fingerprints as [[dedupSpans]] (the gate's oracle
    * joins gram STRINGS, doubling as the collision canary).
+   *
+   * The broadcast path holds every distinct eval gram on the driver and
+   * in each task — bounded by `maxBroadcast` (default 8M grams ≈ 64 MB
+   * as a sorted long array). Decontaminating against a held-out CORPUS
+   * rather than a benchmark suite crosses that bound, and the operator
+   * falls back to the fingerprint equi-join shape ([[dedupSpans]]' plan):
+   * explode the train grams, join the eval gram table, two-level
+   * aggregate back to per-doc counts. Same result, one corpus shuffle
+   * instead of zero — the price of an eval set that no longer fits in
+   * memory. Both paths are exact and gate-equivalent.
    */
   def decontaminateNgrams(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, w: Int = 8): DataFrame = {
-    val evalSorted: Array[Long] = eval
+      textCol: String, w: Int = 8, maxBroadcast: Long = 8000000L): DataFrame = {
+    val evalGrams = eval
       .filter(col(textCol).isNotNull)
       .select(explode(toCol(GramHashesExpr(toExpr(col(textCol)), w))).as("g"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    val hits = toCol(GramHitsExpr(toExpr(col(textCol)), w, evalSorted))
-    train.select(col(idCol), hits.as("h"))
-      .select(col(idCol),
-        coalesce(col("h.n_hits"), lit(0L)).as("n_hits"),
-        coalesce(col("h.n_distinct"), lit(0L)).as("n_distinct"))
-      .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEval = evalGrams.count()
+    if (nEval <= maxBroadcast) {
+      val evalSorted: Array[Long] = evalGrams.collect().map(_.getLong(0)).sorted
+      evalGrams.unpersist(blocking = false)
+      val hits = toCol(GramHitsExpr(toExpr(col(textCol)), w, evalSorted))
+      train.select(col(idCol), hits.as("h"))
+        .select(col(idCol),
+          coalesce(col("h.n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("h.n_distinct"), lit(0L)).as("n_distinct"))
+        .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
+    } else {
+      ccLog.info(s"decontaminateNgrams: $nEval distinct eval grams exceed " +
+        s"maxBroadcast=$maxBroadcast -> fingerprint equi-join path")
+      val trainGrams = train
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).as("__did"),
+          explode(toCol(GramHashesExpr(toExpr(col(textCol)), w))).as("g"))
+      val perDoc = trainGrams.join(evalGrams, "g")
+        .groupBy(col("__did"), col("g")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("__did"))
+        .agg(sum(col("__c")).as("n_hits"), count(lit(1)).as("n_distinct"))
+      val out = train.select(col(idCol))
+        .join(perDoc.withColumnRenamed("__did", idCol), Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+        .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
+      graft.util.CacheDiscipline.materializeAndFree(out, evalGrams)
+    }
   }
 
   /**
@@ -386,37 +420,53 @@ object Dedup {
    * (`count(distinct doc_id)` resolved as a two-level (lh, doc_id) agg so
    * the per-gram distinct never materializes a set), and the boilerplate
    * SET is the output of a `df ≥ minDocs` filter over heavy hitters —
-   * tiny by construction, so the join back is a broadcast anti-join
-   * under AQE. Fingerprints shuffle as 8 bytes; the gate's oracle groups
-   * by the line STRING (collision canary, like the dedup_lines gate).
+   * tiny by construction, so the join back broadcasts under AQE.
+   * Membership is verified on the line STRING, not just the 64-bit
+   * fingerprint — the boilerplate table carries its canonical string for
+   * free, so a fingerprint collision cannot delete innocent content (the
+   * gate's oracle groups by string; this makes production match it).
+   * Untouched documents — the majority on a realistic corpus, where
+   * boilerplate hits a minority of docs — pass their text through
+   * VERBATIM: only documents that actually lose a line ship their removed
+   * POSITIONS (ints) through the rebuild shuffle, where the earlier shape
+   * regrouped and re-sorted every line of every document.
    */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 3, minLen: Int = 1, delim: String = "\n"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val delimQ = java.util.regex.Pattern.quote(delim)
     val lines = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
+        posexplode(split(col(textCol), delimQ, -1))
           .as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency per line fingerprint: pre-aggregate (lh, doc_id)
     // first — a line repeated inside one doc counts once, and the second
-    // agg sees one row per (line, doc) instead of per occurrence
+    // agg sees one row per (line, doc) instead of per occurrence. min(line)
+    // rides along as the canonical string for collision-safe verification.
     val boiler = lines.filter(length(col("line")) >= minLen)
-      .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("lh")).agg(count(lit(1)).as("__df"))
+      .groupBy(col("lh"), col("doc_id")).agg(first(col("line")).as("__ln"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("__df"), min(col("__ln")).as("__bl"))
       .filter(col("__df") >= minDocs)
-      .select(col("lh"))
-    val kept = lines.join(boiler, Seq("lh"), "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__pl"))
-      .select(col("doc_id"),
-        array_join(transform(col("__pl"), _.getField("line")), delim).as("text_clean"))
+      .select(col("lh"), col("__bl"))
+    // removed positions per AFFECTED doc: inner join against the tiny
+    // boilerplate set (string-verified), only position ints shuffle
+    val removed = lines.join(boiler, Seq("lh"))
+      .filter(col("line") === col("__bl"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__rm"))
+    val parts = split(col("__orig"), delimQ, -1)
     val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__orig").isNull, lit(null).cast("string"))
-          .otherwise(coalesce(col("text_clean"), lit(""))).as("text_clean"))
+          .when(col("__rm").isNull, col("__orig"))
+          .otherwise(array_join(
+            transform(
+              array_except(sequence(lit(0), size(parts) - 1), col("__rm")),
+              p => element_at(parts, p + 1)),
+            delim)).as("text_clean"))
     graft.util.CacheDiscipline.materializeAndFree(out, lines)
   }
 
@@ -453,7 +503,7 @@ object Dedup {
    * Nothing is quadratic, nothing is collected.
    */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
+      w: Int, hotDf: Long = 32, maxHotBroadcast: Long = 2000000): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
     // only (id, text) is cached: token arrays materialize exclusively in
     // the rebuild projection of AFFECTED documents
@@ -475,30 +525,55 @@ object Dedup {
       .agg(min(struct(col("doc_id"), col("gp"))).as("__first"),
         count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-    // duplicate occurrences = every occurrence except the global first;
-    // only these expand into covered positions, collapsing to one bounded
-    // array per AFFECTED document (collect_set dedups overlapping windows)
-    val covered = grams.join(firsts, Seq("gh"))
-      .filter(!(col("__first.doc_id") === col("doc_id") &&
-        col("__first.gp") === col("gp")))
-      .select(col("doc_id"),
-        explode(sequence(col("gp"), col("gp") + (w - 1))).as("tp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // HOT-GRAM SPLIT (third-decade skew guard): a gram duplicated m times
+    // lands m occurrences on ONE reducer key of the grams⋈firsts join, and
+    // in a clone-heavy corpus the hot tail is most of the join volume —
+    // the r10 sf100 probe's covered-position expansion. Heavy-hitter grams
+    // (df ≥ hotDf) are few by Zipf, so their first-occurrence table
+    // BROADCASTS: their occurrences — the bulk — never shuffle at all, and
+    // the residual cold join has per-key fan-in < hotDf (no skew). Falls
+    // back to the single shuffle join when the hot table outgrows the
+    // broadcast cap (a corpus where millions of DISTINCT grams each repeat
+    // ≥ hotDf times — at that density the shuffle is the data, not skew).
+    val isNotFirst = !(col("__first.doc_id") === col("doc_id") &&
+      col("__first.gp") === col("gp"))
+    val hotTbl = firsts.filter(col("__c") >= hotDf).select(col("gh"), col("__first"))
+    val nHot = hotTbl.count()
+    val dupOcc =
+      if (nHot > 0 && nHot <= maxHotBroadcast) {
+        ccLog.info(s"dedupSpans hot-gram broadcast: $nHot grams with df>=$hotDf")
+        val hotOcc = grams.join(broadcast(hotTbl), Seq("gh"))
+        val coldOcc = grams.join(
+          firsts.filter(col("__c") < hotDf).select(col("gh"), col("__first")),
+          Seq("gh"))
+        hotOcc.unionByName(coldOcc)
+      } else grams.join(firsts.select(col("gh"), col("__first")), Seq("gh"))
+    // duplicate occurrences = every occurrence except the global first.
+    // Only the gram START positions shuffle (8 bytes per occurrence — the
+    // earlier explode shipped all w covered positions per occurrence);
+    // the w-wide windows expand inside the per-document projection below.
+    val covered = dupOcc
+      .filter(isNotFirst)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("tp")).as("__cov"))
+      .agg(sort_array(collect_set(col("gp"))).as("__gps"))
     // untouched docs pass through VERBATIM (zero-copy; the oracle mirrors
-    // this); affected docs rebuild via a linear positional mask:
+    // this); affected docs rebuild via a linear positional mask: window
+    // expansion + overlap dedup happen in one row-local projection,
     // array_except keeps surviving positions in order, element_at gathers
     // their tokens — one projection, no re-sort
+    val covPositions = array_distinct(flatten(transform(col("__gps"),
+      g => sequence(g, g + (w - 1)))))
     val out = base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__text").isNull, lit(null).cast("string"))
-          .when(col("__cov").isNull, col("__text"))
+          .when(col("__gps").isNull, col("__text"))
           .otherwise(array_join(
             transform(
-              array_except(sequence(lit(0), size(toks) - 1), col("__cov")),
+              array_except(sequence(lit(0), size(toks) - 1), covPositions),
               p => element_at(toks, p + 1)),
             " ")).as("text_dedup"))
-    graft.util.CacheDiscipline.materializeAndFree(out, base)
+    graft.util.CacheDiscipline.materializeAndFree(out, base, firsts)
   }
 
   /**
@@ -682,11 +757,29 @@ object Dedup {
     * result pairs on a dup-heavy corpus), each pair is kept only where the
     * matched band is its FIRST agreeing band — a codegen filter on the
     * two fingerprints already in hand, no extra shuffle. The hamming filter
-    * runs before anything else downstream sees the row. */
+    * runs before anything else downstream sees the row.
+    *
+    * SKEW GUARD (third decade): banding runs over DISTINCT fingerprint
+    * CLASSES, not rows. A clone-heavy corpus (the production norm — web
+    * crawls are ~30% exact dups) piles identical fingerprints into the
+    * same banded buckets, and the bucket join pays O(m²) verifies per
+    * m-clone cluster — the r10 sf100 probe's measured ~4× residual above
+    * the scan envelope. Classes make the banded shuffle and verify volume
+    * scale with DISTINCT content: identical-fingerprint pairs (hamming 0)
+    * come from one class self-join whose every output row is a result, and
+    * cross-class pairs expand back to ids through two linear equi-joins.
+    * The result set is bit-identical to row-level banding. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashKernels.Bits,
       s"maxHamming must be in [0, ${SimHashKernels.Bits}), got $maxHamming")
+    // (id, fingerprint) — persisted: the class table, both zero-pair join
+    // sides, and both expansion joins consume it, and the fingerprint
+    // kernel (tokenize + 62 polynomial votes) must run ONCE per doc
+    val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpTab = sh.select(col("sh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c =
       if (chunks > 0) {
         require(chunks > maxHamming,
@@ -696,13 +789,14 @@ object Dedup {
           s"chunks=$chunks exceeds the ${SimHashKernels.Bits}-bit fingerprint")
         chunks
       } else {
-        val n = df.count()
-        val auto = simHashAutoChunks(n, maxHamming)
-        ccLog.info(s"simHashNearDups auto-chunks: n=$n maxHamming=$maxHamming " +
+        // the cost model's n is the CLASS count: candidate volume in the
+        // banded join is driven by distinct fingerprints, not rows
+        val nd = fpTab.count()
+        val auto = simHashAutoChunks(nd, maxHamming)
+        ccLog.info(s"simHashNearDups auto-chunks: distinct=$nd maxHamming=$maxHamming " +
           s"-> blocks=$auto (~${62.0 * (auto - maxHamming) / auto}-bit keys)")
         auto
       }
-    val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
     val blockSpec = simHashChunks(c)
     // all (c − maxHamming)-block combinations, in combinations() order —
     // the oracle builder enumerates the same order
@@ -717,22 +811,40 @@ object Dedup {
         val (off, width) = blockSpec(bi)
         shiftleft(acc, width).bitwiseOR(blockKey(fp, off, width))
       }
-    val banded = sh.select(col("id"), col("sh"), posexplode(
+    val banded = fpTab.select(col("sh"), posexplode(
       array(subsets.map(s => bandKey(col("sh"), s)): _*))
       .as(Seq("chunk", "key")))
-    val l = banded.select(col("chunk"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("chunk"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val l = banded.select(col("chunk"), col("key"), col("sh").as("sh_a"))
+    val r = banded.select(col("chunk"), col("key"), col("sh").as("sh_b"))
     // first-agreeing-band: every earlier band key must DIFFER
     val firstMatch = subsets.zipWithIndex.foldLeft(lit(true): Column) {
       case (acc, (s, ci)) =>
         acc && (col("chunk") <= ci ||
           bandKey(col("sh_a"), s) =!= bandKey(col("sh_b"), s))
     }
-    l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+    // distinct near-dup fingerprint PAIRS — |classes|-sized banded join
+    val fpPairs = l.join(r, Seq("chunk", "key")).filter(col("sh_a") < col("sh_b"))
       .filter(firstMatch)
-      .select(col("id_a"), col("id_b"),
+      .select(col("sh_a"), col("sh_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // cross-class pairs: expand fingerprint pairs back to ids (two linear
+    // hash joins; AQE broadcasts fpPairs when small). least/greatest keeps
+    // the id_a < id_b contract whichever class holds the smaller id.
+    val cross = fpPairs
+      .join(sh.select(col("sh").as("sh_a"), col("id").as("ia")), "sh_a")
+      .join(sh.select(col("sh").as("sh_b"), col("id").as("ib")), "sh_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // within-class pairs: identical fingerprints are hamming 0 by
+    // definition — one self-join on the fingerprint, every output row a
+    // true result (no verify, no banding)
+    val zero = sh.select(col("sh"), col("id").as("id_a"))
+      .join(sh.select(col("sh"), col("id").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    graft.util.CacheDiscipline.materializeAndFree(
+      cross.unionByName(zero), sh, fpTab)
   }
 
   private lazy val ccLog = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")

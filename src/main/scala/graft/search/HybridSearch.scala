@@ -120,4 +120,88 @@ object HybridSearch {
       .filter(col("rank") <= k)
       .select(id, col("bm25_rank"), col("ce_score"), col("rank"))
   }
+
+  /**
+   * Batch hybrid RRF — the query-SET surface ([[hybridRrf]] is its
+   * single-query special case; a real curation run fuses thousands of
+   * queries). `queries` carries `(qidCol, termsCol: array<string>,
+   * qTextCol: string)`. Returns per-query fused top-`k`:
+   * `[<qidCol>, <idCol>, lex_rank, dense_rank, rrf_score]`.
+   *
+   * Shape at scale: the lexical side is the inverted-postings multi-query
+   * BM25 ([[Relevance.bm25Batch]] — work = postings volume, not
+   * |Q|·corpus); the dense side embeds the corpus ONCE and scores all
+   * broadcast query vectors in the same scan, then takes per-query top-n
+   * through a rank window that compiles to WindowGroupLimit (partial
+   * top-n before the one exchange — no corpus sort, no cartesian
+   * materialization beyond the scored stream itself). Fusion joins two
+   * |Q|·n-row lists. Corpus cost: two scans, independent of |Q|.
+   */
+  def hybridRrfBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
+      k: Int, n: Int = 50, rrfK: Int = 60, dim: Int = 64): DataFrame = {
+    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+    val id = col(idCol)
+    val lex = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
+        termsCol, n)
+      .select(col(qidCol), id, col("rank").as("lex_rank"))
+    // query vectors: the same codegen kernel that embeds the corpus,
+    // normalized like HashEncoder output; |Q| rows, broadcast
+    val qv = new HashEncoder(dim).encode(
+        queries.filter(col(qTextCol).isNotNull), qTextCol, "__qv")
+      .select(col(qidCol), col("__qv"))
+    val denseScored = new HashEncoder(dim).encode(
+        docs.filter(col(textCol).isNotNull), textCol, "__v")
+      .select(id, col("__v"))
+      .crossJoin(broadcast(qv))
+      .select(col(qidCol), id,
+        VectorFunctions.vec_dot(col("__v"), col("__qv")).as("__s"))
+    val wDense = Window.partitionBy(col(qidCol)).orderBy(col("__s").desc, id.asc)
+    val dense = denseScored.withColumn("dense_rank", row_number().over(wDense))
+      .filter(col("dense_rank") <= n)
+      .select(col(qidCol), id, col("dense_rank"))
+    val fused = lex.join(dense, Seq(qidCol, idCol), "full_outer")
+      .select(col(qidCol), id, col("lex_rank"), col("dense_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)))
+          .cast("float").as("rrf_score"))
+    val wFuse = Window.partitionBy(col(qidCol))
+      .orderBy(col("rrf_score").desc, id.asc)
+    fused.withColumn("__r", row_number().over(wFuse))
+      .filter(col("__r") <= k)
+      .select(col(qidCol), id, col("lex_rank"), col("dense_rank"),
+        col("rrf_score"))
+  }
+
+  /**
+   * Batch retrieve → rerank — the query-SET surface of [[rerank]].
+   * `queries` carries `(qidCol, termsCol, qTextCol)`. Returns
+   * `[<qidCol>, <idCol>, bm25_rank, ce_score, rank]`, per-query top-`k`
+   * by pair score.
+   *
+   * Shape at scale: multi-query BM25 recall (postings join), then the
+   * |Q|·n candidate list BROADCASTS into one corpus scan to recover
+   * text; pair scoring touches candidates only, and the final per-query
+   * top-k is a WindowGroupLimit rank window. The corpus is scanned
+   * twice regardless of |Q|; the cross-encoder never sees it.
+   */
+  def rerankBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
+      k: Int, n: Int = 50, dim: Int = 64): DataFrame = {
+    require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
+    val id = col(idCol)
+    val cands = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
+        termsCol, n)
+      .select(col(qidCol), id, col("rank").as("bm25_rank"))
+    val withText = docs.select(id, col(textCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qTextCol).as("__q"))),
+        Seq(qidCol))
+    val scored = new graft.encoders.PairScorer(new HashEncoder(dim))
+      .score(withText, "__q", textCol, "ce_score")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("ce_score").desc, id.asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), id, col("bm25_rank"), col("ce_score"), col("rank"))
+  }
 }

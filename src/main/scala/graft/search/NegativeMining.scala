@@ -39,8 +39,14 @@ object NegativeMining {
       queryIdCol = Some(idCol))
     val qLabels = queries.select(col(idCol).as("__qid"),
       col(labelCol).as("__qlabel"))
+    // null semantics are EXPLICIT: a null label means "class unknown",
+    // which is not evidence the item shares the query's class — so
+    // null-labeled neighbors stay eligible as negatives, and a
+    // null-labeled query keeps every labeled neighbor (null-safe
+    // inequality; plain =!= would silently drop both). Mirrors the
+    // oracle's IS DISTINCT FROM.
     val negs = hits.join(broadcast(qLabels), col(idCol) === col("__qid"))
-      .filter(col(labelCol) =!= col("__qlabel"))
+      .filter(!(col(labelCol) <=> col("__qlabel")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("rank_no").asc)
     negs.withColumn("neg_rank", row_number().over(w))
       .filter(col("neg_rank") <= k)

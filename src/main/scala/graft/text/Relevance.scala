@@ -69,4 +69,61 @@ object Relevance {
     bm25(df, idCol, textCol, terms, k1, b)
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+
+  /**
+   * Multi-query BM25 — the batch surface a curation run needs (`queries`
+   * is a DataFrame of `(qidCol, termsCol: array<string>)`; real mining
+   * runs thousands of queries, not one). Returns the per-query top-`n`:
+   * `[<qidCol>, <idCol>, score, rank]`, `rank` 1-based by
+   * `(score desc, id asc)` within each query.
+   *
+   * Shape at scale — the inverted-postings join, not |Q| corpus scans:
+   * tokenize once, keep only tokens in the UNION of query terms (a
+   * broadcast semi-filter), aggregate `(doc, term) → tf`, then join the
+   * broadcast query-term and document-frequency tables. Work is
+   * Σ_t df(t)·qf(t) — the true postings volume — independent of |Q|·N.
+   * Per-(query, doc) scores fold in ascending TERM order
+   * (`aggregate(array_sort(...))`, the [[graft.text.Importance]]
+   * discipline) so the double sum is order-stable and oracle-matchable;
+   * the per-query top-n is a rank window that compiles to
+   * WindowGroupLimit — partial top-n before the exchange, no corpus
+   * sort.
+   */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termsCol: String, n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val qterms = queries.select(col(qidCol).as("__qid"),
+      explode(array_distinct(col(termsCol))).as("__term"))
+    val termSet = qterms.select(col("__term")).distinct()
+    // scan 1: corpus stats (N over every doc, avgdl over non-null texts —
+    // the same population the single-query path aggregates)
+    val stats = df.select(size(toks(col(textCol))).as("__dl"))
+      .agg(count(lit(1)).as("__n_docs"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    // scan 2: postings restricted to query terms before any shuffle
+    val tf = df
+      .select(col(idCol), size(toks(col(textCol))).as("__dl"),
+        explode(toks(col(textCol))).as("__term"))
+      .join(broadcast(termSet), Seq("__term"))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val nt = tf.groupBy(col("__term")).agg(count(lit(1)).as("__nt"))
+    val idf = log((col("__n_docs") - col("__nt") + 0.5) / (col("__nt") + 0.5) + 1.0)
+    val s = idf * (col("__tf") * lit(k1 + 1.0)) /
+      (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val perTerm = tf
+      .join(broadcast(nt), Seq("__term"))
+      .join(broadcast(qterms), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(col("__qid"), col(idCol), col("__term"), s.as("__s"))
+    val scored = perTerm.groupBy(col("__qid"), col(idCol))
+      .agg(aggregate(array_sort(collect_list(struct(col("__term"), col("__s")))),
+        lit(0.0), (acc, x) => acc + x.getField("__s")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid")).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select(col("__qid").as(qidCol), col(idCol), col("score"), col("rank"))
+  }
 }
