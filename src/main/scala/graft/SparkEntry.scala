@@ -354,6 +354,37 @@ object SparkEntry {
 
   /** DuckDB oracle for simhash near-dups: 62-bit two-polynomial fingerprint
     * (bit votes over token multisets), pigeonhole chunk join, hamming ≤ max. */
+  /** dedup_spans / dedup_spans_hot shared oracle: duplicated 8-token
+    * windows keep their global (doc_id, pos)-first occurrence; other
+    * occurrences mask their covered tokens. Grouped by the gram STRING
+    * (the Spark side shuffles 64-bit fingerprints) — collision canary.
+    * The hot-gram split is result-invariant, so ONE SQL gates both. */
+  private val spansOracleSql: String =
+    """WITH b0 AS (SELECT doc_id, text, CASE WHEN text IS NULL THEN NULL
+      |  ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks FROM documents),
+      |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0
+      |  WHERE toks IS NOT NULL AND len(toks) >= 8),
+      |gs AS (SELECT g0.doc_id, g0.gp,
+      |  array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
+      |  FROM g0 JOIN b0 USING (doc_id)),
+      |r AS (SELECT doc_id, gp,
+      |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, gp) rn,
+      |  count(*) OVER (PARTITION BY gram) c FROM gs),
+      |cov AS (SELECT DISTINCT doc_id, tp FROM
+      |  (SELECT doc_id, unnest(range(gp, gp + 8)) tp FROM r WHERE c >= 2 AND rn > 1)),
+      |aff AS (SELECT DISTINCT doc_id FROM cov),
+      |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0
+      |  WHERE toks IS NOT NULL AND doc_id IN (SELECT doc_id FROM aff)),
+      |tok AS (SELECT t0.doc_id, t0.tp, b0.toks[t0.tp+1] tok FROM t0 JOIN b0 USING (doc_id)),
+      |kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp WHERE cov.tp IS NULL),
+      |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) t FROM kept GROUP BY doc_id)
+      |SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+      |  WHEN b0.doc_id IN (SELECT doc_id FROM aff) THEN coalesce(agg.t, '')
+      |  ELSE b0.text END text_dedup
+      |FROM b0 LEFT JOIN agg USING (doc_id)
+      |ORDER BY b0.doc_id""".stripMargin.replace("\n", " ")
+
   private def simhashOracle(maxHamming: Int): String = {
     val chunkRows = Dedup.simHashChunks(maxHamming + 1).zipWithIndex
       .map { case ((off, w), c) => s"($c, $off, $w)" }.mkString(", ")
@@ -1047,6 +1078,16 @@ object SparkEntry {
     "dedup_simhash_auto" -> ((s, dir) => Dedup.simHashNearDups(
       table(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")),
+    // clone-guard twin: classMinRows=0 FORCES the class-level banding the
+    // operator takes above 2^20 rows (banding over distinct fingerprints;
+    // identical-fp pairs via one self-join, cross-class pairs via two
+    // linear expansion joins) — result is banding-path-invariant, so the
+    // same static oracle gates it; keeps the clone path under the oracle
+    // while the default gates exercise the small-corpus row path
+    "dedup_simhash_classes" -> ((s, dir) => Dedup.simHashNearDups(
+      table(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+      classMinRows = 0L)
+      .orderBy("id_a", "id_b")),
     // dedup: embedding-cosine near-dup pairs
     "dedup_embedding_cos" -> ((s, dir) => Dedup.embeddingNearDups(
       table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
@@ -1451,12 +1492,15 @@ object SparkEntry {
       numTables = 12, bits = 6, seed = 42L)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
-    // auto-bits twin (bits=0 -> occupancy-16 resolution): the operator
-    // DEFAULT the 100 TB path runs. The resolved bits are a deterministic
-    // function of n, so the dynamic-oracle machinery hash-gates it exactly
+    // joint-auto twin (bits=0, tables=0 -> the cost-model resolution under
+    // a recall floor, autoLshConfig): the operator DEFAULT the 100 TB path
+    // runs — tables scale WITH the bits so estimated anchor recall holds
+    // across decades instead of decaying with p^bits. The resolved config
+    // is a deterministic function of n, so the dynamic-oracle machinery
+    // hash-gates it exactly
     "dedup_embedding_lsh_auto" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
       table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
-      numTables = 12, seed = 42L)
+      seed = 42L)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
     // as-of join: each event joined to the user's latest prior purchase
@@ -1642,6 +1686,15 @@ object SparkEntry {
     // level is dedup_lines, document level is dedup_corpus)
     "dedup_spans" -> ((s, dir) =>
       Dedup.dedupSpans(table(s, dir, "documents"), "doc_id", "text", w = 8)
+        .orderBy("doc_id")),
+    // skew-guard twin: minHotOcc=0 + hotDf=2 FORCE the hot-gram broadcast
+    // split (heavy-hitter first-occurrence table broadcasts, cold residual
+    // join keeps bounded fan-in) that the operator engages only past 2^20
+    // hot occurrences — result is split-invariant, so the same static
+    // oracle gates it
+    "dedup_spans_hot" -> ((s, dir) =>
+      Dedup.dedupSpans(table(s, dir, "documents"), "doc_id", "text", w = 8,
+          hotDf = 2, minHotOcc = 0L)
         .orderBy("doc_id")),
     // Gopher rule filter: per-doc rule statistics + verdicts in one scan
     "text_gopher" -> ((s, dir) => table(s, dir, "documents")
@@ -1956,8 +2009,10 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashOracle(maxHamming = 3),
     // the result set is banding-invariant (exact pigeonhole), so the same
-    // oracle gates the corpus-scaled auto-banding twin
+    // oracle gates the corpus-scaled auto-banding twin AND the forced
+    // class-level-banding twin (class vs row banding is bit-identical)
     "dedup_simhash_auto" -> simhashOracle(maxHamming = 3),
+    "dedup_simhash_classes" -> simhashOracle(maxHamming = 3),
     "multimodal_features" ->
       """WITH m AS (SELECT doc_id media_id, 'text' modality,
         |  octet_length(encode(text)) payload_bytes, text FROM documents),
@@ -2485,32 +2540,10 @@ object SparkEntry {
     // duplicated 8-token windows keep their global (doc_id, pos)-first
     // occurrence; other occurrences mask their covered tokens. Grouped by
     // the gram STRING (Spark side shuffles 64-bit fingerprints) — the gate
-    // doubles as a collision canary
-    "dedup_spans" ->
-      """WITH b0 AS (SELECT doc_id, text, CASE WHEN text IS NULL THEN NULL
-        |  ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks FROM documents),
-        |g0 AS (SELECT doc_id, unnest(range(0, len(toks) - 7)) gp FROM b0
-        |  WHERE toks IS NOT NULL AND len(toks) >= 8),
-        |gs AS (SELECT g0.doc_id, g0.gp,
-        |  array_to_string(b0.toks[g0.gp+1 : g0.gp+8], chr(1)) gram
-        |  FROM g0 JOIN b0 USING (doc_id)),
-        |r AS (SELECT doc_id, gp,
-        |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, gp) rn,
-        |  count(*) OVER (PARTITION BY gram) c FROM gs),
-        |cov AS (SELECT DISTINCT doc_id, tp FROM
-        |  (SELECT doc_id, unnest(range(gp, gp + 8)) tp FROM r WHERE c >= 2 AND rn > 1)),
-        |aff AS (SELECT DISTINCT doc_id FROM cov),
-        |t0 AS (SELECT doc_id, unnest(range(0, len(toks))) tp FROM b0
-        |  WHERE toks IS NOT NULL AND doc_id IN (SELECT doc_id FROM aff)),
-        |tok AS (SELECT t0.doc_id, t0.tp, b0.toks[t0.tp+1] tok FROM t0 JOIN b0 USING (doc_id)),
-        |kept AS (SELECT tok.doc_id, tok.tp, tok.tok FROM tok LEFT JOIN cov
-        |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp WHERE cov.tp IS NULL),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) t FROM kept GROUP BY doc_id)
-        |SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
-        |  WHEN b0.doc_id IN (SELECT doc_id FROM aff) THEN coalesce(agg.t, '')
-        |  ELSE b0.text END text_dedup
-        |FROM b0 LEFT JOIN agg USING (doc_id)
-        |ORDER BY b0.doc_id""".stripMargin.replace("\n", " "),
+    // doubles as a collision canary. The same SQL gates the forced
+    // hot-gram-split twin below: the split is result-invariant
+    "dedup_spans" -> spansOracleSql,
+    "dedup_spans_hot" -> spansOracleSql,
     // integer counts + one double division per ratio — exact across engines
     "text_gopher" ->
       """WITH t AS (SELECT doc_id, text,
@@ -3223,21 +3256,23 @@ object SparkEntry {
   }
 
   /** dedup_embedding_lsh_auto: sign-LSH near-dup with the operator's
-    * auto-bits resolution (occupancy ~16; deterministic function of n),
-    * planes embedded as literals — same SQL shape as the static pinned
-    * oracle, bits recomputed with the operator's exact arithmetic. */
+    * joint (bits, tables) auto-config ([[Dedup.autoLshConfig]] — cost
+    * model under a recall floor; deterministic function of n), planes
+    * embedded as literals — same SQL shape as the static pinned oracle,
+    * the config recomputed with the operator's exact arithmetic. */
   private def lshAutoOracle(s: SparkSession, dir: String): String = {
     val base = table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
     val n = base.count()
     val dim = base.select(size(col("v"))).head().getInt(0)
-    val bits = Dedup.autoLshBits(n) // the operator's own resolution helper
-    val planes = graft.search.SignLsh.planes(numTables = 12, bits = bits, dim = dim, seed = 42L)
+    // the operator's own resolution: anchor = max(threshold 0.4, 0.9)
+    val (bits, tables) = Dedup.autoLshConfig(n, math.max(0.4, 0.9))
+    val planes = graft.search.SignLsh.planes(numTables = tables, bits = bits, dim = dim, seed = 42L)
     val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
       .mkString("[", ", ", "]")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) nrm, $bucketExprs bs FROM e),
-       |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM n0 CROSS JOIN range(0, 12) r),
+       |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM n0 CROSS JOIN range(0, $tables) r),
        |cd AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b FROM bk a JOIN bk b
        |  ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
        |vr AS (SELECT id_a, id_b,

@@ -269,11 +269,15 @@ object Dedup {
       .filter(col(textCol).isNotNull)
       .select(explode(toCol(GramHashesExpr(toExpr(col(textCol)), w))).as("g"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = evalGrams.count()
-    if (nEval <= maxBroadcast) {
-      val evalSorted: Array[Long] = evalGrams.collect().map(_.getLong(0)).sorted
-      evalGrams.unpersist(blocking = false)
+    // ONE action decides the path AND feeds the broadcast: collect at most
+    // maxBroadcast+1 distinct grams — one extra row proves the bound is
+    // crossed without counting the full set first (the earlier
+    // persist+count+collect triple paid two jobs and a cache write on the
+    // small-eval path every real decontam run takes)
+    val cap = math.min(maxBroadcast, 1L << 28).toInt
+    val probe = evalGrams.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      val evalSorted: Array[Long] = probe.map(_.getLong(0)).sorted
       val hits = toCol(GramHitsExpr(toExpr(col(textCol)), w, evalSorted))
       train.select(col(idCol), hits.as("h"))
         .select(col(idCol),
@@ -281,23 +285,24 @@ object Dedup {
           coalesce(col("h.n_distinct"), lit(0L)).as("n_distinct"))
         .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
     } else {
-      ccLog.info(s"decontaminateNgrams: $nEval distinct eval grams exceed " +
+      ccLog.info(s"decontaminateNgrams: distinct eval grams exceed " +
         s"maxBroadcast=$maxBroadcast -> fingerprint equi-join path")
       val trainGrams = train
         .filter(col(textCol).isNotNull)
         .select(col(idCol).as("__did"),
           explode(toCol(GramHashesExpr(toExpr(col(textCol)), w))).as("g"))
+      // evalGrams is consumed exactly once here, so it is NOT persisted —
+      // the join recomputes the eval distinct in place of a cache pass
       val perDoc = trainGrams.join(evalGrams, "g")
         .groupBy(col("__did"), col("g")).agg(count(lit(1)).as("__c"))
         .groupBy(col("__did"))
         .agg(sum(col("__c")).as("n_hits"), count(lit(1)).as("n_distinct"))
-      val out = train.select(col(idCol))
+      train.select(col(idCol))
         .join(perDoc.withColumnRenamed("__did", idCol), Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
         .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
-      graft.util.CacheDiscipline.materializeAndFree(out, evalGrams)
     }
   }
 
@@ -441,15 +446,20 @@ object Dedup {
           .as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document frequency per line fingerprint: pre-aggregate (lh, doc_id)
-    // first — a line repeated inside one doc counts once, and the second
-    // agg sees one row per (line, doc) instead of per occurrence. min(line)
-    // rides along as the canonical string for collision-safe verification.
+    // document frequency per line STRING (the oracle's grouping):
+    // pre-aggregate (lh, line, doc_id) first — a line repeated inside one
+    // doc counts once, and the second agg sees one row per (line, doc)
+    // instead of per occurrence. Keying the df count by the string itself
+    // (not just the 64-bit fingerprint) means two colliding strings can
+    // never jointly push __df past minDocs — the earlier per-hash count
+    // could remove a line whose true string-level df was below threshold.
+    // Shuffle cost is unchanged: the string already traveled through this
+    // shuffle as the first()/min() aggregation buffer.
     val boiler = lines.filter(length(col("line")) >= minLen)
-      .groupBy(col("lh"), col("doc_id")).agg(first(col("line")).as("__ln"))
-      .groupBy(col("lh")).agg(count(lit(1)).as("__df"), min(col("__ln")).as("__bl"))
+      .groupBy(col("lh"), col("line"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("lh"), col("line")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("lh"), col("__bl"))
+      .select(col("lh"), col("line").as("__bl"))
     // removed positions per AFFECTED doc: inner join against the tiny
     // boilerplate set (string-verified), only position ints shuffle
     val removed = lines.join(boiler, Seq("lh"))
@@ -503,7 +513,8 @@ object Dedup {
    * Nothing is quadratic, nothing is collected.
    */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-      w: Int, hotDf: Long = 32, maxHotBroadcast: Long = 2000000): DataFrame = {
+      w: Int, hotDf: Long = 32, maxHotBroadcast: Long = 2000000,
+      minHotOcc: Long = 1L << 20): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
     // only (id, text) is cached: token arrays materialize exclusively in
     // the rebuild projection of AFFECTED documents
@@ -533,22 +544,42 @@ object Dedup {
     // (df ≥ hotDf) are few by Zipf, so their first-occurrence table
     // BROADCASTS: their occurrences — the bulk — never shuffle at all, and
     // the residual cold join has per-key fan-in < hotDf (no skew). Falls
-    // back to the single shuffle join when the hot table outgrows the
+    // back to the single shuffle join when (a) the hot table outgrows the
     // broadcast cap (a corpus where millions of DISTINCT grams each repeat
-    // ≥ hotDf times — at that density the shuffle is the data, not skew).
+    // ≥ hotDf times — at that density the shuffle is the data, not skew),
+    // or (b) the hot OCCURRENCE volume — the rows that would actually pile
+    // onto skewed reducer keys — is below `minHotOcc`: on a corpus where
+    // the skewed keys hold under a million rows total, one hot key is
+    // still one small task, and the split's gram persist costs more than
+    // the skew it removes. ONE agg action on the persisted firsts
+    // resolves both (count of hot grams, sum of their occurrences).
     val isNotFirst = !(col("__first.doc_id") === col("doc_id") &&
       col("__first.gp") === col("gp"))
-    val hotTbl = firsts.filter(col("__c") >= hotDf).select(col("gh"), col("__first"))
-    val nHot = hotTbl.count()
+    val splitStats = firsts.agg(
+      sum(when(col("__c") >= hotDf, lit(1L)).otherwise(lit(0L))),
+      sum(when(col("__c") >= hotDf, col("__c")).otherwise(lit(0L)))).head()
+    val nHot = if (splitStats.isNullAt(0)) 0L else splitStats.getLong(0)
+    val hotOccVol = if (splitStats.isNullAt(1)) 0L else splitStats.getLong(1)
+    val splitEngaged = nHot > 0 && nHot <= maxHotBroadcast &&
+      hotOccVol >= minHotOcc
+    // on the split path the corpus-wide shingle kernel would otherwise be
+    // evaluated three times (firsts agg, hot join, cold join) — persist
+    // the gram stream so it materializes once (freed with the rest)
+    val gramsEval =
+      if (splitEngaged)
+        grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams
     val dupOcc =
-      if (nHot > 0 && nHot <= maxHotBroadcast) {
-        ccLog.info(s"dedupSpans hot-gram broadcast: $nHot grams with df>=$hotDf")
-        val hotOcc = grams.join(broadcast(hotTbl), Seq("gh"))
-        val coldOcc = grams.join(
+      if (splitEngaged) {
+        ccLog.info(s"dedupSpans hot-gram broadcast: $nHot grams with df>=$hotDf, " +
+          s"$hotOccVol hot occurrences")
+        val hotTbl = firsts.filter(col("__c") >= hotDf).select(col("gh"), col("__first"))
+        val hotOcc = gramsEval.join(broadcast(hotTbl), Seq("gh"))
+        val coldOcc = gramsEval.join(
           firsts.filter(col("__c") < hotDf).select(col("gh"), col("__first")),
           Seq("gh"))
         hotOcc.unionByName(coldOcc)
-      } else grams.join(firsts.select(col("gh"), col("__first")), Seq("gh"))
+      } else gramsEval.join(firsts.select(col("gh"), col("__first")), Seq("gh"))
     // duplicate occurrences = every occurrence except the global first.
     // Only the gram START positions shuffle (8 bytes per occurrence — the
     // earlier explode shipped all w covered positions per occurrence);
@@ -573,7 +604,10 @@ object Dedup {
               array_except(sequence(lit(0), size(toks) - 1), covPositions),
               p => element_at(toks, p + 1)),
             " ")).as("text_dedup"))
-    graft.util.CacheDiscipline.materializeAndFree(out, base, firsts)
+    if (splitEngaged)
+      graft.util.CacheDiscipline.materializeAndFree(out, base, firsts, gramsEval)
+    else
+      graft.util.CacheDiscipline.materializeAndFree(out, base, firsts)
   }
 
   /**
@@ -768,35 +802,53 @@ object Dedup {
     * scale with DISTINCT content: identical-fingerprint pairs (hamming 0)
     * come from one class self-join whose every output row is a result, and
     * cross-class pairs expand back to ids through two linear equi-joins.
-    * The result set is bit-identical to row-level banding. */
+    * The result set is bit-identical to row-level banding — the
+    * equivalence spec drives both paths over a clone-heavy corpus.
+    *
+    * Class banding engages above `classMinRows` rows (and only when
+    * clones exist at all): below it, the distinct shuffle plus two
+    * expansion joins cost more than the clone-cluster verifies they
+    * save, and plain row-level banding runs over the same persisted
+    * fingerprints. Both paths pay exactly ONE eager action (a combined
+    * row/class count on the persisted fingerprint table). */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 0): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 0,
+      classMinRows: Long = 1L << 20): DataFrame = {
     require(maxHamming >= 0 && maxHamming < SimHashKernels.Bits,
       s"maxHamming must be in [0, ${SimHashKernels.Bits}), got $maxHamming")
-    // (id, fingerprint) — persisted: the class table, both zero-pair join
-    // sides, and both expansion joins consume it, and the fingerprint
-    // kernel (tokenize + 62 polynomial votes) must run ONCE per doc
+    // parameter validation BEFORE any persist: a require() throw must not
+    // leak cache-manager entries in a long-lived session
+    if (chunks > 0) {
+      require(chunks > maxHamming,
+        s"chunks=$chunks cannot pigeonhole maxHamming=$maxHamming " +
+          "(need at least maxHamming+1 blocks for an untouched block to exist)")
+      require(chunks <= SimHashKernels.Bits,
+        s"chunks=$chunks exceeds the ${SimHashKernels.Bits}-bit fingerprint")
+    }
+    // (id, fingerprint) — persisted: every downstream consumer reads it,
+    // and the fingerprint kernel (tokenize + 62 polynomial votes) must
+    // run ONCE per doc
     val sh = df.select(col(idCol).as("id"), simHash62(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fpTab = sh.select(col("sh")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action resolves both decisions: rows (class-banding threshold)
+    // and distinct classes (the auto-chunk cost model's n — candidate
+    // volume in the banded join is driven by distinct fingerprints)
+    val stats = sh.agg(count(lit(1)), count_distinct(col("sh"))).head()
+    val nRows = stats.getLong(0)
+    val nClasses = stats.getLong(1)
     val c =
-      if (chunks > 0) {
-        require(chunks > maxHamming,
-          s"chunks=$chunks cannot pigeonhole maxHamming=$maxHamming " +
-            "(need at least maxHamming+1 blocks for an untouched block to exist)")
-        require(chunks <= SimHashKernels.Bits,
-          s"chunks=$chunks exceeds the ${SimHashKernels.Bits}-bit fingerprint")
-        chunks
-      } else {
-        // the cost model's n is the CLASS count: candidate volume in the
-        // banded join is driven by distinct fingerprints, not rows
-        val nd = fpTab.count()
-        val auto = simHashAutoChunks(nd, maxHamming)
-        ccLog.info(s"simHashNearDups auto-chunks: distinct=$nd maxHamming=$maxHamming " +
+      if (chunks > 0) chunks
+      else {
+        val auto = simHashAutoChunks(nClasses, maxHamming)
+        ccLog.info(s"simHashNearDups auto-chunks: distinct=$nClasses maxHamming=$maxHamming " +
           s"-> blocks=$auto (~${62.0 * (auto - maxHamming) / auto}-bit keys)")
         auto
       }
+    // classMinRows <= 0 FORCES class banding (the gate twin pins the
+    // clone path under the oracle even on a corpus below the threshold)
+    val useClasses =
+      if (classMinRows <= 0) true
+      else nRows >= classMinRows && nClasses < nRows
     val blockSpec = simHashChunks(c)
     // all (c − maxHamming)-block combinations, in combinations() order —
     // the oracle builder enumerates the same order
@@ -811,40 +863,61 @@ object Dedup {
         val (off, width) = blockSpec(bi)
         shiftleft(acc, width).bitwiseOR(blockKey(fp, off, width))
       }
-    val banded = fpTab.select(col("sh"), posexplode(
-      array(subsets.map(s => bandKey(col("sh"), s)): _*))
-      .as(Seq("chunk", "key")))
-    val l = banded.select(col("chunk"), col("key"), col("sh").as("sh_a"))
-    val r = banded.select(col("chunk"), col("key"), col("sh").as("sh_b"))
     // first-agreeing-band: every earlier band key must DIFFER
     val firstMatch = subsets.zipWithIndex.foldLeft(lit(true): Column) {
       case (acc, (s, ci)) =>
         acc && (col("chunk") <= ci ||
           bandKey(col("sh_a"), s) =!= bandKey(col("sh_b"), s))
     }
-    // distinct near-dup fingerprint PAIRS — |classes|-sized banded join
-    val fpPairs = l.join(r, Seq("chunk", "key")).filter(col("sh_a") < col("sh_b"))
-      .filter(firstMatch)
-      .select(col("sh_a"), col("sh_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-    // cross-class pairs: expand fingerprint pairs back to ids (two linear
-    // hash joins; AQE broadcasts fpPairs when small). least/greatest keeps
-    // the id_a < id_b contract whichever class holds the smaller id.
-    val cross = fpPairs
-      .join(sh.select(col("sh").as("sh_a"), col("id").as("ia")), "sh_a")
-      .join(sh.select(col("sh").as("sh_b"), col("id").as("ib")), "sh_b")
-      .select(least(col("ia"), col("ib")).as("id_a"),
-        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
-    // within-class pairs: identical fingerprints are hamming 0 by
-    // definition — one self-join on the fingerprint, every output row a
-    // true result (no verify, no banding)
-    val zero = sh.select(col("sh"), col("id").as("id_a"))
-      .join(sh.select(col("sh"), col("id").as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
-    graft.util.CacheDiscipline.materializeAndFree(
-      cross.unionByName(zero), sh, fpTab)
+    if (useClasses) {
+      ccLog.info(s"simHashNearDups class banding: rows=$nRows classes=$nClasses")
+      val fpTab = sh.select(col("sh")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = fpTab.select(col("sh"), posexplode(
+        array(subsets.map(s => bandKey(col("sh"), s)): _*))
+        .as(Seq("chunk", "key")))
+      val l = banded.select(col("chunk"), col("key"), col("sh").as("sh_a"))
+      val r = banded.select(col("chunk"), col("key"), col("sh").as("sh_b"))
+      // distinct near-dup fingerprint PAIRS — |classes|-sized banded join
+      val fpPairs = l.join(r, Seq("chunk", "key")).filter(col("sh_a") < col("sh_b"))
+        .filter(firstMatch)
+        .select(col("sh_a"), col("sh_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      // cross-class pairs: expand fingerprint pairs back to ids (two linear
+      // hash joins; AQE broadcasts fpPairs when small). least/greatest keeps
+      // the id_a < id_b contract whichever class holds the smaller id.
+      val cross = fpPairs
+        .join(sh.select(col("sh").as("sh_a"), col("id").as("ia")), "sh_a")
+        .join(sh.select(col("sh").as("sh_b"), col("id").as("ib")), "sh_b")
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+      // within-class pairs: identical fingerprints are hamming 0 by
+      // definition — one self-join on the fingerprint, every output row a
+      // true result (no verify, no banding)
+      val zero = sh.select(col("sh"), col("id").as("id_a"))
+        .join(sh.select(col("sh"), col("id").as("id_b")), "sh")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+      graft.util.CacheDiscipline.materializeAndFree(
+        cross.unionByName(zero), sh, fpTab)
+    } else {
+      // row-level banding over the persisted fingerprints — the small-
+      // corpus (or all-distinct) plan: no class table, no expansion joins
+      val banded = sh.select(col("id"), col("sh"), posexplode(
+        array(subsets.map(s => bandKey(col("sh"), s)): _*))
+        .as(Seq("chunk", "key")))
+      val l = banded.select(col("chunk"), col("key"),
+        col("id").as("id_a"), col("sh").as("sh_a"))
+      val r = banded.select(col("chunk"), col("key"),
+        col("id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+        .filter(firstMatch)
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+      graft.util.CacheDiscipline.materializeAndFree(pairs, sh)
+    }
   }
 
   private lazy val ccLog = org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup")
@@ -1067,6 +1140,63 @@ object Dedup {
   def autoLshBits(n: Long): Int =
     math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
 
+  /** Sign-random-projection collision probability per hyperplane for a
+    * pair at cosine exactly `c` (Goemans–Williamson / Charikar'02):
+    * `p = 1 − acos(c)/π`. */
+  def lshCollisionP(c: Double): Double =
+    1.0 - math.acos(math.min(1.0, math.max(-1.0, c))) / math.Pi
+
+  /** Estimated recall of a `(bits, tables)` sign-LSH config for a pair at
+    * cosine `c`: `1 − (1 − p^bits)^tables`. Recall is INCREASING in the
+    * pair's similarity, so this evaluated at an anchor cosine lower-bounds
+    * recall for every pair above the anchor. */
+  def lshRecallEstimate(c: Double, bits: Int, tables: Int): Double = {
+    val pb = math.pow(lshCollisionP(c), bits)
+    1.0 - math.pow(1.0 - pb, tables)
+  }
+
+  /** Joint `(bits, tables)` auto-config for [[embeddingNearDupsLsh]] — the
+    * r10 sf100 probe's named defect was the dual of the fixed-cell one:
+    * auto-BITS held bucket occupancy constant while the TABLE count stayed
+    * fixed at 12, so per-table collision probability `p^bits` decayed with
+    * corpus growth and estimated recall at the anchor similarity collapsed
+    * (12 tables × 17 bits at 2M vectors ≈ 0.36 for pairs at cos 0.9, vs
+    * 0.91 at the sf0.01 operating point). The policy here is an explicit
+    * cost model under a recall FLOOR: over `bits ∈ [4, autoLshBits(n)]`,
+    * the tables needed for `targetRecall` at `anchorCos` are
+    * `ln(1−R)/ln(1−p^bits)`; modeled cost per config is
+    * `tables · n · (bits + occupancy)` (signature work + candidate-verify
+    * dots, both per-dimension). The feasible (tables ≤ maxTables) config
+    * with minimum cost wins; if NO config reaches the floor under the
+    * table cap, the config maximizing estimated recall (then minimum cost)
+    * is returned and the caller logs the shortfall — at low thresholds
+    * sign-LSH's ρ-exponent makes a hard floor genuinely unaffordable and
+    * the blocked/IVF path ([[embeddingNearDupsBlocked]]) is the honest
+    * high-recall route. Deterministic; shared with the oracle builder. */
+  def autoLshConfig(n: Long, anchorCos: Double, targetRecall: Double = 0.9,
+      maxTables: Int = 64): (Int, Int) = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val p = lshCollisionP(anchorCos)
+    val opts = (4 to math.max(4, autoLshBits(n))).map { b =>
+      val pb = math.pow(p, b)
+      val need =
+        if (pb >= 1.0) 1
+        else if (pb <= 0.0) Int.MaxValue
+        else math.min(Int.MaxValue.toDouble,
+          math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pb))).toInt
+      val t = math.max(1, math.min(maxTables, need))
+      val occ = n.toDouble / (1L << math.min(b, 62))
+      val cost = t.toDouble * n.toDouble * (b.toDouble + occ)
+      (b, t, need <= maxTables, lshRecallEstimate(anchorCos, b, t), cost)
+    }
+    val feasible = opts.filter(_._3)
+    val pick =
+      if (feasible.nonEmpty) feasible.minBy(o => (o._5, o._1))
+      else opts.maxBy(o => (o._4, -o._5, -o._1))
+    (pick._1, pick._2)
+  }
+
   /** Auto-nlist for [[embeddingNearDupsBlocked]] (`nlist = 0`): expected
     * cell occupancy ~64 rows, floor 16, CAP 65,536 (the searcher's
     * resolveNlist cap). The cap bounds the driver Lloyd fit — its cost is
@@ -1089,33 +1219,61 @@ object Dedup {
    * the seed, so the whole pipeline has a bit-exact DuckDB oracle.
    */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numTables: Int = 12, bits: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      threshold: Double, numTables: Int = 0, bits: Int = 0,
+      seed: Long = 42L, targetRecall: Double = 0.9,
+      maxTables: Int = 64): DataFrame = {
     import graft.search.SignLsh
     val base = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
     val dim = base.select(size(col("v"))).head().getInt(0)
-    // bits = 0 (default) auto-scales with corpus size, keeping expected
-    // bucket occupancy ~16 rows: candidate pairs per table stay ≈ n·16
-    // (linear) instead of n²/2^bits growing with n (fixed bits ⇒ 10×
-    // corpus ⇒ 100× candidate dots; the sf1 probe in BASELINE.md measures
-    // the fixed-cell twin of this failure on the blocked variant). Same
-    // growth term as the searcher's LSH index auto-bits, with a lower
-    // floor (4 vs the index's 8): near-dup mining WANTS denser buckets on
-    // small corpora — more candidate pairs is recall, not waste — while a
-    // top-k index wants selectivity. The resolution costs one count()
-    // pass over the input. Pin bits explicitly for cross-run determinism
-    // (the oracle gate does).
-    val resolvedBits =
-      if (bits > 0) bits
+    // Auto resolution (either knob at 0 costs one count() pass):
+    //  - bits auto-scale with corpus size (occupancy ~16/bucket: candidate
+    //    pairs per table stay ≈ n·16, linear, instead of n²/2^bits growing
+    //    with n — the fixed-cell failure the sf1 probe measured on the
+    //    blocked variant);
+    //  - tables auto-scale WITH the bits ([[autoLshConfig]]): holding
+    //    occupancy constant decays per-table collision p^bits, so a fixed
+    //    table count silently trades recall away as n grows — the r10
+    //    sf100 probe's 12-table config had estimated anchor recall 0.36
+    //    where sf0.01 had 0.91. The joint policy holds `targetRecall` at
+    //    the anchor similarity (max(threshold, 0.9)) while minimizing
+    //    modeled cost, capped at `maxTables` (shortfall logged).
+    // Pin BOTH explicitly for cross-run plan determinism (the pinned
+    // oracle gate does); the auto gate hash-checks the policy end-to-end
+    // because the resolution is a deterministic function of n.
+    val anchor = math.max(threshold, 0.9)
+    val (resolvedBits, resolvedTables) =
+      if (numTables > 0 && bits > 0) (bits, numTables)
       else {
         val n = base.count()
-        val b = autoLshBits(n)
-        ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
-          s"(occupancy ~${n >> b} rows/bucket, $numTables tables)")
-        b
+        if (numTables > 0) {
+          val b = autoLshBits(n)
+          ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
+            s"(occupancy ~${n >> b} rows/bucket, $numTables tables pinned)")
+          (b, numTables)
+        } else if (bits > 0) {
+          val pb = math.pow(lshCollisionP(anchor), bits)
+          val need =
+            if (pb >= 1.0) 1
+            else math.min(Int.MaxValue.toDouble, math.ceil(
+              math.log(1.0 - targetRecall) / math.log(1.0 - pb))).toInt
+          val t = math.max(1, math.min(maxTables, need))
+          ccLog.info(s"embeddingNearDupsLsh auto-tables: n=$n bits=$bits " +
+            s"-> tables=$t (est recall@cos>=$anchor = " +
+            f"${lshRecallEstimate(anchor, bits, t)}%.3f)")
+          (bits, t)
+        } else {
+          val (b, t) = autoLshConfig(n, anchor, targetRecall, maxTables)
+          val est = lshRecallEstimate(anchor, b, t)
+          ccLog.info(s"embeddingNearDupsLsh auto-config: n=$n -> bits=$b " +
+            f"tables=$t (est recall@cos>=$anchor = $est%.3f" +
+            (if (est < targetRecall) s"; target $targetRecall unreachable " +
+              s"under maxTables=$maxTables — use embeddingNearDupsBlocked " +
+              "for high recall at this threshold" else "") + ")")
+          (b, t)
+        }
       }
-    val planes = SignLsh.planes(numTables, resolvedBits, dim, seed)
+    val planes = SignLsh.planes(resolvedTables, resolvedBits, dim, seed)
     val bucketed = base
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .select(col("id"), col("v"), col("nrm"),

@@ -139,9 +139,18 @@ object HybridSearch {
    */
   def hybridRrfBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
-      k: Int, n: Int = 50, rrfK: Int = 60, dim: Int = 64): DataFrame = {
+      k: Int, n: Int = 50, rrfK: Int = 60, dim: Int = 64,
+      maxBroadcastQueries: Long = 1000000L): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     val id = col(idCol)
+    // broadcast guard (mirrors decontaminateNgrams' maxBroadcast): the
+    // hard broadcast hints below assume a curation-scale query SET
+    // (thousands). A mining-scale set (millions) must not die on a driver
+    // broadcast OOM — past the bound the hints drop and the joins degrade
+    // to shuffles. One count() on the (small by construction) query table.
+    val nQ = queries.count()
+    val hintOk = nQ <= maxBroadcastQueries
+    def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val lex = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
       .select(col(qidCol), id, col("rank").as("lex_rank"))
@@ -153,7 +162,7 @@ object HybridSearch {
     val denseScored = new HashEncoder(dim).encode(
         docs.filter(col(textCol).isNotNull), textCol, "__v")
       .select(id, col("__v"))
-      .crossJoin(broadcast(qv))
+      .crossJoin(maybeBroadcast(qv))
       .select(col(qidCol), id,
         VectorFunctions.vec_dot(col("__v"), col("__qv")).as("__s"))
     val wDense = Window.partitionBy(col(qidCol)).orderBy(col("__s").desc, id.asc)
@@ -187,15 +196,23 @@ object HybridSearch {
    */
   def rerankBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
-      k: Int, n: Int = 50, dim: Int = 64): DataFrame = {
+      k: Int, n: Int = 50, dim: Int = 64,
+      maxBroadcastRows: Long = 8000000L): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     val id = col(idCol)
+    // broadcast guard (mirrors decontaminateNgrams' maxBroadcast): the
+    // candidate list is |Q|·n rows — bounded and broadcastable for a
+    // curation-scale query set, a driver OOM for a mining-scale one. Past
+    // the bound the hints drop and both joins degrade to shuffle joins.
+    val nQ = queries.count()
+    val hintOk = nQ * n <= maxBroadcastRows
+    def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val cands = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
       .select(col(qidCol), id, col("rank").as("bm25_rank"))
     val withText = docs.select(id, col(textCol))
-      .join(broadcast(cands), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qTextCol).as("__q"))),
+      .join(maybeBroadcast(cands), Seq(idCol))
+      .join(maybeBroadcast(queries.select(col(qidCol), col(qTextCol).as("__q"))),
         Seq(qidCol))
     val scored = new graft.encoders.PairScorer(new HashEncoder(dim))
       .score(withText, "__q", textCol, "ce_score")

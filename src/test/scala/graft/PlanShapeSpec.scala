@@ -222,4 +222,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ---- batch-query retrieval surfaces: the query-SET plans must keep the
+  // corpus cost independent of |Q| (postings joins + bounded rank windows),
+  // with the broadcast query-vector scoring as the ONE sanctioned
+  // nested-loop (it feeds a WindowGroupLimit, never a materialized |Q|xN)
+
+  private def batchQ: DataFrame = spark.createDataFrame(Seq(
+    (0L, Seq("vector", "spark", "dup"), "vector spark dup search"),
+    (1L, Seq("merge", "sort", "fast"), "merge sort fast stream")))
+    .toDF("qid", "terms", "qtext")
+
+  // Nested-loop budget: BM25's 1-row corpus-stats aggregate broadcasts
+  // into the scan as one BroadcastNestedLoopJoin (bounded — one row); the
+  // dense side of the hybrid adds exactly one more (the broadcast query-
+  // vector scoring that feeds a WindowGroupLimit). Anything beyond the
+  // budget means a |Q|xCorpus (or worse) nested loop crept in.
+  private def nestedLoops(plan: String): Int =
+    "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+
+  test("bm25 batch: postings equi-join + WindowGroupLimit — no |Q|xCorpus nested loop") {
+    val plan = physical(graft.text.Relevance.bm25Batch(
+      sf("documents"), "doc_id", "text", batchQ, "qid", "terms", n = 20))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-query top-n must push a bounded heap below the rank window")
+    assert(!plan.contains("CartesianProduct"))
+    assert(nestedLoops(plan) <= 1,
+      "only the 1-row stats broadcast may nested-loop; query terms must " +
+        s"equi-join the postings — found ${nestedLoops(plan)}")
+  }
+
+  test("hybrid RRF batch: rank windows are WindowGroupLimit; bounded nested-loop budget") {
+    val plan = physical(graft.search.HybridSearch.hybridRrfBatch(
+      sf("documents"), "doc_id", "text", batchQ, "qid", "terms", "qtext",
+      k = 10, n = 50))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(nestedLoops(plan) <= 2,
+      "only the stats broadcast + the broadcast query-vector scoring may " +
+        s"nested-loop, found ${nestedLoops(plan)}")
+  }
+
+  test("rerank batch: candidates broadcast into the corpus scan; top-k is WindowGroupLimit") {
+    val plan = physical(graft.search.HybridSearch.rerankBatch(
+      sf("documents"), "doc_id", "text", batchQ, "qid", "terms", "qtext",
+      k = 10, n = 50))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |Q|*n candidate list must broadcast, not shuffle the corpus")
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(nestedLoops(plan) <= 1,
+      s"only the 1-row stats broadcast may nested-loop, found ${nestedLoops(plan)}")
+  }
 }

@@ -117,7 +117,11 @@ class RelationalSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bruteClose = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.4)
+    // 12 tables pinned: this test certifies the bucketing MACHINERY at a
+    // dense operating point; the auto-config policy's own floor is
+    // asserted in DedupSpec ("empirical recall on cos>=0.9 pairs")
+    val lsh = Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.4,
+        numTables = 12)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute), "LSH output must be a subset of brute force")
     if (bruteClose.nonEmpty) {
