@@ -392,20 +392,34 @@ object Dedup {
     val firsts = lines.filter(length(col("line")) >= minLen)
       .groupBy(col("lh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    val kept = lines.join(firsts, Seq("lh"), "left")
-      .filter(length(col("line")) < minLen ||
-        (col("__first.doc_id") === col("doc_id") && col("__first.pos") === col("pos")))
-    // reassemble in original order: per-doc sort of (pos, line) pairs is
-    // bounded by the document's own line count
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("__pl"))
-      .select(col("doc_id"),
-        array_join(transform(col("__pl"), _.getField("line")), delim).as("text_dedup"))
+    // removed POSITIONS per affected doc (every non-first occurrence of an
+    // eligible line): only position ints reach the per-doc aggregation.
+    // Untouched documents — the majority at any realistic dup rate — pass
+    // their text through VERBATIM below; the earlier shape regrouped and
+    // re-sorted EVERY line of EVERY document through a corpus-wide
+    // collect_list shuffle (dedup_paragraphs measured 28.7x/decade on the
+    // r10 sf100 probe through exactly that rebuild).
+    // the occurrence side projects to (lh, doc_id, pos) BEFORE the join:
+    // both sides of the first-occurrence shuffle are ~24-byte rows — the
+    // line strings never leave the partitions that cached them
+    val removed = lines.filter(length(col("line")) >= minLen)
+      .select(col("lh"), col("doc_id"), col("pos"))
+      .join(firsts, Seq("lh"))
+      .filter(!(col("__first.doc_id") === col("doc_id") && col("__first.pos") === col("pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__rm"))
+    val delimQ = java.util.regex.Pattern.quote(delim)
+    val parts = split(col("__orig"), delimQ, -1)
     val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__orig").isNull, lit(null).cast("string"))
-          .otherwise(coalesce(col("text_dedup"), lit(""))).as("text_dedup"))
+          .when(col("__rm").isNull, col("__orig"))
+          .otherwise(array_join(
+            transform(
+              array_except(sequence(lit(0), size(parts) - 1), col("__rm")),
+              p => element_at(parts, p + 1)),
+            delim)).as("text_dedup"))
     graft.util.CacheDiscipline.materializeAndFree(out, lines)
   }
 
@@ -446,17 +460,27 @@ object Dedup {
           .as(Seq("pos", "line")))
       .withColumn("lh", xxhash64(col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // document frequency per line STRING (the oracle's grouping):
-    // pre-aggregate (lh, line, doc_id) first — a line repeated inside one
-    // doc counts once, and the second agg sees one row per (line, doc)
-    // instead of per occurrence. Keying the df count by the string itself
-    // (not just the 64-bit fingerprint) means two colliding strings can
-    // never jointly push __df past minDocs — the earlier per-hash count
-    // could remove a line whose true string-level df was below threshold.
-    // Shuffle cost is unchanged: the string already traveled through this
-    // shuffle as the first()/min() aggregation buffer.
+    // document frequency per line STRING (the oracle's grouping), in two
+    // phases so the corpus-wide shuffle moves 16-byte pairs, not line
+    // strings: (1) hash-level df over (lh, doc_id) — a line repeated
+    // inside one doc counts once; (2) candidate lines whose HASH df
+    // crossed minDocs (a superset of the string-df survivors, tiny by
+    // Zipf) are recounted grouped by the string itself. Keying the final
+    // threshold by the string means two colliding strings can never
+    // jointly push __df past minDocs — the earlier per-hash count could
+    // remove a line whose true string-level df was below threshold —
+    // while the strings that travel through a shuffle are the candidate
+    // set only (the single-phase string-keyed recount measured
+    // 20x/decade on the 5M-doc BoilerGen witness: it re-shuffled the
+    // whole exploded corpus as ~700-byte rows).
+    val candHashes = lines.filter(length(col("line")) >= minLen)
+      .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("__dfh"))
+      .filter(col("__dfh") >= minDocs)
+      .select(col("lh"))
     val boiler = lines.filter(length(col("line")) >= minLen)
-      .groupBy(col("lh"), col("line"), col("doc_id")).agg(count(lit(1)).as("__n"))
+      .join(candHashes, Seq("lh"))
+      .groupBy(col("lh"), col("line"), col("doc_id")).agg(count(lit(1)).as("__n2"))
       .groupBy(col("lh"), col("line")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("lh"), col("line").as("__bl"))
