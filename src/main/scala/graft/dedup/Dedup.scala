@@ -902,8 +902,14 @@ object Dedup {
         .as(Seq("chunk", "key")))
       val l = banded.select(col("chunk"), col("key"), col("sh").as("sh_a"))
       val r = banded.select(col("chunk"), col("key"), col("sh").as("sh_b"))
-      // distinct near-dup fingerprint PAIRS — |classes|-sized banded join
-      val fpPairs = l.join(r, Seq("chunk", "key")).filter(col("sh_a") < col("sh_b"))
+      // distinct near-dup fingerprint PAIRS — |classes|-sized banded join.
+      // SHUFFLE_MERGE is pinned: both sides are the banded corpus, and the
+      // persisted fingerprint table's small-but-accurate size estimate
+      // otherwise tempts the optimizer into broadcasting the entire
+      // banded side as a driver-built hashed relation (the sf10 probe
+      // measured 4x on exactly that plan flip)
+      val fpPairs = l.join(r.hint("shuffle_merge"), Seq("chunk", "key"))
+        .filter(col("sh_a") < col("sh_b"))
         .filter(firstMatch)
         .select(col("sh_a"), col("sh_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
@@ -935,7 +941,11 @@ object Dedup {
         col("id").as("id_a"), col("sh").as("sh_a"))
       val r = banded.select(col("chunk"), col("key"),
         col("id").as("id_b"), col("sh").as("sh_b"))
-      val pairs = l.join(r, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      // SHUFFLE_MERGE pinned — same rationale as the class-path banded
+      // join: a banded self-join must never broadcast its corpus-sized
+      // build side, whatever the cached-input size estimate says
+      val pairs = l.join(r.hint("shuffle_merge"), Seq("chunk", "key"))
+        .filter(col("id_a") < col("id_b"))
         .filter(firstMatch)
         .select(col("id_a"), col("id_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
