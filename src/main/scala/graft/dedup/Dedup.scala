@@ -682,7 +682,9 @@ object Dedup {
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    left.join(right, Seq("band", "bh"))
+    // SHUFFLE_MERGE pinned — banded self-join discipline (see
+    // minHashNearDups): never broadcast a corpus-sized banded side
+    left.join(right.hint("shuffle_merge"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -718,7 +720,11 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
-    val cands = left.join(right, Seq("band", "bh"))
+    // SHUFFLE_MERGE pinned: both sides are the banded corpus; the cached
+    // signature table's small size estimate must not flip this to a
+    // driver-built broadcast of the whole banded side (the simhash sf10
+    // probe measured 4x on that plan flip)
+    val cands = left.join(right.hint("shuffle_merge"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val slim = texts.select(col("id"), col("hs"), col("sz"))
@@ -1316,7 +1322,9 @@ object Dedup {
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("tbl"), col("bkt"),
       col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("tbl", "bkt")).filter(col("id_a") < col("id_b"))
+    // SHUFFLE_MERGE pinned: both sides are tables x corpus with full
+    // vectors — never a broadcast build, whatever the size estimate says
+    a.join(b.hint("shuffle_merge"), Seq("tbl", "bkt")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("n_a") * col("n_b") === 0.0, 0.0)
           .otherwise(VectorFunctions.vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
@@ -1424,7 +1432,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = celled.select(col("cell"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = celled.select(col("cell"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    // SHUFFLE_MERGE pinned: the celled self-join's sides are nprobe x
+    // corpus with full vectors — the persisted input's size estimate must
+    // not flip this to a broadcast build
+    val pairs = a.join(b.hint("shuffle_merge"), Seq("cell")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(col("n_a") * col("n_b") === 0.0, 0.0)
           .otherwise(VectorFunctions.vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))

@@ -223,6 +223,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("banded/bucketed self-joins sort-merge — never a broadcast of the corpus-sized side") {
+    // the cached-input size estimate must not flip these to a driver-built
+    // hashed relation of the whole banded corpus (sf10 measured 4x on
+    // exactly that flip for simhash; SHUFFLE_MERGE is pinned in the code)
+    val mh = physical(graft.dedup.Dedup.minHashCandidates(
+      sf("documents"), "doc_id", "text"))
+    assert(mh.contains("SortMergeJoin") && !mh.contains("BroadcastHashJoin"),
+      "minhash banded self-join must stay sort-merge")
+    val lsh = physical(graft.dedup.Dedup.embeddingNearDupsLsh(
+      sf("embeddings"), "vec_id", "embedding", 0.4, numTables = 12, bits = 6))
+    assert(lsh.contains("SortMergeJoin") && !lsh.contains("BroadcastHashJoin"),
+      "LSH bucket self-join must stay sort-merge")
+  }
+
   // ---- batch-query retrieval surfaces: the query-SET plans must keep the
   // corpus cost independent of |Q| (postings joins + bounded rank windows),
   // with the broadcast query-vector scoring as the ONE sanctioned
