@@ -708,9 +708,16 @@ object Dedup {
     // jaccard is 0/0 — mirrors the oracle's WHERE len(s) > 0.
     val (coefA, coefB) = minHashCoefficients(numHashes)
     val st = toCol(ShingleStatsExpr(toExpr(col(textCol)), n, coefA, coefB))
+    // corpus-wide persist carries (sz, sig) ONLY — 256 bytes/doc. The
+    // exact-jaccard fingerprint arrays (~4 KB/doc; 20 GB on-heap at 5M
+    // docs) are recomputed below for CANDIDATE ids only: the r12 sf100
+    // probe measured the old full-corpus hs persist GC-BOUND — 325-543 s
+    // of task GC per repeat and 2x run-to-run swings from old-gen churn.
+    // Candidates are a small fraction of the corpus at any realistic dup
+    // rate, so one extra kernel pass over them costs far less than
+    // keeping every document's array alive through the whole pipeline.
     val texts = df.select(col(idCol).as("id"), st.as("st"))
-      .select(col("id"), col("st.sz").as("sz"), col("st.hs").as("hs"),
-        col("st.sig").as("sig"))
+      .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persisted: both self-join sides consume it, and without this the
@@ -727,17 +734,27 @@ object Dedup {
     val cands = left.join(right.hint("shuffle_merge"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val slim = texts.select(col("id"), col("hs"), col("sz"))
+    // fingerprint arrays for candidate ids only: one corpus scan joined
+    // against the (small, AQE-broadcast) candidate id set — the shingle
+    // kernel runs on matched rows only, after the join
+    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val hsTab = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(candIds, Seq("id"))
+      .select(col("id"),
+        toCol(ShingleStatsExpr(toExpr(col("__t")), n, coefA, coefB)).as("st2"))
+      .select(col("id"), col("st2.hs").as("hs"), col("st2.sz").as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cands
-      .join(slim.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
-      .join(slim.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
+      .join(hsTab.select(col("id").as("id_a"), col("hs").as("hs_a"), col("sz").as("sz_a")), "id_a")
+      .join(hsTab.select(col("id").as("id_b"), col("hs").as("hs_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("common",
         toCol(SortedIntersectSize(toExpr(col("hs_a")), toExpr(col("hs_b")))))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    graft.util.CacheDiscipline.materializeAndFree(pairs, texts, banded)
+    graft.util.CacheDiscipline.materializeAndFree(pairs, texts, banded, hsTab)
   }
 
   /**
