@@ -101,12 +101,21 @@ object Dedup {
     // sides, both verify sides) — persist it so the source is scanned and
     // shingled ONCE, not per subtree (at corpus scale the re-scan dwarfs
     // everything else); evicted by Spark's LRU when consumers finish
-    val sh = df.select(col(idCol).as("id"), shingle.as("sh"))
-      .withColumn("sz", size(col("sh")))
+    // shingle STRINGS never persist and never shuffle: the shingle set is
+    // distinct by construction, so its sorted 64-bit hash array IS the
+    // set — the prefix machinery runs on 8-byte fingerprints (any
+    // globally-consistent total order is valid for the PPJoin prefix
+    // bound, and the exact hs-intersect verify makes the final pair set
+    // independent of the order), and the corpus-wide persist carries
+    // (id, sz, hs) instead of (id, strings, sz, hs) — the string arrays
+    // were the largest column in the cache
+    val sh = df.select(col(idCol).as("id"), shingle.as("__sh"))
+      .withColumn("sz", size(col("__sh")))
       .filter(col("sz") > 0) // empty shingle sets: no prefix, jaccard 0/0
-      .withColumn("hs", toCol(SortedHashesExpr(toExpr(col("sh")))))
+      .select(col("id"), col("sz"),
+        toCol(SortedHashesExpr(toExpr(col("__sh")))).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ex = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val ex = sh.select(col("id"), col("sz"), explode(col("hs")).as("s"))
     // one global rarity order: corpus-wide shingle document-frequency
     val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc rarity rank WITHOUT the Window operator: repartition by doc,
