@@ -140,7 +140,8 @@ object HybridSearch {
   def hybridRrfBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
       k: Int, n: Int = 50, rrfK: Int = 60, dim: Int = 64,
-      maxBroadcastQueries: Long = 1000000L): DataFrame = {
+      maxBroadcastQueries: Long = 1000000L,
+      denseIndex: Option[String] = None): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     val id = col(idCol)
     // broadcast guard (mirrors decontaminateNgrams' maxBroadcast): the
@@ -154,21 +155,51 @@ object HybridSearch {
     val lex = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
       .select(col(qidCol), id, col("rank").as("lex_rank"))
-    // query vectors: the same codegen kernel that embeds the corpus,
-    // normalized like HashEncoder output; |Q| rows, broadcast
-    val qv = new HashEncoder(dim).encode(
-        queries.filter(col(qTextCol).isNotNull), qTextCol, "__qv")
-      .select(col(qidCol), col("__qv"))
-    val denseScored = new HashEncoder(dim).encode(
-        docs.filter(col(textCol).isNotNull), textCol, "__v")
-      .select(id, col("__v"))
-      .crossJoin(maybeBroadcast(qv))
-      .select(col(qidCol), id,
-        VectorFunctions.vec_dot(col("__v"), col("__qv")).as("__s"))
-    val wDense = Window.partitionBy(col(qidCol)).orderBy(col("__s").desc, id.asc)
-    val dense = denseScored.withColumn("dense_rank", row_number().over(wDense))
-      .filter(col("dense_rank") <= n)
-      .select(col(qidCol), id, col("dense_rank"))
+    // Dense side, two routes:
+    //  - default (None): embed the corpus once, score every broadcast
+    //    query vector in the same scan, per-query top-n via a
+    //    WindowGroupLimit rank window — |Q|·N scoring work, right for
+    //    curation-scale batches;
+    //  - denseIndex = Some(factory): route through the searcher's index
+    //    paths ([[SparkSearcher]]) — a mining-scale run (millions of
+    //    queries) wants IVF/LSH pruning so each query scores a FRACTION
+    //    of the corpus, and the bounded-heap top-k tail instead of the
+    //    scored-stream window. "Flat" gives the exact bounded-heap plan;
+    //    ranks may differ from the windowed route only on float-tie
+    //    boundaries (the index route breaks ties by internal row id).
+    val dense = denseIndex match {
+      case Some(factory) =>
+        // __did: payload copy of the id — idCol itself becomes the
+        // searcher's row_id and does not ride the output
+        val model = new SparkSearcher(new HashEncoder(dim),
+          SearcherParams(itemCol = Some(textCol), idCol = Some(idCol),
+            measurement = "cos", indexParam = factory))
+          .fit(docs.filter(col(textCol).isNotNull)
+            .withColumn("__did", col(idCol)))
+        model.search(
+            queries.filter(col(qTextCol).isNotNull)
+              .select(col(qidCol), col(qTextCol).as(textCol)),
+            n, keepRankNo = true, queryIdCol = Some(qidCol))
+          .select(col(qidCol), col("__did").as(idCol),
+            (col("rank_no") + 1).cast("int").as("dense_rank"))
+      case None =>
+        // query vectors: the same codegen kernel that embeds the corpus,
+        // normalized like HashEncoder output; |Q| rows, broadcast
+        val qv = new HashEncoder(dim).encode(
+            queries.filter(col(qTextCol).isNotNull), qTextCol, "__qv")
+          .select(col(qidCol), col("__qv"))
+        val denseScored = new HashEncoder(dim).encode(
+            docs.filter(col(textCol).isNotNull), textCol, "__v")
+          .select(id, col("__v"))
+          .crossJoin(maybeBroadcast(qv))
+          .select(col(qidCol), id,
+            VectorFunctions.vec_dot(col("__v"), col("__qv")).as("__s"))
+        val wDense = Window.partitionBy(col(qidCol))
+          .orderBy(col("__s").desc, id.asc)
+        denseScored.withColumn("dense_rank", row_number().over(wDense))
+          .filter(col("dense_rank") <= n)
+          .select(col(qidCol), id, col("dense_rank"))
+    }
     val fused = lex.join(dense, Seq(qidCol, idCol), "full_outer")
       .select(col(qidCol), id, col("lex_rank"), col("dense_rank"),
         (coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +

@@ -75,4 +75,24 @@ class HybridSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getFloat(3))).toSeq
     assert(run() == run())
   }
+
+  test("batch dense side: Flat-index route matches the windowed-scan route") {
+    // the mining-scale escape hatch (denseIndex) must agree with the
+    // default scored-stream plan: with the exact Flat index, the same
+    // hash-embed cosine ranks the same docs — divergence is possible only
+    // on float-tie boundaries, absent from this fixture
+    val queries = Seq(
+      (0L, Seq("vector", "spark"), "spark vector search"),
+      (1L, Seq("dup"), "dup dup text")).toDF("qid", "terms", "qtext")
+    def run(idx: Option[String]) = HybridSearch.hybridRrfBatch(
+        corpus, "doc_id", "text", queries, "qid", "terms", "qtext",
+        k = 5, n = 4, denseIndex = idx)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(if (r.isNullAt(2)) null else r.getInt(2)),
+          Option(if (r.isNullAt(3)) null else r.getInt(3)))).toMap
+    val windowed = run(None)
+    val flat = run(Some("Flat"))
+    assert(flat === windowed)
+  }
 }
