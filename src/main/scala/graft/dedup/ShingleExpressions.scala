@@ -95,7 +95,7 @@ object ShingleKernels {
         shingles.getUTF8String(i), graft.functions.PolyHash.B1)
       var j = 0
       while (j < k) {
-        val v = (coefA(j) * h + coefB(j)) % p
+        val v = graft.functions.PolyHash.modP(coefA(j) * h + coefB(j))
         if (v < mins(j)) mins(j) = v
         j += 1
       }
@@ -118,7 +118,8 @@ object ShingleKernels {
       while (j < r) {
         // signature values are < P except the empty-set sentinel
         // Long.MaxValue; reduce first so the product stays < 2^52
-        acc = (acc * m + sig.getLong(b * r + j) % p) % p
+        acc = graft.functions.PolyHash.modP(
+          acc * m + graft.functions.PolyHash.modP(sig.getLong(b * r + j)))
         j += 1
       }
       out(b) = Long.box(acc)
@@ -180,7 +181,8 @@ object ShingleStatsKernel {
       var j = 0
       while (j < n) {
         val b = text.getByte(pos + j)
-        if (b != '\n'.toByte) poly = (poly * graft.functions.PolyHash.B1 + b) % p
+        if (b != '\n'.toByte)
+          poly = graft.functions.PolyHash.modP(poly * graft.functions.PolyHash.B1 + b)
         j += 1
       }
       // open addressing, linear probe on xx
@@ -196,7 +198,7 @@ object ShingleStatsKernel {
         hs(m) = xx; m += 1
         var q = 0
         while (q < k) {
-          val v = (coefA(q) * poly + coefB(q)) % p
+          val v = graft.functions.PolyHash.modP(coefA(q) * poly + coefB(q))
           if (v < mins(q)) mins(q) = v
           q += 1
         }
@@ -230,7 +232,7 @@ object ShingleStatsKernel {
       val poly = graft.functions.PolyHash.hash(g, graft.functions.PolyHash.B1)
       var q = 0
       while (q < k) {
-        val v = (coefA(q) * poly + coefB(q)) % p
+        val v = graft.functions.PolyHash.modP(coefA(q) * poly + coefB(q))
         if (v < mins(q)) mins(q) = v
         q += 1
       }

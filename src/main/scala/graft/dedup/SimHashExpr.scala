@@ -74,8 +74,8 @@ object SimHashKernels {
         if (inTok) { vote(votes, h1, h2); inTok = false; h1 = 0L; h2 = 0L }
       } else {
         val c: Long = if (b >= 'A' && b <= 'Z') b + 32 else b
-        h1 = (h1 * PolyHash.B1 + c) % PolyHash.P
-        h2 = (h2 * PolyHash.B2 + c) % PolyHash.P
+        h1 = PolyHash.modP(h1 * PolyHash.B1 + c)
+        h2 = PolyHash.modP(h2 * PolyHash.B2 + c)
         inTok = true
       }
       i += 1

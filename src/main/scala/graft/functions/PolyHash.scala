@@ -20,6 +20,24 @@ object PolyHash {
   val B1: Long = 1000003L
   val B2: Long = 1572869L
 
+  /** `x mod P` for any `x ≥ 0` (including `Long.MaxValue`, the
+    * empty-set signature sentinel) without the 64-bit divide.
+    *
+    * P is Mersenne (2^31 ≡ 1 mod P), so `x = hi·2^31 + lo ≡ hi + lo`:
+    * the first fold brings any nonnegative x under 2^33, the second
+    * under P + 4, and a single conditional subtract lands in [0, P) —
+    * bit-identical to `x % P` on the whole nonnegative range
+    * (PolyHashSpec checks edges and a random sweep). The `%` it
+    * replaces is a hardware divide (~25 cycles); the minhash
+    * signature loop runs it numHashes × distinct-grams times per
+    * document, which at the 5M-doc decade made integer division the
+    * single largest CPU item in the dedup family's profile. */
+  @inline def modP(x: Long): Long = {
+    var t = (x & P) + (x >>> 31)
+    t = (t & P) + (t >>> 31)
+    if (t >= P) t - P else t
+  }
+
   /** `fold cp: acc = (acc·mult + cp) mod P` over the string's code points
     * (newlines skipped). Result in [0, P). */
   def hash(s: String, mult: Long): Long = {
@@ -28,7 +46,7 @@ object PolyHash {
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      if (cp != '\n'.toInt) acc = (acc * mult + cp) % P
+      if (cp != '\n'.toInt) acc = modP(acc * mult + cp)
       i += Character.charCount(cp)
     }
     acc
@@ -45,7 +63,7 @@ object PolyHash {
     while (i < n) {
       val b = s.getByte(i)
       if (b < 0) return hash(s.toString, mult) // non-ASCII → code-point path
-      if (b != '\n'.toByte) acc = (acc * mult + b) % P
+      if (b != '\n'.toByte) acc = modP(acc * mult + b)
       i += 1
     }
     acc

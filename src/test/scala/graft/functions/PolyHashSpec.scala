@@ -40,6 +40,24 @@ class PolyHashSpec extends AnyFunSuite {
     }
   }
 
+  test("modP ≡ % P on the whole nonnegative range (edges + random sweep)") {
+    // every hot kernel loop (minhash signature, simhash votes, band
+    // keys, gram polyhash) now reduces via the Mersenne fold — a single
+    // value where modP(x) != x % P would silently shift signatures
+    // everywhere at once, so sweep edges, near-multiples, and randoms
+    val edges = Seq(0L, 1L, PolyHash.P - 1, PolyHash.P, PolyHash.P + 1,
+      (1L << 31) - 2, 1L << 31, (1L << 32) - 1, 1L << 32,
+      (1L << 52) - 1, 1L << 52, (1L << 62) - 1, 1L << 62,
+      Long.MaxValue - 1, Long.MaxValue) ++
+      (1L to 8L).flatMap(k => Seq(k * PolyHash.P - 1, k * PolyHash.P, k * PolyHash.P + 1))
+    for (x <- edges) assert(PolyHash.modP(x) === x % PolyHash.P, s"x=$x")
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 2000000) {
+      val x = rnd.nextLong() & Long.MaxValue // uniform nonnegative
+      assert(PolyHash.modP(x) === x % PolyHash.P, s"x=$x")
+    }
+  }
+
   test("fuzz: sorted-merge intersect size ≡ Set intersection on random long arrays") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val rnd = new scala.util.Random(19)
