@@ -547,7 +547,7 @@ object Dedup {
    */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       w: Int, hotDf: Long = 32, maxHotBroadcast: Long = 2000000,
-      minHotOcc: Long = 1L << 20): DataFrame = {
+      minHotOcc: Long = 1L << 22): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
     // only (id, text) is cached: token arrays materialize exclusively in
     // the rebuild projection of AFFECTED documents
@@ -580,21 +580,25 @@ object Dedup {
     // back to the single shuffle join when (a) the hot table outgrows the
     // broadcast cap (a corpus where millions of DISTINCT grams each repeat
     // ≥ hotDf times — at that density the shuffle is the data, not skew),
-    // or (b) the hot OCCURRENCE volume — the rows that would actually pile
-    // onto skewed reducer keys — is below `minHotOcc`: on a corpus where
-    // the skewed keys hold under a million rows total, one hot key is
-    // still one small task, and the split's gram persist costs more than
-    // the skew it removes. ONE agg action on the persisted firsts
-    // resolves both (count of hot grams, sum of their occurrences).
+    // or (b) no SINGLE gram repeats `minHotOcc` times: skew only breaks a
+    // shuffle join when one key's occurrences alone overwhelm one reducer
+    // task, so the trigger is the MAX per-gram count, not aggregate hot
+    // volume. (The r12 interleaved witness on a 5M-doc corpus with a
+    // 1000-site chrome pool — max df ≈ 10³, hot volume ≈ 10⁸ — measured
+    // the split at PARITY-to-2×-slower vs the plain join across 3×
+    // machine variance: thousands of rows per key is a normal shuffle,
+    // and the split's extra gram materialization buys nothing. The
+    // aggregate-volume trigger it replaces would have engaged there.)
+    // ONE agg action on the persisted firsts resolves all three stats.
     val isNotFirst = !(col("__first.doc_id") === col("doc_id") &&
       col("__first.gp") === col("gp"))
     val splitStats = firsts.agg(
       sum(when(col("__c") >= hotDf, lit(1L)).otherwise(lit(0L))),
-      sum(when(col("__c") >= hotDf, col("__c")).otherwise(lit(0L)))).head()
+      max(col("__c"))).head()
     val nHot = if (splitStats.isNullAt(0)) 0L else splitStats.getLong(0)
-    val hotOccVol = if (splitStats.isNullAt(1)) 0L else splitStats.getLong(1)
+    val maxDf = if (splitStats.isNullAt(1)) 0L else splitStats.getLong(1)
     val splitEngaged = nHot > 0 && nHot <= maxHotBroadcast &&
-      hotOccVol >= minHotOcc
+      maxDf >= minHotOcc
     // on the split path the corpus-wide shingle kernel would otherwise be
     // evaluated three times (firsts agg, hot join, cold join) — persist
     // the gram stream so it materializes once (freed with the rest)
@@ -605,7 +609,7 @@ object Dedup {
     val dupOcc =
       if (splitEngaged) {
         ccLog.info(s"dedupSpans hot-gram broadcast: $nHot grams with df>=$hotDf, " +
-          s"$hotOccVol hot occurrences")
+          s"max single-gram df $maxDf")
         val hotTbl = firsts.filter(col("__c") >= hotDf).select(col("gh"), col("__first"))
         val hotOcc = gramsEval.join(broadcast(hotTbl), Seq("gh"))
         val coldOcc = gramsEval.join(
