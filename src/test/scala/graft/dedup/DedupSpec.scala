@@ -402,6 +402,29 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == "")   // fully-boilerplate doc -> empty, not dropped
   }
 
+  test("removeBoilerplate: repeated in-doc positions all removed; in-doc repeats don't fake df") {
+    val sp = spark
+    import sp.implicits._
+    // chrome appears TWICE inside doc 0 (header + footer) — the grouped
+    // positional re-extraction must recover BOTH candidate positions from
+    // the single split; and a line repeated 3x inside ONE doc (doc 3)
+    // counts df=1, not 3 — the (lh, doc_id) level of the two-phase count
+    val docs = Seq(
+      (0L, "visit our shop\nalpha body\nvisit our shop"),
+      (1L, "visit our shop\nbeta body"),
+      (2L, "gamma body\nvisit our shop"),
+      (3L, "echo echo echo\necho echo echo\necho echo echo\ndelta body")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeBoilerplate(docs, "doc_id", "text",
+        minDocs = 3, minLen = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "alpha body") // both chrome positions removed
+    assert(got(1L) == "beta body")
+    assert(got(2L) == "gamma body")
+    // df("echo echo echo") = 1 distinct doc < 3: untouched
+    assert(got(3L) == "echo echo echo\necho echo echo\necho echo echo\ndelta body")
+  }
+
   test("clusterQuotaSample: per-cell quota enforced, rank follows score desc with id ties") {
     val sp = spark
     import sp.implicits._
