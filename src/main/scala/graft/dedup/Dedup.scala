@@ -1348,10 +1348,10 @@ object Dedup {
     // oracle gate does); the auto gate hash-checks the policy end-to-end
     // because the resolution is a deterministic function of n.
     val anchor = math.max(threshold, 0.9)
+    val n = base.count()
     val (resolvedBits, resolvedTables) =
       if (numTables > 0 && bits > 0) (bits, numTables)
       else {
-        val n = base.count()
         if (numTables > 0) {
           val b = autoLshBits(n)
           ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
@@ -1380,14 +1380,28 @@ object Dedup {
         }
       }
     val planes = SignLsh.planes(resolvedTables, resolvedBits, dim, seed)
+    // The bucket self-join's sides are tables × corpus rows CARRYING FULL
+    // VECTORS — at the 5M-row decade that is tens of GB through the
+    // sort-merge, and leaving the partition count to the session default
+    // makes each sort task spill (sf100 measured 85.3 s at 32 shuffle
+    // partitions vs 35.4 s at 256, same plan). The operator knows its own
+    // exploded volume, so it sizes the join's partitioning itself:
+    // ~64 MB of (vector + key) bytes per partition, never below the
+    // session setting, capped at 4096.
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val joinBytes = resolvedTables.toLong * n * (32L + 4L * dim)
+    val joinParts = math.max(sessParts,
+      math.min(4096L, joinBytes / (64L << 20) + 1L).toInt)
     val bucketed = base
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .select(col("id"), col("v"), col("nrm"),
         posexplode(SignLsh.bucketsCol(col("v"), planes)).as(Seq("tbl", "bkt")))
     val a = bucketed.select(col("tbl"), col("bkt"),
       col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+      .repartition(joinParts, col("tbl"), col("bkt"))
     val b = bucketed.select(col("tbl"), col("bkt"),
       col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+      .repartition(joinParts, col("tbl"), col("bkt"))
     // SHUFFLE_MERGE pinned: both sides are tables x corpus with full
     // vectors — never a broadcast build, whatever the size estimate says
     a.join(b.hint("shuffle_merge"), Seq("tbl", "bkt")).filter(col("id_a") < col("id_b"))
