@@ -354,6 +354,52 @@ object SparkEntry {
 
   /** DuckDB oracle for simhash near-dups: 62-bit two-polynomial fingerprint
     * (bit votes over token multisets), pigeonhole chunk join, hamming ≤ max. */
+  /** text_boilerplate / text_boilerplate_narrow shared reshape: 10-token
+    * pseudo-lines so the synthetic single-line corpus exercises the line
+    * machinery (both gates run the same reshape; the twin only forces the
+    * narrow cache path, which is result-invariant). */
+  private def boilerReshaped(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = table(s, dir, "documents")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
+    docs.select(col("doc_id"),
+      when(col("text").isNull, lit(null).cast("string"))
+        .when(size(toks) === 0, lit(""))
+        .otherwise(array_join(transform(sequence(lit(0), nl - 1),
+          i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
+        .as("text"))
+  }
+
+  /** text_boilerplate / text_boilerplate_narrow shared oracle: same
+    * 10-token pseudo-line reshape, then every line (≥8 chars) present in
+    * ≥3 DISTINCT docs is dropped everywhere; groups by the line STRING
+    * where the operator groups by fingerprint (collision canary). The
+    * narrow-cache path is result-invariant, so ONE SQL gates both. */
+  private val boilerplateOracleSql: String =
+    """WITH b0 AS (SELECT doc_id, text,
+      |  CASE WHEN text IS NULL THEN NULL
+      |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
+      |  FROM documents),
+      |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
+      |ln0 AS (SELECT r0.doc_id, r0.li,
+      |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
+      |  FROM r0 JOIN b0 USING (doc_id)),
+      |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
+      |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+      |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
+      |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
+      |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
+      |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
+      |bf AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) df FROM l
+      |  WHERE len(line) >= 8 GROUP BY line) WHERE df >= 3),
+      |kept AS (SELECT l.doc_id, l.i, l.line FROM l ANTI JOIN bf USING (line)),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
+      |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
+      |  ELSE coalesce(agg.t, '') END text_clean
+      |FROM re LEFT JOIN agg USING (doc_id)
+      |ORDER BY re.doc_id""".stripMargin.replace("\n", " ")
+
   /** dedup_spans / dedup_spans_hot shared oracle: duplicated 8-token
     * windows keep their global (doc_id, pos)-first occurrence; other
     * occurrences mask their covered tokens. Grouped by the gram STRING
@@ -1649,17 +1695,17 @@ object SparkEntry {
     // occurrence kept); fingerprint shuffle, string-grouped oracle as the
     // collision canary
     "text_boilerplate" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val toks = filter(split(col("text"), " "), t => length(t) > 0)
-      val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
-      val reshaped = docs.select(col("doc_id"),
-        when(col("text").isNull, lit(null).cast("string"))
-          .when(size(toks) === 0, lit(""))
-          .otherwise(array_join(transform(sequence(lit(0), nl - 1),
-            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
-          .as("text"))
-      Dedup.removeBoilerplate(reshaped, "doc_id", "text",
+      Dedup.removeBoilerplate(boilerReshaped(s, dir), "doc_id", "text",
           minDocs = 3, minLen = 8)
+        .orderBy("doc_id")
+    }),
+    // scale-path twin: smallCorpusBytes=0 FORCES the narrow
+    // (doc_id, pos, lh) persist + positional candidate re-extraction the
+    // operator engages only past the Catalyst size estimate — result is
+    // path-invariant, so the same static oracle gates it
+    "text_boilerplate_narrow" -> ((s, dir) => {
+      Dedup.removeBoilerplate(boilerReshaped(s, dir), "doc_id", "text",
+          minDocs = 3, minLen = 8, smallCorpusBytes = 0L)
         .orderBy("doc_id")
     }),
     // paragraph-level exact dedup (the Gopher preprocessing step): same
@@ -2487,30 +2533,10 @@ object SparkEntry {
         |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
     // boilerplate removal: same 10-token pseudo-line reshape, then every
     // line (>=8 chars) present in >=3 DISTINCT docs is dropped everywhere;
-    // groups by the line STRING where the operator groups by fingerprint
-    "text_boilerplate" ->
-      """WITH b0 AS (SELECT doc_id, text,
-        |  CASE WHEN text IS NULL THEN NULL
-        |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
-        |  FROM documents),
-        |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
-        |ln0 AS (SELECT r0.doc_id, r0.li,
-        |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
-        |  FROM r0 JOIN b0 USING (doc_id)),
-        |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
-        |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
-        |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
-        |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
-        |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
-        |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
-        |bf AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) df FROM l
-        |  WHERE len(line) >= 8 GROUP BY line) WHERE df >= 3),
-        |kept AS (SELECT l.doc_id, l.i, l.line FROM l ANTI JOIN bf USING (line)),
-        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
-        |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
-        |  ELSE coalesce(agg.t, '') END text_clean
-        |FROM re LEFT JOIN agg USING (doc_id)
-        |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
+    // groups by the line STRING where the operator groups by fingerprint.
+    // The same SQL gates the forced narrow-cache twin: path-invariant
+    "text_boilerplate" -> boilerplateOracleSql,
+    "text_boilerplate_narrow" -> boilerplateOracleSql,
     // paragraph granularity: 25-token blocks joined by a BLANK line; the
     // dedup splits on the two-char delimiter and keeps each >=8-char
     // paragraph's global (doc_id, position)-first occurrence

@@ -443,7 +443,8 @@ object Dedup {
    * Returns `[doc_id, text_clean]` for every input document (null text
    * stays null; a fully-boilerplate document becomes `""`).
    *
-   * Shape at scale: ONE explode pass whose projection keeps only
+   * Shape at scale: ONE explode pass; past `smallCorpusBytes` (free
+   * Catalyst size estimate, no action) its projection keeps only
    * (doc_id, pos, lh) — ~20 bytes/line persists, never the strings —
    * so the corpus-wide shuffle is the 16-byte (lh, doc_id) hash-df
    * aggregation (`count(distinct doc_id)` resolved as a two-level agg
@@ -452,9 +453,11 @@ object Dedup {
    * positional re-extraction: group candidate positions per doc, join
    * the affected documents, split each one's text ONCE row-locally.
    * Both the per-string recount and the removed-position pass read
-   * that small candidate cache. The boilerplate SET is the
-   * `df ≥ minDocs` survivor filter over those candidates — tiny by
-   * construction, so the join back broadcasts under AQE.
+   * that small candidate cache. Below the threshold the exploded lines
+   * persist with their strings — no extraction machinery, ~0.6 s
+   * cheaper at sf0.1. The boilerplate SET is the `df ≥ minDocs`
+   * survivor filter over those candidates — tiny by construction, so
+   * the join back broadcasts under AQE.
    * Membership is verified on the line STRING, not just the 64-bit
    * fingerprint — the boilerplate table carries its canonical string for
    * free, so a fingerprint collision cannot delete innocent content (the
@@ -466,19 +469,15 @@ object Dedup {
    * regrouped and re-sorted every line of every document.
    */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 3, minLen: Int = 1, delim: String = "\n"): DataFrame = {
+      minDocs: Int = 3, minLen: Int = 1, delim: String = "\n",
+      smallCorpusBytes: Long = 256L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val delimQ = java.util.regex.Pattern.quote(delim)
-    // ONE explode pass; only (doc_id, pos, lh) survives it — the line
-    // strings die inside this projection, so the corpus-wide cache is
-    // ~20 bytes/line, not the text itself
-    val narrow = df.filter(col(textCol).isNotNull)
+    def exploded = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), delimQ, -1))
           .as(Seq("pos", "line")))
       .filter(length(col("line")) >= minLen)
-      .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // document frequency per line STRING (the oracle's grouping), in two
     // phases so the corpus-wide shuffle moves 16-byte pairs, not line
     // strings: (1) hash-level df over (lh, doc_id) — a line repeated
@@ -493,37 +492,56 @@ object Dedup {
     // 20x/decade on the 5M-doc BoilerGen witness: it re-shuffled the
     // whole exploded corpus as ~700-byte rows).
     //
-    // CANDIDATE rows (hash-df ≥ minDocs — tiny by Zipf) get their
-    // strings back by positional re-extraction from the original text:
-    // one equi-join of the candidate (doc_id, pos) rows against the
-    // corpus, one row-local split of each affected document. The
-    // earlier shapes either cached the exploded corpus WITH its line
-    // strings (tens of GB at the 5M-doc decade — the same on-heap
-    // churn class the minhash candidate-array fix removed) or paid a
-    // second full explode pass (measured +17% at sf100); this one does
-    // neither. The candHashes join carries no broadcast hint: a normal
-    // corpus has a tiny candidate set and AQE broadcasts it, a
-    // degenerate one (every line shared) is corpus-sized and must
-    // shuffle — same reasoning as the banded self-join discipline.
-    val candHashes = narrow
+    // Two cache shapes behind one result, thresholded on the FREE
+    // Catalyst size estimate (no extra action — the same stats the
+    // optimizer trusts for broadcast decisions). Below the threshold
+    // the exploded corpus persists WITH its strings: one explode, three
+    // cheap cache reads, no re-extraction machinery — measured ~0.6 s
+    // cheaper per sf0.1 bench query. Above it, that cache is tens of GB
+    // of on-heap string churn (the minhash GC-collapse class), so only
+    // (doc_id, pos, lh) persists (~20 bytes/line) and CANDIDATE rows get
+    // their strings back by positional re-extraction: group candidate
+    // positions per doc, join the affected documents, split each text
+    // ONCE row-locally (sf100: 72.5 → 61.9 s). The candHashes join
+    // carries no broadcast hint: a normal corpus has a tiny candidate
+    // set and AQE broadcasts it, a degenerate one (every line shared) is
+    // corpus-sized and must shuffle — the banded self-join discipline.
+    val narrowPath =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > smallCorpusBytes
+    val (candSource, caches) =
+      if (!narrowPath) {
+        val lines = exploded
+          .withColumn("lh", xxhash64(col("line")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (lines, Seq(lines))
+      } else {
+        val narrow = exploded
+          .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (narrow, Seq(narrow))
+      }
+    val candHashes = candSource
       .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__n"))
       .groupBy(col("lh")).agg(count(lit(1)).as("__dfh"))
       .filter(col("__dfh") >= minDocs)
       .select(col("lh"))
-    // candidate positions grouped per doc so each affected document's
-    // text splits ONCE (chrome-heavy docs carry dozens of candidate
-    // lines; a per-candidate-row split would redo it per line)
-    val cand = narrow.join(candHashes, Seq("lh"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(col("pos"), col("lh"))).as("__ps"))
-      .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), Seq("doc_id"))
-      .withColumn("__parts", split(col("__t"), delimQ, -1))
-      .select(col("doc_id"), explode(transform(col("__ps"), p =>
-        struct(p("pos").as("pos"), p("lh").as("lh"),
-          element_at(col("__parts"), p("pos") + 1).as("line")))).as("__c"))
-      .select(col("doc_id"), col("__c.pos").as("pos"),
-        col("__c.lh").as("lh"), col("__c.line").as("line"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand =
+      if (!narrowPath)
+        candSource.join(candHashes, Seq("lh"))
+          .select(col("doc_id"), col("pos"), col("lh"), col("line"))
+      else
+        candSource.join(candHashes, Seq("lh"))
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(col("pos"), col("lh"))).as("__ps"))
+          .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), Seq("doc_id"))
+          .withColumn("__parts", split(col("__t"), delimQ, -1))
+          .select(col("doc_id"), explode(transform(col("__ps"), p =>
+            struct(p("pos").as("pos"), p("lh").as("lh"),
+              element_at(col("__parts"), p("pos") + 1).as("line")))).as("__c"))
+          .select(col("doc_id"), col("__c.pos").as("pos"),
+            col("__c.lh").as("lh"), col("__c.line").as("line"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allCaches = if (narrowPath) caches :+ cand else caches
     val boiler = cand
       .groupBy(col("lh"), col("line"), col("doc_id")).agg(count(lit(1)).as("__n2"))
       .groupBy(col("lh"), col("line")).agg(count(lit(1)).as("__df"))
@@ -546,7 +564,7 @@ object Dedup {
               array_except(sequence(lit(0), size(parts) - 1), col("__rm")),
               p => element_at(parts, p + 1)),
             delim)).as("text_clean"))
-    graft.util.CacheDiscipline.materializeAndFree(out, narrow, cand)
+    graft.util.CacheDiscipline.materializeAndFree(out, allCaches: _*)
   }
 
   /**

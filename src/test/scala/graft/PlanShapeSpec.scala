@@ -217,10 +217,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("boilerplate removal: fingerprint equi-joins only, never cartesian") {
-    val plan = physical(graft.dedup.Dedup.removeBoilerplate(
-      sf("documents"), "doc_id", "text", minDocs = 3, minLen = 8))
-    assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    for (smallBytes <- Seq(Long.MaxValue, 0L)) { // strings-cache and narrow paths
+      val plan = physical(graft.dedup.Dedup.removeBoilerplate(
+        sf("documents"), "doc_id", "text", minDocs = 3, minLen = 8,
+        smallCorpusBytes = smallBytes))
+      assert(!plan.contains("CartesianProduct"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    }
   }
 
   test("banded/bucketed self-joins sort-merge — never a broadcast of the corpus-sized side") {

@@ -415,14 +415,17 @@ class DedupSpec extends SparkSpec {
       (2L, "gamma body\nvisit our shop"),
       (3L, "echo echo echo\necho echo echo\necho echo echo\ndelta body")
     ).toDF("doc_id", "text")
-    val got = Dedup.removeBoilerplate(docs, "doc_id", "text",
-        minDocs = 3, minLen = 5)
+    def run(smallBytes: Long) = Dedup.removeBoilerplate(docs, "doc_id",
+        "text", minDocs = 3, minLen = 5, smallCorpusBytes = smallBytes)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got(0L) == "alpha body") // both chrome positions removed
-    assert(got(1L) == "beta body")
-    assert(got(2L) == "gamma body")
+    val narrow = run(0L)             // forced narrow + positional re-extraction
+    val small = run(Long.MaxValue)   // forced strings-in-cache path
+    assert(narrow === small)
+    assert(narrow(0L) == "alpha body") // both chrome positions removed
+    assert(narrow(1L) == "beta body")
+    assert(narrow(2L) == "gamma body")
     // df("echo echo echo") = 1 distinct doc < 3: untouched
-    assert(got(3L) == "echo echo echo\necho echo echo\necho echo echo\ndelta body")
+    assert(narrow(3L) == "echo echo echo\necho echo echo\necho echo echo\ndelta body")
   }
 
   test("clusterQuotaSample: per-cell quota enforced, rank follows score desc with id ties") {
