@@ -1366,10 +1366,10 @@ object Dedup {
     // oracle gate does); the auto gate hash-checks the policy end-to-end
     // because the resolution is a deterministic function of n.
     val anchor = math.max(threshold, 0.9)
-    val n = base.count()
     val (resolvedBits, resolvedTables) =
       if (numTables > 0 && bits > 0) (bits, numTables)
       else {
+        val n = base.count()
         if (numTables > 0) {
           val b = autoLshBits(n)
           ccLog.info(s"embeddingNearDupsLsh auto-bits: n=$n -> bits=$b " +
@@ -1405,11 +1405,14 @@ object Dedup {
     // partitions vs 35.4 s at 256, same plan). The operator knows its own
     // exploded volume, so it sizes the join's partitioning itself:
     // ~64 MB of (vector + key) bytes per partition, never below the
-    // session setting, capped at 4096.
+    // session setting, capped at 4096. Sized from the FREE Catalyst
+    // estimate of the vector table (no extra action on the pinned-knob
+    // path — partition sizing only needs the order of magnitude).
     val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val joinBytes = resolvedTables.toLong * n * (32L + 4L * dim)
+    val baseBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joinBytes = BigInt(resolvedTables) * baseBytes
     val joinParts = math.max(sessParts,
-      math.min(4096L, joinBytes / (64L << 20) + 1L).toInt)
+      (joinBytes / (64L << 20) + 1).min(BigInt(4096)).toInt)
     val bucketed = base
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
       .select(col("id"), col("v"), col("nrm"),
