@@ -578,6 +578,27 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         // auto bits: keep expected bucket occupancy ~16 rows as n grows;
         // resolved value logged — auto runs must be reproducible from logs
         val bits = IndexStrategy.resolveBits(bitsOpt, n)
+        // recall advisory (no semantics change): LSH recall loss is
+        // PRUNING — a true neighbor whose sign pattern differs in any
+        // probed table's bits is never scored — so unlike the quantized
+        // families `,RFlat` cannot buy it back; TABLES can. The same
+        // closed-form estimate the dedup auto-config optimizes
+        // (1 − (1 − p^bits)^tables at an anchor cosine 0.9) is logged
+        // whenever it falls below 0.5, with the table count that would
+        // clear 0.9 — RECALL.md measured LSH12 auto-bits at 0.183
+        // recall@10 at sf1, a number users should not discover in
+        // production.
+        val estRecall = graft.dedup.Dedup.lshRecallEstimate(0.9, bits, numTables)
+        if (estRecall < 0.5) {
+          val pb = math.pow(graft.dedup.Dedup.lshCollisionP(0.9), bits)
+          val need = if (pb >= 1.0) numTables
+            else math.ceil(math.log(0.1) / math.log(1.0 - pb)).toInt
+          org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
+            f"LSH$numTables%dx$bits%d: estimated recall@cos0.9 ≈ $estRecall%.3f " +
+              f"at n=$n — sign-LSH loses neighbors by pruning, so add tables " +
+              f"(LSH$need%dx$bits%d clears 0.9) or lower bits; RFlat cannot " +
+              "recover pruned candidates (see RECALL.md)")
+        }
         val planes = SignLsh.planes(numTables, bits, d)
         // store each row's per-table bucket keys; search is an equi-join on
         // (table, bucket) — candidates only, never the full corpus

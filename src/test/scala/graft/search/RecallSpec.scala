@@ -53,6 +53,22 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.95, s"HNSW ef=16 recall $r (measured 1.000)")
   }
 
+  test("LSH recall grows monotonically in tables and clears its floors") {
+    // sign-LSH loses recall by PRUNING (missed candidates), so the durable
+    // invariant is monotonicity in the table count at fixed bits; the
+    // floors pin the measured operating points on the fixed 500-vector
+    // corpus (deterministic planes from hashed seeds — constants).
+    // RECALL.md's 0.183 at sf1 for the 12-table default is the regime the
+    // fit-time advisory now warns about.
+    val r = Seq(4, 12, 32).map(t =>
+      t -> recallOf(base.copy(indexParam = s"LSH${t}x8"))).toMap
+    info(f"LSH recall@$K bits=8: tables=4 ${r(4)}%.3f, 12 ${r(12)}%.3f, 32 ${r(32)}%.3f")
+    assert(r(4) <= r(12) && r(12) <= r(32),
+      s"recall must be monotone in tables: $r")
+    assert(r(32) >= 0.40, s"LSH32x8 recall ${r(32)} (measured 0.452)")
+    assert(r(32) >= r(4), s"table scaling must pay: $r")
+  }
+
   test("RFlat refine strictly buys back PQ8 quantization loss") {
     val pq = recallOf(base.copy(indexParam = "PQ8"))
     val refined = recallOf(base.copy(indexParam = "PQ8,RFlat"))
