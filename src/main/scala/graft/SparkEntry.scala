@@ -1545,8 +1545,8 @@ object SparkEntry {
     // is a deterministic function of n, so the dynamic-oracle machinery
     // hash-gates it exactly
     "dedup_embedding_lsh_auto" -> ((s, dir) => Dedup.embeddingNearDupsLsh(
-      table(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4,
-      seed = 42L)
+      table(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = LshAutoGateThreshold, seed = 42L)
       .withColumn("cos", col("cos").cast("float"))
       .orderBy("id_a", "id_b")),
     // as-of join: each event joined to the user's latest prior purchase
@@ -3281,6 +3281,12 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 
+  /** The dedup_embedding_lsh_auto gate's cosine threshold — ONE constant
+    * feeding the Spark query, the oracle's anchor resolution (through the
+    * shared [[Dedup.lshAnchor]] policy) and the oracle's WHERE clause, so
+    * a future threshold change cannot silently diverge the three. */
+  private val LshAutoGateThreshold = 0.4
+
   /** dedup_embedding_lsh_auto: sign-LSH near-dup with the operator's
     * joint (bits, tables) auto-config ([[Dedup.autoLshConfig]] — cost
     * model under a recall floor; deterministic function of n), planes
@@ -3291,8 +3297,11 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v"))
     val n = base.count()
     val dim = base.select(size(col("v"))).head().getInt(0)
-    // the operator's own resolution: anchor = max(threshold 0.4, 0.9)
-    val (bits, tables) = Dedup.autoLshConfig(n, math.max(0.4, 0.9))
+    // the operator's own resolution: the gate threshold constant through
+    // the SHARED anchor policy (Dedup.lshAnchor) — if either the gate
+    // threshold or the anchor constant moves, both sides move together
+    val (bits, tables) =
+      Dedup.autoLshConfig(n, Dedup.lshAnchor(LshAutoGateThreshold))
     val planes = graft.search.SignLsh.planes(numTables = tables, bits = bits, dim = dim, seed = 42L)
     val bucketExprs = graft.search.SignLsh.bucketsSql("v", planes)
       .mkString("[", ", ", "]")
@@ -3305,7 +3314,8 @@ object SparkEntry {
        |  CASE WHEN na.nrm * nb.nrm = 0 THEN 0.0
        |    ELSE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) END c
        |  FROM cd JOIN n0 na ON na.vec_id = cd.id_a JOIN n0 nb ON nb.vec_id = cd.id_b)
-       |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM vr WHERE c >= 0.4
+       |SELECT id_a, id_b, CAST(c AS FLOAT) cos FROM vr
+       |WHERE c >= $LshAutoGateThreshold
        |ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
   }
 

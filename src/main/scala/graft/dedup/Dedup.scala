@@ -264,7 +264,10 @@ object Dedup {
    *
    * The broadcast path holds every distinct eval gram on the driver and
    * in each task — bounded by `maxBroadcast` (default 8M grams ≈ 64 MB
-   * as a sorted long array). Decontaminating against a held-out CORPUS
+   * as a sorted long array; hard-clamped to 2^28 grams ≈ 2 GB, the most
+   * a single task array should ever hold — a larger `maxBroadcast` takes
+   * the join path at the clamp and the fallback log reports the
+   * effective cap). Decontaminating against a held-out CORPUS
    * rather than a benchmark suite crosses that bound, and the operator
    * falls back to the fingerprint equi-join shape ([[dedupSpans]]' plan):
    * explode the train grams, join the eval gram table, two-level
@@ -294,8 +297,9 @@ object Dedup {
           coalesce(col("h.n_distinct"), lit(0L)).as("n_distinct"))
         .withColumn("contaminated", (col("n_hits") > 0L).cast("int"))
     } else {
-      ccLog.info(s"decontaminateNgrams: distinct eval grams exceed " +
-        s"maxBroadcast=$maxBroadcast -> fingerprint equi-join path")
+      ccLog.info(s"decontaminateNgrams: distinct eval grams exceed the " +
+        s"effective broadcast cap $cap (= min(maxBroadcast=$maxBroadcast, " +
+        s"2^28)) -> fingerprint equi-join path")
       val trainGrams = train
         .filter(col(textCol).isNotNull)
         .select(col(idCol).as("__did"),
@@ -381,11 +385,20 @@ object Dedup {
    * one hash aggregation per distinct line FINGERPRINT for the global
    * first occurrence, an equi-join back, and one per-document reassembly
    * aggregation. Lines travel the first-occurrence shuffle as 64-bit
-   * xxhash fingerprints, not strings (the span-flagging trick above —
-   * exact up to 64-bit collisions; the gate's oracle groups by the line
-   * itself, so it doubles as a collision canary). Nothing is quadratic,
-   * nothing is collected; per-task memory is bounded by the largest
-   * single document (the reassembly sort).
+   * xxhash fingerprints, not strings (the span-flagging trick above).
+   * Removal is VERIFIED on the line STRING, not just the fingerprint
+   * (the [[removeBoilerplate]] hardening): duplicated fingerprints — a
+   * tiny `__cnt > 1` subset of the hash agg — recover their canonical
+   * first-occurrence string from the persisted explode (AQE broadcasts
+   * the candidate set at any realistic dup rate, so strings still never
+   * leave the partitions that cached them), and an occurrence only counts
+   * as removed when its string equals that canonical string. A 64-bit
+   * collision therefore can never delete unique content; the colliding
+   * minority string keeps its own duplicates (under-removal, the safe
+   * direction for a best-effort dedup — the gate's oracle groups by the
+   * line itself and stays the canary). Nothing is quadratic, nothing is
+   * collected; per-task memory is bounded by the largest single document
+   * (the reassembly sort).
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minLen: Int = 1, delim: String = "\n"): DataFrame = {
@@ -397,24 +410,39 @@ object Dedup {
       .withColumn("lh", xxhash64(col("line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global first occurrence per eligible line fingerprint: one hash agg
-    // over 8-byte keys; min(struct) orders by (doc_id, pos) — deterministic
-    val firsts = lines.filter(length(col("line")) >= minLen)
+    // over 8-byte keys; min(struct) orders by (doc_id, pos) — deterministic.
+    // Only DUPLICATED fingerprints (__cnt > 1) survive — a cnt==1 hash can
+    // never produce a removal, and the filter keeps the join build side to
+    // the duplicated minority
+    val elig = lines.filter(length(col("line")) >= minLen)
+    val cand = elig
       .groupBy(col("lh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    // removed POSITIONS per affected doc (every non-first occurrence of an
-    // eligible line): only position ints reach the per-doc aggregation.
-    // Untouched documents — the majority at any realistic dup rate — pass
-    // their text through VERBATIM below; the earlier shape regrouped and
-    // re-sorted EVERY line of EVERY document through a corpus-wide
-    // collect_list shuffle (dedup_paragraphs measured 28.7x/decade on the
-    // r10 sf100 probe through exactly that rebuild).
-    // the occurrence side projects to (lh, doc_id, pos) BEFORE the join:
-    // both sides of the first-occurrence shuffle are ~24-byte rows — the
-    // line strings never leave the partitions that cached them
-    val removed = lines.filter(length(col("line")) >= minLen)
-      .select(col("lh"), col("doc_id"), col("pos"))
-      .join(firsts, Seq("lh"))
-      .filter(!(col("__first.doc_id") === col("doc_id") && col("__first.pos") === col("pos")))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("lh").as("__clh"), col("__f.doc_id").as("__fdoc"),
+        col("__f.pos").as("__fpos"))
+    // canonical first-occurrence STRINGS, recovered partition-locally from
+    // the persisted explode — cand is ~24-byte rows over the duplicated
+    // minority, so AQE broadcasts it and no line string shuffles here
+    val canon = elig
+      .join(cand, col("lh") === col("__clh")
+        && col("doc_id") === col("__fdoc") && col("pos") === col("__fpos"))
+      .select(col("__clh").as("__klh"), col("__fdoc"), col("__fpos"),
+        col("line").as("__fline"))
+    // removed POSITIONS per affected doc (every non-first occurrence whose
+    // STRING matches the canonical first — the collision guard): only
+    // position ints reach the per-doc aggregation. Untouched documents —
+    // the majority at any realistic dup rate — pass their text through
+    // VERBATIM below; the earlier shape regrouped and re-sorted EVERY line
+    // of EVERY document through a corpus-wide collect_list shuffle
+    // (dedup_paragraphs measured 28.7x/decade on the r10 sf100 probe
+    // through exactly that rebuild). canon is duplicated-firsts-sized, so
+    // this join broadcasts too and the occurrence strings stay put
+    val removed = elig
+      .join(canon, col("lh") === col("__klh"))
+      .filter(!(col("__fdoc") === col("doc_id") && col("__fpos") === col("pos")))
+      .filter(col("line") === col("__fline"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__rm"))
     val delimQ = java.util.regex.Pattern.quote(delim)
@@ -1264,6 +1292,15 @@ object Dedup {
   def autoLshBits(n: Long): Int =
     math.max(4, math.ceil(math.log(math.max(1.0, n / 16.0)) / math.log(2)).toInt)
 
+  /** Anchor similarity the LSH auto-config holds its recall target at:
+    * `max(threshold, 0.9)` — near-dup thresholds below 0.9 would demand an
+    * unaffordable table count under sign-LSH's ρ-exponent, so the floor is
+    * guaranteed for pairs at ≥ 0.9 and degrades gracefully below. ONE
+    * definition shared by [[embeddingNearDupsLsh]] and the gate's dynamic
+    * oracle builder — an inlined copy on either side silently diverges the
+    * moment the policy constant moves. */
+  def lshAnchor(threshold: Double): Double = math.max(threshold, 0.9)
+
   /** Sign-random-projection collision probability per hyperplane for a
     * pair at cosine exactly `c` (Goemans–Williamson / Charikar'02):
     * `p = 1 − acos(c)/π`. */
@@ -1341,6 +1378,15 @@ object Dedup {
    * Approximate with tunable recall (more tables / fewer bits ⇒ higher
    * recall), but — unlike the k-means blocking — fully DETERMINISTIC given
    * the seed, so the whole pipeline has a bit-exact DuckDB oracle.
+   *
+   * CHANGELOG: the default `numTables` changed 12 → 0 (joint
+   * `(bits, tables)` auto-config via [[autoLshConfig]]) when the r10 sf100
+   * probe showed the fixed-12 default decaying to ~0.36 estimated anchor
+   * recall at 2M vectors. LSH is approximate, so callers relying on the
+   * old default get a DIFFERENT (better-recalled) candidate/pair set and
+   * cost profile across versions — pin BOTH `numTables` and `bits`
+   * explicitly for cross-version reproducibility, as the pinned oracle
+   * gate does.
    */
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numTables: Int = 0, bits: Int = 0,
@@ -1360,12 +1406,12 @@ object Dedup {
     //    table count silently trades recall away as n grows — the r10
     //    sf100 probe's 12-table config had estimated anchor recall 0.36
     //    where sf0.01 had 0.91. The joint policy holds `targetRecall` at
-    //    the anchor similarity (max(threshold, 0.9)) while minimizing
-    //    modeled cost, capped at `maxTables` (shortfall logged).
+    //    the anchor similarity ([[lshAnchor]]) while minimizing modeled
+    //    cost, capped at `maxTables` (shortfall logged).
     // Pin BOTH explicitly for cross-run plan determinism (the pinned
     // oracle gate does); the auto gate hash-checks the policy end-to-end
     // because the resolution is a deterministic function of n.
-    val anchor = math.max(threshold, 0.9)
+    val anchor = lshAnchor(threshold)
     val (resolvedBits, resolvedTables) =
       if (numTables > 0 && bits > 0) (bits, numTables)
       else {

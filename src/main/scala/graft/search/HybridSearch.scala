@@ -140,26 +140,29 @@ object HybridSearch {
   def hybridRrfBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
       k: Int, n: Int = 50, rrfK: Int = 60, dim: Int = 64,
-      maxBroadcastQueries: Long = 1000000L,
-      denseIndex: Option[String] = None): DataFrame = {
+      maxBroadcastBytes: Long = 64L << 20,
+      denseIndex: Option[String] = None,
+      autoIndexCorpusBytes: Long = 1L << 30,
+      autoIndexMinQueries: Long = 512L): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     val id = col(idCol)
-    // broadcast guard (mirrors decontaminateNgrams' maxBroadcast): the
+    // broadcast guard (mirrors removeBoilerplate's smallCorpusBytes): the
     // hard broadcast hints below assume a curation-scale query SET
     // (thousands). A mining-scale set (millions) must not die on a driver
     // broadcast OOM — past the bound the hints drop and the joins degrade
-    // to shuffles. One count() on the (small by construction) query table.
-    val nQ = queries.count()
-    val hintOk = nQ <= maxBroadcastQueries
+    // to shuffles. Decided from the FREE Catalyst size estimate of the
+    // query table — no count() job on the common curation-scale path.
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hintOk = qBytes <= maxBroadcastBytes
     def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val lex = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
       .select(col(qidCol), id, col("rank").as("lex_rank"))
     // Dense side, two routes:
-    //  - default (None): embed the corpus once, score every broadcast
-    //    query vector in the same scan, per-query top-n via a
-    //    WindowGroupLimit rank window — |Q|·N scoring work, right for
-    //    curation-scale batches;
+    //  - windowed (the curation default): embed the corpus once, score
+    //    every broadcast query vector in the same scan, per-query top-n
+    //    via a WindowGroupLimit rank window — |Q|·N scoring work AND a
+    //    |Q|·N scored-stream exchange, right for curation-scale batches;
     //  - denseIndex = Some(factory): route through the searcher's index
     //    paths ([[SparkSearcher]]) — a mining-scale run (millions of
     //    queries) wants IVF/LSH pruning so each query scores a FRACTION
@@ -167,7 +170,27 @@ object HybridSearch {
     //    scored-stream window. "Flat" gives the exact bounded-heap plan;
     //    ranks may differ from the windowed route only on float-tie
     //    boundaries (the index route breaks ties by internal row id).
-    val dense = denseIndex match {
+    // AUTO-ROUTE by measured work: when the corpus is big (free Catalyst
+    // size estimate past `autoIndexCorpusBytes`) the windowed route's
+    // scored-stream exchange is |Q|·N rows — there ONE count() of the
+    // (small by construction) query table decides, and past
+    // `autoIndexMinQueries` the dense side flips to the EXACT "Flat"
+    // bounded-heap plan (same results up to float ties; approximate
+    // pruning stays opt-in via an explicit `denseIndex`). At gate/
+    // curation scale the corpus-bytes test fails first, so the default
+    // plan — and its job count — is unchanged.
+    val resolvedIndex: Option[String] = denseIndex.orElse {
+      val docsBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (docsBytes > autoIndexCorpusBytes &&
+          queries.count() > autoIndexMinQueries) {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"hybridRrfBatch auto-route: corpus ~$docsBytes bytes and " +
+            s"|Q| > $autoIndexMinQueries -> Flat index route (bounded-heap " +
+            "top-n; windowed scored-stream exchange avoided)")
+        Some("Flat")
+      } else None
+    }
+    val dense = resolvedIndex match {
       case Some(factory) =>
         // __did: payload copy of the id — idCol itself becomes the
         // searcher's row_id and does not ride the output
@@ -228,15 +251,19 @@ object HybridSearch {
   def rerankBatch(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, termsCol: String, qTextCol: String,
       k: Int, n: Int = 50, dim: Int = 64,
-      maxBroadcastRows: Long = 8000000L): DataFrame = {
+      maxBroadcastBytes: Long = 256L << 20): DataFrame = {
     require(k >= 1 && n >= 1, s"need k >= 1 and n >= 1, got k=$k n=$n")
     val id = col(idCol)
-    // broadcast guard (mirrors decontaminateNgrams' maxBroadcast): the
+    // broadcast guard (mirrors removeBoilerplate's smallCorpusBytes): the
     // candidate list is |Q|·n rows — bounded and broadcastable for a
     // curation-scale query set, a driver OOM for a mining-scale one. Past
     // the bound the hints drop and both joins degrade to shuffle joins.
-    val nQ = queries.count()
-    val hintOk = nQ * n <= maxBroadcastRows
+    // Sized from the FREE Catalyst estimate of the query table (no count()
+    // job): a candidate row (~32 B of ids + rank) is conservatively at
+    // least a quarter of an average query row (id + terms + text), so
+    // candidate-list bytes ≲ qBytes·n/4.
+    val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hintOk = qBytes * n / 4 <= maxBroadcastBytes
     def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val cands = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)

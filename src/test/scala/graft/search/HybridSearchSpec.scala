@@ -95,4 +95,29 @@ class HybridSearchSpec extends SparkSpec {
     val flat = run(Some("Flat"))
     assert(flat === windowed)
   }
+
+  test("batch auto-route: work thresholds flip the dense side to the index plan, equivalently") {
+    val queries = Seq(
+      (0L, Seq("vector", "spark"), "spark vector search"),
+      (1L, Seq("dup"), "dup dup text"),
+      (2L, Seq("fox"), "quick brown fox")).toDF("qid", "terms", "qtext")
+    def run(corpusBytes: Long, minQ: Long) = HybridSearch.hybridRrfBatch(
+        corpus, "doc_id", "text", queries, "qid", "terms", "qtext",
+        k = 5, n = 4, autoIndexCorpusBytes = corpusBytes,
+        autoIndexMinQueries = minQ)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(if (r.isNullAt(2)) null else r.getInt(2)),
+          Option(if (r.isNullAt(3)) null else r.getInt(3)))).toMap
+    // default thresholds: this fixture is curation-scale, windowed route
+    val windowed = run(1L << 30, 512L)
+    // forced flip: any corpus counts as big, any |Q| crosses — the auto
+    // decision takes the Flat index route and must agree result-for-result
+    val flipped = run(0L, 0L)
+    assert(flipped === windowed)
+    // the flip gates on BOTH signals: big corpus alone must not flip
+    // (|Q| below the floor keeps the windowed plan, results identical)
+    val bigCorpusOnly = run(0L, 512L)
+    assert(bigCorpusOnly === windowed)
+  }
 }
