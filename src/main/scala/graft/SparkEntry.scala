@@ -339,6 +339,50 @@ object SparkEntry {
     s"""WITH ${minhashPairCtes(n, numHashes, bands, threshold)}
        |SELECT id_a, id_b, jaccard FROM mp ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
 
+  /** Shared CTE chain for the ONE-PERMUTATION-HASHING minhash pipeline
+    * ([[Dedup.minHashNearDupsOph]] / [[graft.dedup.OphSigKernel]]),
+    * terminating in `mp(id_a, id_b, jaccard)`: per distinct gram ONE
+    * permuted hash `(A·h + B) mod P` (the classic sequence's first
+    * coefficient pair), binned by `v mod k` with per-bin minima; empty
+    * bins borrow from the nearest non-empty bin to the RIGHT (circular),
+    * value `(m_src + d·B1) mod P` — the SQL encodes the minimal borrow
+    * distance as `d·2^32 + value` and decodes with `% 2^32`, reproducing
+    * the kernel's rotation densification bit-for-bit. Banding, candidate
+    * join and exact-Jaccard verify mirror [[minhashPairCtes]]. */
+  private def minhashOphPairCtes(n: Int, k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    val (ca, cb) = Dedup.minHashCoefficients(1)
+    val (ak, bk) = (ca(0), cb(0))
+    s"""b0 AS (SELECT doc_id id, text FROM documents),
+       |sh AS (SELECT id, CASE WHEN length(text) >= $n THEN
+       |  list_distinct(list_transform(range(1, length(text) - ${n - 2}), i -> substr(text, i, $n)))
+       |  ELSE [] END s FROM b0),
+       |hs AS (SELECT id, s, list_transform(s, g -> ${PolyHash.sql("g", PolyHash.B1)}) h FROM sh WHERE len(s) > 0),
+       |vs AS (SELECT id, list_transform(h, x -> ($ak * x + $bk) % ${PolyHash.P}) v FROM hs),
+       |mn AS (SELECT id, list_transform(range(0, $k), j -> list_min(list_filter(v, x -> x % $k = j))) m FROM vs),
+       |sg AS (SELECT id, list_transform(range(0, $k), j ->
+       |  CASE WHEN m[j+1] IS NOT NULL THEN m[j+1]
+       |  ELSE list_min(list_filter(list_transform(range(1, $k), dd ->
+       |    CASE WHEN m[((j+dd) % $k)+1] IS NOT NULL
+       |      THEN dd * 4294967296 + (m[((j+dd) % $k)+1] + dd * ${PolyHash.B1}) % ${PolyHash.P} END),
+       |    x -> x IS NOT NULL)) % 4294967296
+       |  END) sig FROM mn),
+       |bk AS (SELECT id, r.range band,
+       |  list_reduce(list_prepend(0::BIGINT, list_slice(sig, r.range * $r + 1, r.range * $r + $r)),
+       |    (acc, v) -> (acc * ${PolyHash.B1} + v) % ${PolyHash.P}) bkey
+       |  FROM sg CROSS JOIN range(0, $bands) r),
+       |cd AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bk a JOIN bk b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+       |vr AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) c, len(sa.s) za, len(sb.s) zb
+       |  FROM cd JOIN sh sa ON sa.id = cd.id_a JOIN sh sb ON sb.id = cd.id_b),
+       |mp AS (SELECT id_a, id_b, c::DOUBLE / (za + zb - c) jaccard FROM vr
+       |  WHERE c::DOUBLE / (za + zb - c) >= $threshold)""".stripMargin
+  }
+
+  private def minhashOphOracle(n: Int, k: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashOphPairCtes(n, k, bands, threshold)}
+       |SELECT id_a, id_b, jaccard FROM mp ORDER BY id_a, id_b""".stripMargin.replace("\n", " ")
+
   /** Recursive-CTE reachability over the minhash pair graph: component =
     * smallest reachable id — the fixpoint [[Dedup.connectedComponents]]
     * converges to, independent of iteration schedule. */
@@ -1095,6 +1139,14 @@ object SparkEntry {
       table(s, dir, "documents"), "doc_id", "text",
       n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")),
+    // dedup: one-permutation-hashing signature twin — O(grams) kernel
+    // (one permuted hash per gram, 64 bins, rotation densification)
+    // feeding the same banding + exact-Jaccard verify; its own oracle
+    // reproduces the binning and densification arithmetic bit-for-bit
+    "dedup_minhash_oph" -> ((s, dir) => Dedup.minHashNearDupsOph(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numBins = 64, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")),
     // dedup: near-dup CLUSTERS — minhash pairs → connected components
     // (keep-one-per-cluster is the step after pair generation in a real
     // dedup pipeline); iterative min-label propagation, recursive-CTE oracle
@@ -1110,6 +1162,13 @@ object SparkEntry {
     "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(
       table(s, dir, "documents"), "doc_id", "text",
       n = 5, numHashes = 64, bands = 8, threshold = 0.5)
+      .orderBy("doc_id")),
+    // the cleaned corpus over the OPH candidate pipeline — the
+    // O(grams)-signature 100 TB path, gated end-to-end (pairs → CC →
+    // anti-join) against its own recursive-CTE oracle
+    "dedup_corpus_oph" -> ((s, dir) => Dedup.dedupCorpusOph(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numBins = 64, bands = 8, threshold = 0.5)
       .orderBy("doc_id")),
     // dedup: SimHash hamming-band pairs, block count PINNED at the old
     // fixed policy (maxHamming+1 single-block bands) for plan determinism
@@ -2039,11 +2098,24 @@ object SparkEntry {
          |FROM fv a JOIN fv b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin.replace("\n", " "),
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+    "dedup_minhash_oph" -> minhashOphOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
     "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     // same pair CTEs + reachability as the cluster oracle, then the
     // cleaned corpus: every document except non-canonical cluster members
     "dedup_corpus" ->
       s"""WITH RECURSIVE ${minhashPairCtes(5, 64, 8, 0.5)},
+         |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
+         |reach(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+         |  UNION
+         |  SELECT ed.u, reach.comp FROM ed JOIN reach ON ed.v = reach.id),
+         |dropped AS (SELECT id FROM reach GROUP BY id HAVING min(comp) <> id)
+         |SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM dropped)
+         |ORDER BY doc_id""".stripMargin.replace("\n", " "),
+    // same reachability shape over the OPH pair CTEs
+    "dedup_corpus_oph" ->
+      s"""WITH RECURSIVE ${minhashOphPairCtes(5, 64, 8, 0.5)},
          |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
          |reach(id, comp) AS (
          |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)

@@ -815,8 +815,50 @@ object Dedup {
       .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // persisted: both self-join sides consume it, and without this the
-    // signature kernel (numHashes mins over every shingle) runs twice
+    bandedJaccardVerify(df, idCol, textCol, n, bands, r, threshold, texts)
+  }
+
+  /**
+   * One-permutation-hashing near-dup pipeline — the O(grams) signature
+   * sibling of [[minHashNearDups]] ([[OphSigKernel.ophSig]]: one permuted
+   * hash per distinct gram binned into `numBins` per-bin minima, empty
+   * bins rotation-densified) feeding the SAME banding, candidate join and
+   * exact-Jaccard verification. Precision is identical by construction —
+   * every emitted pair passed the exact set-Jaccard threshold — only the
+   * CANDIDATE sets differ: per-component collision probability is ≈ the
+   * pair's Jaccard on both schemes, so banded recall is comparable
+   * (MinHashOphSpec measures it against the classic kernel), while the
+   * signature pass drops from numHashes multiply/mod/min per gram to one.
+   * At the r12 sf100 decomposition that pass alone was 32.4 s of
+   * dedup_minhash's 68.8 s — the largest remaining kernel multiple.
+   * Deterministic; bit-exact DuckDB oracle (dedup_minhash_oph).
+   */
+  def minHashNearDupsOph(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numBins: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    require(numBins % bands == 0, "numBins must divide into bands")
+    val r = numBins / bands
+    // the single permutation IS the first coefficient pair of the classic
+    // kernel's deterministic sequence — one shared seed story, and the
+    // oracle builder embeds the identical values
+    val (ca, cb) = minHashCoefficients(1)
+    val st = toCol(OphSigExpr(toExpr(col(textCol)), n, ca(0), cb(0), numBins))
+    val texts = df.select(col(idCol).as("id"), st.as("st"))
+      .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedJaccardVerify(df, idCol, textCol, n, bands, r, threshold, texts)
+  }
+
+  /** Shared tail of the minhash family: band the persisted `texts`
+    * (id, sz, sig) table, self-join on the band keys for candidates,
+    * recover sorted gram fingerprints for CANDIDATE ids only, verify by
+    * exact set-Jaccard. `texts` must be persisted by the caller (both
+    * self-join sides consume it; without the persist the signature kernel
+    * runs twice). */
+  private def bandedJaccardVerify(df: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, r: Int, threshold: Double,
+      texts: DataFrame): DataFrame = {
     val banded = texts.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -831,13 +873,17 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // fingerprint arrays for candidate ids only: one corpus scan joined
     // against the (small, AQE-broadcast) candidate id set — the shingle
-    // kernel runs on matched rows only, after the join
+    // kernel runs on matched rows only, after the join. The stats
+    // kernel's signature output is unused on this pass, so the cheapest
+    // valid coefficient set (ONE pair) replaces the caller's — result
+    // columns (sz, hs) are coefficient-independent
+    val (ca1, cb1) = minHashCoefficients(1)
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
     val hsTab = df.select(col(idCol).as("id"), col(textCol).as("__t"))
       .join(candIds, Seq("id"))
       .select(col("id"),
-        toCol(ShingleStatsExpr(toExpr(col("__t")), n, coefA, coefB)).as("st2"))
+        toCol(ShingleStatsExpr(toExpr(col("__t")), n, ca1, cb1)).as("st2"))
       .select(col("id"), col("st2.hs").as("hs"), col("st2.sz").as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cands
@@ -1213,6 +1259,20 @@ object Dedup {
     val comp = connectedComponents(pairs, "id_a", "id_b")
     // non-canonical members of any duplicate cluster; singletons never
     // appear in `comp`, so they survive by construction
+    val drop = comp.filter(!col("is_canonical")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
+  /** [[dedupCorpus]] over the one-permutation-hashing candidate pipeline
+    * ([[minHashNearDupsOph]]) — the O(grams)-signature corpus dedup for
+    * the 100 TB path. Same CC contraction, same keep-the-minimum policy;
+    * only the (exact-Jaccard-verified) pair set can differ from the
+    * classic kernel's, by banding recall. */
+  def dedupCorpusOph(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numBins: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashNearDupsOph(df, idCol, textCol, n, numBins, bands, threshold)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
     val drop = comp.filter(!col("is_canonical")).select(col("id"))
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }

@@ -250,6 +250,152 @@ object ShingleStatsKernel {
   }
 }
 
+object OphSigKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /**
+   * One-permutation-hashing MinHash signature (Li/Owen/Zhang, NIPS'12)
+   * with rotation densification (Shrivastava/Li, ICML'14): ONE permuted
+   * hash per distinct gram — `v = (a·poly + b) mod P` — binned into `k`
+   * congruence classes (`v mod k`), tracking the per-bin minimum. Empty
+   * bins borrow circularly from the nearest non-empty bin to the right,
+   * offset by the borrow distance (`(m_src + d·B1) mod P`) so a borrowed
+   * value collides with an unrelated native value only at hash odds.
+   * O(grams) signature work instead of the classic kernel's
+   * O(numHashes·grams) — the 64 multiply/mod/compare per gram that made
+   * the signature pass the largest single CPU item of the sf100 minhash
+   * family (32.4 s of dedup_minhash's 68.8 s, r12 decomposition).
+   *
+   * Rotation (not the ICML'17 "optimal" randomized-probe densification)
+   * is deliberate: at k=64 bins a document with g distinct grams leaves a
+   * bin empty with probability (1−1/k)^g ≈ 0.9% at g=300, so the
+   * sparse-vector variance gap the optimal scheme closes is negligible at
+   * document scale, and the rotation rule is a pure list expression in
+   * the DuckDB oracle (no unbounded probe loop to unroll). The whole
+   * scheme is pinned bit-for-bit by the dedup_minhash_oph gate.
+   *
+   * Distinctness, ASCII fast path, and the non-ASCII string fallback
+   * mirror [[ShingleStatsKernel.shingleStats]]; unlike it, NO sorted
+   * fingerprint array is built here — the corpus signature pass also
+   * drops shingleStats' per-document sort and copy, which it computed
+   * only to discard.
+   *
+   * Returns `(sz: distinct grams, sig: array[k])`; an empty shingle set
+   * (text shorter than the gram width) returns `sz = 0` with all-sentinel
+   * `sig` — callers filter `sz > 0` exactly as on the classic path.
+   */
+  def ophSig(text: UTF8String, n: Int, a: Long, b: Long, k: Int): InternalRow = {
+    val numBytes = text.numBytes
+    var ascii = true
+    var i = 0
+    while (ascii && i < numBytes) { if (text.getByte(i) < 0) ascii = false; i += 1 }
+    if (!ascii) return ophSigGeneric(text, n, a, b, k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (numBytes < n) return pack(0, mins)
+    val cap = Integer.highestOneBit(math.max(4, (numBytes - n + 1) * 2) - 1) << 1
+    val keyXx = new Array[Long](cap)
+    val keyPoly = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var m = 0
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var pos = 0
+    while (pos <= numBytes - n) {
+      val xx = XXH64.hashUnsafeBytes(base, off + pos, n, 42L)
+      var poly = 0L
+      var j = 0
+      while (j < n) {
+        val c = text.getByte(pos + j)
+        if (c != '\n'.toByte)
+          poly = graft.functions.PolyHash.modP(poly * graft.functions.PolyHash.B1 + c)
+        j += 1
+      }
+      var slot = (java.lang.Long.hashCode(xx) & (cap - 1))
+      var fresh = false
+      var done = false
+      while (!done) {
+        if (!used(slot)) { used(slot) = true; keyXx(slot) = xx; keyPoly(slot) = poly; fresh = true; done = true }
+        else if (keyXx(slot) == xx && keyPoly(slot) == poly) done = true
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (fresh) {
+        m += 1
+        // a < P and poly < P keep a·poly < 2^62: modP's whole domain
+        val v = graft.functions.PolyHash.modP(a * poly + b)
+        val bin = (v % k).toInt
+        if (v < mins(bin)) mins(bin) = v
+      }
+      pos += 1
+    }
+    densify(m, mins, k)
+  }
+
+  /** Non-ASCII fallback: identical output via the exact string-distinct
+    * path (code-point polyhash), mirroring shingleStatsGeneric. */
+  private def ophSigGeneric(text: UTF8String, n: Int, a: Long, b: Long,
+      k: Int): InternalRow = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val s = text.toString
+    if (s.length < n) return pack(0, mins)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= s.length - n) { seen.add(s.substring(i, i + n)); i += 1 }
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val poly = graft.functions.PolyHash.hash(it.next(), graft.functions.PolyHash.B1)
+      val v = graft.functions.PolyHash.modP(a * poly + b)
+      val bin = (v % k).toInt
+      if (v < mins(bin)) mins(bin) = v
+    }
+    densify(seen.size, mins, k)
+  }
+
+  private def densify(m: Int, mins: Array[Long], k: Int): InternalRow = {
+    if (m == 0) return pack(0, mins)
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (mins(j) != Long.MaxValue) sig(j) = mins(j)
+      else {
+        var d = 1
+        while (mins((j + d) % k) == Long.MaxValue) d += 1
+        sig(j) = graft.functions.PolyHash.modP(
+          mins((j + d) % k) + d.toLong * graft.functions.PolyHash.B1)
+      }
+      j += 1
+    }
+    pack(m, sig)
+  }
+
+  private def pack(sz: Int, sig: Array[Long]): InternalRow = {
+    val row = new GenericInternalRow(2)
+    row.update(0, sz)
+    row.update(1, new GenericArrayData(sig.map(Long.box)))
+    row
+  }
+}
+
+/** Fused `(sz, sig)` one-permutation-hashing signature of a text column —
+  * see [[OphSigKernel.ophSig]]. The O(grams) sibling of
+  * [[ShingleStatsExpr]] for the corpus signature pass (no sorted
+  * fingerprint array, no per-gram coefficient loop). */
+case class OphSigExpr(child: Expression, n: Int, a: Long, b: Long, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("sz",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("sig",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    OphSigKernel.ophSig(v.asInstanceOf[UTF8String], n, a, b, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.dedup.OphSigKernel.ophSig($c, $n, ${a}L, ${b}L, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "oph_sig"
+}
+
 object DecontamKernel {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
