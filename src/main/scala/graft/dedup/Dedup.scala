@@ -543,8 +543,18 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (lines, Seq(lines))
       } else {
-        val narrow = exploded
+        // operator-owned sizing (see selfSizedParts): the narrow stream is
+        // hash-partitioned by the df key BEFORE the persist, so the cached
+        // layout satisfies the two-phase df aggregation (clustering on
+        // (lh, doc_id) then (lh)) AND the candidate join — the one sized
+        // exchange replaces the session-knob agg exchange that previously
+        // re-shuffled the cache at 32 partitions regardless of corpus size
+        val narrowPre = exploded
           .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+        val narrowParts = selfSizedParts(
+          df.sparkSession.sessionState.conf.numShufflePartitions,
+          narrowPre.queryExecution.optimizedPlan.stats.sizeInBytes)
+        val narrow = narrowPre.repartition(narrowParts, col("lh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (narrow, Seq(narrow))
       }
@@ -639,12 +649,23 @@ object Dedup {
     // positioned gram fingerprints: gram at gp covers tokens [gp, gp+w-1].
     // Single-pass codegen kernel ([[GramHashesExpr]]) — no per-position
     // gram strings; a short document (< w tokens) yields an empty array,
-    // so the explode drops it without a separate filter
-    val grams = base
+    // so the explode drops it without a separate filter.
+    // The stream is repartitioned by its JOIN KEY at an operator-sized
+    // partition count (selfSizedParts — the session knob leaves ~GB sort
+    // partitions at the 5M-doc decade): hash-partitioning on gh satisfies
+    // BOTH the firsts aggregation's clustering and the grams⋈firsts join,
+    // so the one explicit exchange replaces the agg's and the join's —
+    // Catalyst reuses the exchange and the gram kernel materializes ONCE
+    // on the plain path (it previously ran once per consumer exchange)
+    val gramsPre = base
       .filter(col("__text").isNotNull)
       .select(col("doc_id"),
         posexplode(toCol(GramHashesExpr(toExpr(col("__text")), w)))
           .as(Seq("gp", "gh")))
+    val gramParts = selfSizedParts(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      gramsPre.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val grams = gramsPre.repartition(gramParts, col("gh"))
     // global first occurrence + occurrence count per gram: one 8-byte-key
     // hash aggregation; min(struct) = deterministic (doc_id, gp) order
     val firsts = grams.groupBy(col("gh"))
@@ -850,6 +871,22 @@ object Dedup {
     bandedJaccardVerify(df, idCol, textCol, n, bands, r, threshold, texts)
   }
 
+  /** Self-sized partition count for an operator-owned heavy shuffle over a
+    * corpus-derived stream — the [[embeddingNearDupsLsh]] technique
+    * generalized (r12: session-default 32 partitions spilled its bucket
+    * join 85.3 s vs 27.7 s self-sized at sf100). `estimate` is the FREE
+    * Catalyst size estimate of the stream's plan; for text corpora that
+    * figure carries parquet-COMPRESSED provenance and undercounts the
+    * in-flight exploded row volume ~4–20× (r13 probe at sf0.1: spans
+    * grams 255 KB estimated vs ~4.7 MB in flight, boilerplate lines
+    * 178 KB vs ~600 KB), so the target is ~4 MB of estimate per
+    * partition ≈ 64 MB in flight at the worst observed ratio. Never
+    * below the session setting (small corpora keep their plans
+    * unchanged — sizing engages only when the estimate says the stream
+    * outgrows the session knob), capped at 4096. No action, no count. */
+  private def selfSizedParts(sess: Int, estimate: BigInt): Int =
+    math.max(sess, (estimate / (4L << 20) + 1).min(BigInt(4096)).toInt)
+
   /** Shared tail of the minhash family: band the persisted `texts`
     * (id, sz, sig) table, self-join on the band keys for candidates,
     * recover sorted gram fingerprints for CANDIDATE ids only, verify by
@@ -859,8 +896,19 @@ object Dedup {
   private def bandedJaccardVerify(df: DataFrame, idCol: String,
       textCol: String, n: Int, bands: Int, r: Int, threshold: Double,
       texts: DataFrame): DataFrame = {
-    val banded = texts.select(col("id"), posexplode(
+    // the banded self-join's sides are bands × corpus rows; the operator
+    // sizes their partitioning itself instead of riding the session knob
+    // (see selfSizedParts). Repartitioning by the JOIN KEY once, BEFORE
+    // the persist, makes the cached table's partitioning satisfy both
+    // self-join sides — the join then plans with zero additional
+    // exchanges (the two per-side exchanges the unpartitioned cache paid)
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bandedPre = texts.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
+    val joinParts = selfSizedParts(sessParts,
+      bandedPre.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val banded = bandedPre
+      .repartition(joinParts, col("band"), col("bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = banded.select(col("band"), col("bh"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bh"), col("id").as("id_b"))
