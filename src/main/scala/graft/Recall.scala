@@ -63,7 +63,10 @@ object Recall {
       // the engine's auto (nprobe=0): ~1/8 of fitted cells, floor 4 —
       // holds the scanned fraction, hence recall, across corpus growth
       Cfg("IVF0(auto) nprobe=auto", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 0)),
-      Cfg("LSH(12 tables, auto bits)", "lsh", base.copy(indexParam = "LSH")),
+      Cfg("LSH(12 tables, auto bits)", "lsh", base.copy(indexParam = "LSH12")),
+      // bare LSH / LSH0 = joint auto since r13: bits AND tables resolve
+      // from the closed-form recall model at a corpus-sampled anchor
+      Cfg("LSH0 (joint auto)", "lsh", base.copy(indexParam = "LSH0")),
       Cfg("PQ8 (byte codes)", "pq", base.copy(indexParam = "PQ8")),
       Cfg("PQ8x4 (nibble codes)", "pq", base.copy(indexParam = "PQ8x4")),
       Cfg("OPQ8,PQ8", "opq", base.copy(indexParam = "OPQ8,PQ8")),

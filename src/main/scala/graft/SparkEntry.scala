@@ -649,16 +649,17 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
-    // auto-bits twin ("LSH12", no xb): hash width resolved at fit for
-    // ~16-row expected bucket occupancy (a width pinned at small scale
-    // turns each bucket into a near-full corpus scan once n passes
-    // 2^bits·16); LSH12x8 above stays as the regression pin. Oracle
-    // embeds the fitted model's own planes — bits cannot diverge.
+    // joint-auto twin ("LSH0"): BOTH the table count and the hash width
+    // resolve at fit from the closed-form recall model at a deterministic
+    // corpus-sampled anchor cosine (the r12 fixed-12-table auto measured
+    // 0.183 recall@10 at sf1 — tables must scale with bits, RECALL.md);
+    // LSH12x8 above stays as the regression pin. Oracle embeds the
+    // fitted model's own planes — neither bits nor tables can diverge.
     "knn_lsh_auto" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-          measurement = "cos", indexParam = "LSH12"))
+          measurement = "cos", indexParam = "LSH0"))
         .fit(items)
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
@@ -3253,15 +3254,15 @@ object SparkEntry {
   }
 
   /** knn_lsh_auto: sign-LSH candidate equi-join + exact cos scoring with
-    * the fit-time auto-bits hash width. The planes are read from the
-    * FITTED model (seeded projections over
-    * [[graft.search.IndexStrategy.resolveBits]](n)), so gate and oracle
-    * share them bit-for-bit; SQL shape identical to the static
-    * knn_lsh_cos oracle. */
+    * the fit-time JOINT-auto config (`LSH0`: bits and tables from the
+    * closed-form recall model at a corpus-sampled anchor — deterministic,
+    * so this refit resolves identically). The planes are read from the
+    * FITTED model, so gate and oracle share them bit-for-bit; SQL shape
+    * identical to the static knn_lsh_cos oracle. */
   private def lshKnnOracle(s: SparkSession, dir: String, k: Int): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-        measurement = "cos", indexParam = "LSH12"))
+        measurement = "cos", indexParam = "LSH0"))
       .fit(table(s, dir, "embeddings"))
     val planes = model.fittedLshPlanes.get
     model.unpersist()

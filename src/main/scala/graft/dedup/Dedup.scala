@@ -1424,6 +1424,22 @@ object Dedup {
     1.0 - math.pow(1.0 - pb, tables)
   }
 
+  /** Table count that clears `targetRecall` at `anchorCos` for a PINNED
+    * hash width, capped at `maxTables` (the cap is the honest-shortfall
+    * regime — the caller logs it): `ceil(ln(1−R)/ln(1−p^bits))`. Shared by
+    * the searcher's `LSH0xb` resolution and its fit-time advisory so the
+    * two can never diverge on the formula. */
+  def lshTablesFor(anchorCos: Double, bits: Int,
+      targetRecall: Double = 0.9, maxTables: Int = 64): Int = {
+    val pb = math.pow(lshCollisionP(anchorCos), bits)
+    val need =
+      if (pb >= 1.0) 1
+      else if (pb <= 0.0) Int.MaxValue
+      else math.min(Int.MaxValue.toDouble,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pb))).toInt
+    math.max(1, math.min(maxTables, need))
+  }
+
   /** Joint `(bits, tables)` auto-config for [[embeddingNearDupsLsh]] — the
     * r10 sf100 probe's named defect was the dual of the fixed-cell one:
     * auto-BITS held bucket occupancy constant while the TABLE count stayed

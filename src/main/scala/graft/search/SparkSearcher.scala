@@ -159,7 +159,13 @@ object IndexStrategy {
       OpqPq(mp.toInt)
     case Ivf(n)             => IvfFlat(n.toInt)
     case Hnsw(m)            => HnswGraph(if (m == null || m.isEmpty) 32 else m.toInt)
-    case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 12 else n.toInt,
+    // `LSH` / `LSH0` = joint auto: BOTH the table count and the hash width
+    // resolve at fit from the closed-form recall model (Dedup.autoLshConfig)
+    // at a corpus-sampled anchor cosine — the fixed 12-table default it
+    // replaces measured 0.183 recall@10 at sf1 (RECALL.md) because tables
+    // stayed flat while auto-bits decayed per-table collision probability
+    // with corpus growth. `LSH0xb` pins the width and auto-resolves tables.
+    case Lsh(n, b)          => LshTables(if (n == null || n.isEmpty) 0 else n.toInt,
       Option(b).filter(_.nonEmpty).map(_.toInt))
     case Pq(m, b)           => PqFlat(m.toInt, pqWidth(param, b))
     case Sq(b) => SqFlat(sqWidth(param, b))
@@ -570,14 +576,34 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         indexed.count()
         pre.unpersist()
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None, None)
-      case LshTables(numTables, bitsOpt) =>
+      case LshTables(numTables0, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
         val d = dimOf(pre)
         require(d > 0, "LSH fit on empty/zero-dim vectors")
-        // auto bits: keep expected bucket occupancy ~16 rows as n grows;
-        // resolved value logged — auto runs must be reproducible from logs
-        val bits = IndexStrategy.resolveBits(bitsOpt, n)
+        // `LSH0` / bare `LSH` (joint auto): bits AND tables from the
+        // closed-form recall model at a deterministic corpus-sampled
+        // anchor cosine — target 0.9 estimated recall at the anchor so
+        // the measured recall@k (whose rank-k pairs sit BELOW the
+        // sampled top-1 anchor) keeps margin. The sample underestimates
+        // neighbor similarity on large corpora (sparser than the
+        // corpus), which errs toward MORE tables — recall-safe. An
+        // explicit table count keeps the old contract: caller's tables,
+        // occupancy-held auto bits ([[IndexStrategy.resolveBits]]).
+        val lshLog = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
+        val (numTables, bits) =
+          if (numTables0 > 0) (numTables0, IndexStrategy.resolveBits(bitsOpt, n))
+          else {
+            val anchor = SparkSearcher.lshSampleAnchor(pre, n)
+            val (b, t) = bitsOpt match {
+              case None => graft.dedup.Dedup.autoLshConfig(n, anchor)
+              case Some(pb) => (pb, graft.dedup.Dedup.lshTablesFor(anchor, pb))
+            }
+            lshLog.info(f"LSH joint-auto: n=$n%d, sampled anchor cos ≈ " +
+              f"$anchor%.3f -> LSH${t}%dx$b%d (estimated recall at anchor " +
+              f"${graft.dedup.Dedup.lshRecallEstimate(anchor, b, t)}%.3f)")
+            (t, b)
+          }
         // recall advisory (no semantics change): LSH recall loss is
         // PRUNING — a true neighbor whose sign pattern differs in any
         // probed table's bits is never scored — so unlike the quantized
@@ -672,6 +698,52 @@ object SparkSearcher {
   // faiss vector-transform prefix (index_factory grammar): PCAn / PCAWn /
   // PCARn (random-rotated output)
   private[search] val PcaSpelling = "PCA([WR]?)(\\d+),(.+)".r
+
+  /** Fit-time anchor cosine for joint-auto LSH (`LSH0`): the lower median
+    * of each sampled row's max cosine against the rest of a DETERMINISTIC
+    * `sampleSize`-row sample (rows with the smallest xxhash64(row_id) —
+    * reproducible across refits, so the gate's oracle re-fit resolves the
+    * identical config). The sample is sparser than the corpus, so its
+    * top-1 similarity UNDERESTIMATES the corpus's true neighbor cosine on
+    * large data — the auto-config then errs toward more tables, the
+    * recall-safe direction. Clamped to [0.2, 0.95]: below, the closed-form
+    * would demand a table count that is a corpus scan in disguise (the fit
+    * advisory names IVF as the honest route there); above, near-duplicate
+    * corpora already resolve to cheap high-recall configs. Driver cost is
+    * one 256-row TakeOrdered + 256² dots — O(sample²·d), corpus-free. */
+  private[search] def lshSampleAnchor(pre: org.apache.spark.sql.DataFrame,
+      n: Long, sampleSize: Int = 256): Double = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    if (n < 2) return 0.9
+    val vecs = pre
+      .select(col(VEC).cast("array<float>").as("__v"),
+        xxhash64(col(ROW_ID)).as("__h"))
+      .orderBy(col("__h")).limit(sampleSize)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val k = vecs.length
+    if (k < 2) return 0.9
+    val norms = vecs.map(v => math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
+    val maxCos = Array.fill(k)(-1.0)
+    var i = 0
+    while (i < k) {
+      var j = i + 1
+      while (j < k) {
+        val (a, b) = (vecs(i), vecs(j))
+        var dot = 0.0
+        var t = 0
+        while (t < a.length && t < b.length) { dot += a(t).toDouble * b(t); t += 1 }
+        val den = norms(i) * norms(j)
+        val c = if (den > 0) dot / den else -1.0
+        if (c > maxCos(i)) maxCos(i) = c
+        if (c > maxCos(j)) maxCos(j) = c
+        j += 1
+      }
+      i += 1
+    }
+    val sorted = maxCos.sorted
+    math.min(0.95, math.max(0.2, sorted((k - 1) / 2)))
+  }
 
   /** Compose a SEEDED random orthonormal rotation into a fitted PCA
     * kernel (faiss `PCARn`: balance variance across output components —

@@ -69,6 +69,22 @@ class RecallSpec extends SparkSpec {
     assert(r(32) >= r(4), s"table scaling must pay: $r")
   }
 
+  test("joint-auto LSH (LSH0) clears the 0.5 default-recall floor") {
+    // the r12 fixed-12-table auto default measured 0.183 recall@10 at sf1
+    // (RECALL.md) — the fit advisory warned but the default still shipped
+    // weak. LSH0 resolves BOTH bits and tables from the closed-form model
+    // at a corpus-sampled anchor cosine; the floor here is the verdict's
+    // done-criterion for the default config. Deterministic sample + planes
+    // ⇒ measured values are constants on the fixed 500-vector corpus.
+    val auto = recallOf(base.copy(indexParam = "LSH0"))
+    val pinnedBits = recallOf(base.copy(indexParam = "LSH0x8"))
+    val old = recallOf(base.copy(indexParam = "LSH12"))
+    info(f"LSH0 recall@$K: $auto%.3f; LSH0x8: $pinnedBits%.3f; old LSH12 default: $old%.3f")
+    assert(auto >= 0.5, s"LSH0 joint-auto recall $auto (measured 0.872)")
+    assert(pinnedBits >= 0.5, s"LSH0x8 auto-tables recall $pinnedBits (measured 0.658)")
+    assert(auto > old, s"joint auto must beat the fixed-12-table default: $auto vs $old")
+  }
+
   test("RFlat refine strictly buys back PQ8 quantization loss") {
     val pq = recallOf(base.copy(indexParam = "PQ8"))
     val refined = recallOf(base.copy(indexParam = "PQ8,RFlat"))
