@@ -342,8 +342,11 @@ object SparkEntry {
   /** Shared CTE chain for the ONE-PERMUTATION-HASHING minhash pipeline
     * ([[Dedup.minHashNearDupsOph]] / [[graft.dedup.OphSigKernel]]),
     * terminating in `mp(id_a, id_b, jaccard)`: per distinct gram ONE
-    * permuted hash `(A·h + B) mod P` (the classic sequence's first
-    * coefficient pair), binned by `v mod k` with per-bin minima; empty
+    * permuted hash `(A·h + B) mod P` with `(A, B) = minHashCoefficients(1)`
+    * — the same call the kernel makes, NOT the 64-hash sequence's first
+    * pair (that sequence pairs rnd1 with rnd65; see the kernel-side
+    * note in [[Dedup.minHashNearDupsOph]]) — binned by `v mod k` with
+    * per-bin minima; empty
     * bins borrow from the nearest non-empty bin to the RIGHT (circular),
     * value `(m_src + d·B1) mod P` — the SQL encodes the minimal borrow
     * distance as `d·2^32 + value` and decodes with `% 2^32`, reproducing

@@ -859,9 +859,14 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numBins % bands == 0, "numBins must divide into bands")
     val r = numBins / bands
-    // the single permutation IS the first coefficient pair of the classic
-    // kernel's deterministic sequence — one shared seed story, and the
-    // oracle builder embeds the identical values
+    // the single permutation is `minHashCoefficients(1)` — one shared seed
+    // story with the oracle builder, which embeds the identical values.
+    // NOTE: this is NOT the first (a, b) pair of the classic 64-hash
+    // kernel: minHashCoefficients fills all of coefA before coefB, so
+    // minHashCoefficients(1) = (rnd1, rnd2) while the 64-hash sequence
+    // pairs rnd1 with rnd65. Kernel and oracle agree because BOTH call
+    // minHashCoefficients(1); "unifying" this with the classic first pair
+    // would silently diverge the gate from its oracle.
     val (ca, cb) = minHashCoefficients(1)
     val st = toCol(OphSigExpr(toExpr(col(textCol)), n, ca(0), cb(0), numBins))
     val texts = df.select(col(idCol).as("id"), st.as("st"))
@@ -883,9 +888,19 @@ object Dedup {
     * partition ≈ 64 MB in flight at the worst observed ratio. Never
     * below the session setting (small corpora keep their plans
     * unchanged — sizing engages only when the estimate says the stream
-    * outgrows the session knob), capped at 4096. No action, no count. */
+    * outgrows the session knob), capped at 4096. No action, no count.
+    *
+    * Plans with NO file-backed provenance (RDD-converted DataFrames, some
+    * views) report `spark.sql.defaultSizeInBytes` — Long.MaxValue by
+    * default — as their estimate; trusting that would silently force the
+    * 4096 cap onto arbitrarily small inputs. Any estimate past an
+    * implausible ceiling (2^56 ≈ 72 PB — far above any real single-plan
+    * estimate, far below the sentinel and its propagated multiples) is
+    * treated as "unknown" and self-sizing stands down to the session
+    * knob the user tuned. */
   private def selfSizedParts(sess: Int, estimate: BigInt): Int =
-    math.max(sess, (estimate / (4L << 20) + 1).min(BigInt(4096)).toInt)
+    if (estimate >= BigInt(1L << 56)) sess
+    else math.max(sess, (estimate / (4L << 20) + 1).min(BigInt(4096)).toInt)
 
   /** Shared tail of the minhash family: band the persisted `texts`
     * (id, sz, sig) table, self-join on the band keys for candidates,
@@ -1200,9 +1215,10 @@ object Dedup {
    * smallest known neighbor, small-star contracts each node's smaller
    * neighbors onto the minimum; the edge set converges in O(log n) rounds
    * to a union of stars centered on each component's minimum id. Every
-   * round is two aggregate+join shuffles and ONE action (the eager
-   * checkpoint; the convergence signature is a cheap scan of the blocks
-   * that action just pinned). This replaces the earlier min-label
+   * round is two aggregate+join shuffles and ONE action — the eager
+   * checkpoint, whose materialization job also carries the convergence
+   * signature as an observed metric (no per-round signature scan). This
+   * replaces the earlier min-label
    * propagation ([[connectedComponentsMinLabel]], kept as the spec
    * cross-check) whose round count was the component DIAMETER — fine for
    * shallow near-clique duplicate clusters, pathological on chains.
@@ -1219,30 +1235,46 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
+    val sessParts = spark.sessionState.conf.numShufflePartitions
+    // order-independent edge-set signature: equal sets ⇒ equal (count,
+    // hash-xor); xor can't overflow under ANSI and duplicate-pair
+    // cancellation can't occur on a distinct edge set. A false match
+    // (≈2⁻⁶⁴ per round, count must also agree) would stop one round early.
+    // Folded INTO the eager checkpoint's own materialization job via
+    // observe/CollectMetrics — the earlier shape ran a separate
+    // signature action per round over the blocks the checkpoint had
+    // just pinned (one extra job × O(log n) rounds of pure fixed cost).
+    def ckptSigTracked(e: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val (ck, ids) = ckptTracked(e.observe(obs,
+        count(lit(1)).as("__n"),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("__x")))
+      val m = obs.get
+      (ck, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
+    }
     // one checkpoint of the raw pairs = ONE execution of the (expensive)
     // pair-generation pipeline feeding this operator; edges and the node
-    // set both derive from it
+    // set both derive from it. Pair generators hand over a layout sized
+    // for THEIR heavy banded self-join (selfSizedParts — up to 4096
+    // partitions at scale) while the pair set itself is tiny; without
+    // normalization every derived checkpoint and per-round scan here
+    // inherits that width and pays thousands of near-empty tasks (the
+    // r13 sf100 corpus regression: CC fixed cost tracking the band-join
+    // width). One cheap shuffle of the tiny pair set down to the
+    // session knob makes the whole contraction run at the user-tuned
+    // parallelism.
     val (raw, rawIds) = ckptTracked(
-      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")))
+      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+        .repartition(sessParts))
     // canonical orientation u > v; self-loops dropped from the edge set
     // (the node set below still carries their endpoint as a singleton)
-    var (edges, edgeIds) = ckptTracked(
+    var (edges, edgeIds, sig) = ckptSigTracked(
       raw.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct())
     val (nodes, nodeIds) = ckptTracked(
       raw.select(explode(array(col("u"), col("v"))).as("id")).distinct())
     freeRdds(spark, rawIds)
-    // order-independent edge-set signature: equal sets ⇒ equal (count,
-    // hash-xor); xor can't overflow under ANSI and duplicate-pair
-    // cancellation can't occur on a distinct edge set. A false match
-    // (≈2⁻⁶⁴ per round, count must also agree) would stop one round early.
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1263,8 +1295,8 @@ object Dedup {
         .where(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-      val (next, nextIds) = ckptTracked(ss)
-      val nextSig = signature(next) // scans only the blocks just pinned
+      // signature rides the checkpoint job itself (observe) — no scan
+      val (next, nextIds, nextSig) = ckptSigTracked(ss)
       converged = nextSig == sig
       sig = nextSig
       freeRdds(spark, edgeIds)

@@ -33,6 +33,18 @@ import graft.text.Relevance
  */
 object HybridSearch {
 
+  /** Worst-case ratio between a parquet-backed table's FREE Catalyst size
+    * estimate (compressed provenance) and its in-flight row volume — the
+    * same 4 MB-estimate ≈ 64 MB-in-flight figure Dedup.selfSizedParts
+    * documents from the r13 probes (observed 4–20×). Broadcast guards
+    * sized from the estimate must inflate by this before comparing
+    * against driver capacity, or a mining-scale query table whose
+    * COMPRESSED estimate slips under the bound OOMs the driver — the
+    * exact failure the guard exists to prevent. The sentinel estimates
+    * of non-file-backed plans (spark.sql.defaultSizeInBytes, Long.Max-
+    * scale) inflate past any bound and safely degrade to shuffle joins. */
+  private val EstimateInflation = 16L
+
   /**
    * Top-`k` fused hits: `[<idCol>, lex_rank, dense_rank, rrf_score]`,
    * ordered by fused score descending (ties on id). `lex_rank` /
@@ -151,9 +163,11 @@ object HybridSearch {
     // (thousands). A mining-scale set (millions) must not die on a driver
     // broadcast OOM — past the bound the hints drop and the joins degrade
     // to shuffles. Decided from the FREE Catalyst size estimate of the
-    // query table — no count() job on the common curation-scale path.
+    // query table — no count() job on the common curation-scale path —
+    // inflated by the worst observed parquet-compression undercount so
+    // the bound measures in-flight bytes, not compressed provenance.
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hintOk = qBytes <= maxBroadcastBytes
+    val hintOk = qBytes * EstimateInflation <= maxBroadcastBytes
     def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val lex = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
@@ -259,11 +273,12 @@ object HybridSearch {
     // curation-scale query set, a driver OOM for a mining-scale one. Past
     // the bound the hints drop and both joins degrade to shuffle joins.
     // Sized from the FREE Catalyst estimate of the query table (no count()
-    // job): a candidate row (~32 B of ids + rank) is conservatively at
-    // least a quarter of an average query row (id + terms + text), so
-    // candidate-list bytes ≲ qBytes·n/4.
+    // job), inflated by the worst observed parquet-compression undercount
+    // (see EstimateInflation): a candidate row (~32 B of ids + rank) is
+    // conservatively at least a quarter of an average IN-FLIGHT query row
+    // (id + terms + text), so candidate-list bytes ≲ qBytes·16·n/4.
     val qBytes = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    val hintOk = qBytes * n / 4 <= maxBroadcastBytes
+    val hintOk = qBytes * EstimateInflation * n / 4 <= maxBroadcastBytes
     def maybeBroadcast(d: DataFrame): DataFrame = if (hintOk) broadcast(d) else d
     val cands = Relevance.bm25Batch(docs, idCol, textCol, queries, qidCol,
         termsCol, n)
