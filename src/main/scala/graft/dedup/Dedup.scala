@@ -662,10 +662,19 @@ object Dedup {
       .select(col("doc_id"),
         posexplode(toCol(GramHashesExpr(toExpr(col("__text")), w)))
           .as(Seq("gp", "gh")))
-    val gramParts = selfSizedParts(
-      df.sparkSession.sessionState.conf.numShufflePartitions,
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gramParts = selfSizedParts(sessParts,
       gramsPre.queryExecution.optimizedPlan.stats.sizeInBytes)
-    val grams = gramsPre.repartition(gramParts, col("gh"))
+    // THRESHOLDED (r12 pattern): the explicit exchange moves the RAW gram
+    // stream. Below session capacity the firsts⋈grams join broadcasts
+    // under AQE and the aggregation shuffles map-side-combined volume, so
+    // the exchange would ADD raw-stream volume for nothing (the r13 sf0.1
+    // drift on the spans family); it engages only once the estimate says
+    // the stream outgrows the session knob — exactly where the join stops
+    // broadcasting and one raw exchange serving both consumers wins.
+    val grams =
+      if (gramParts > sessParts) gramsPre.repartition(gramParts, col("gh"))
+      else gramsPre
     // global first occurrence + occurrence count per gram: one 8-byte-key
     // hash aggregation; min(struct) = deterministic (doc_id, gp) order
     val firsts = grams.groupBy(col("gh"))
@@ -1225,7 +1234,10 @@ object Dedup {
    *
    * The fixpoint (component = smallest reachable id) is iteration-order
    * independent, hence deterministic and oracle-checkable via a
-   * recursive-CTE reachability query. Returns `[id, component,
+   * recursive-CTE reachability query. Hybrid execution: contraction runs
+   * distributed while the edge set is large and finishes with one bounded
+   * collect + union-find once it fits driver broadcast capacity
+   * (`driverFinishEdges`) — identical labels either way. Returns `[id, component,
    * is_canonical]` for every id in `pairs` (self-loops keep a node alive as
    * a singleton), `component` = min id of the cluster, `is_canonical`
    * marking the survivor a keep-one policy retains. The result is pinned by
@@ -1233,7 +1245,7 @@ object Dedup {
    * is freed before returning.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25, driverFinishEdges: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val sessParts = spark.sessionState.conf.numShufflePartitions
     // order-independent edge-set signature: equal sets ⇒ equal (count,
@@ -1245,12 +1257,17 @@ object Dedup {
     // signature action per round over the blocks the checkpoint had
     // just pinned (one extra job × O(log n) rounds of pure fixed cost).
     def ckptSigTracked(e: DataFrame): (DataFrame, Set[Int], (Long, Long)) = {
-      val obs = org.apache.spark.sql.Observation()
-      val (ck, ids) = ckptTracked(e.observe(obs,
+      // named observe + a SYNCHRONOUS observedMetrics read off the
+      // checkpoint's own QueryExecution (accumulator values, available the
+      // moment the materialization job returns) — the Observation helper
+      // would block on the ASYNC listener bus, whose delivery lags behind
+      // task-end floods by whole fractions of a second per round
+      val observed = e.observe("__ccsig",
         count(lit(1)).as("__n"),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("__x")))
-      val m = obs.get
-      (ck, ids, (m("__n").asInstanceOf[Long], m("__x").asInstanceOf[Long]))
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("__x"))
+      val (ck, ids) = ckptTracked(observed)
+      val m = observed.queryExecution.observedMetrics("__ccsig")
+      (ck, ids, (m.getLong(0), m.getLong(1)))
     }
     // one checkpoint of the raw pairs = ONE execution of the (expensive)
     // pair-generation pipeline feeding this operator; edges and the node
@@ -1275,8 +1292,64 @@ object Dedup {
     val (nodes, nodeIds) = ckptTracked(
       raw.select(explode(array(col("u"), col("v"))).as("id")).distinct())
     freeRdds(spark, rawIds)
+    // DRIVER FINISH: star contraction shrinks the edge set geometrically,
+    // so the TAIL rounds operate on trivially small graphs while still
+    // paying full distributed fixed cost (two shuffle stages + one action
+    // each). Once the observed edge count — free, it rides the checkpoint
+    // job — is at most `driverFinishEdges` (4M (u,v) longs ≈ 64 MB, the
+    // same driver-capacity class as an AQE broadcast side; NEVER
+    // corpus-scale, this is the duplicate-PAIR set), the remaining
+    // contraction is one bounded collect + union-find (path compression +
+    // union by rank, then a per-root min relabel — the identical
+    // fixpoint: component = smallest reachable id, so gates and specs
+    // cannot tell the paths apart). A duplicate-saturated corpus whose
+    // pair list exceeds the cap keeps contracting distributed; the cap
+    // only moves the crossover. `driverFinishEdges = 0` forces the pure
+    // distributed path (spec cross-check).
+    def driverComp(): DataFrame = {
+      import spark.implicits._
+      val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      val rank = new scala.collection.mutable.LongMap[Int]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp
+          x = gp
+        }
+        x
+      }
+      val ids = new scala.collection.mutable.ArrayBuffer[Long](es.length * 2)
+      val seen = new scala.collection.mutable.LongMap[Boolean]()
+      es.foreach { case (u, v) =>
+        if (seen.put(u, true).isEmpty) ids += u
+        if (seen.put(v, true).isEmpty) ids += v
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) {
+          val (hru, hrv) = (rank.getOrElse(ru, 0), rank.getOrElse(rv, 0))
+          if (hru < hrv) parent(ru) = rv
+          else if (hrv < hru) parent(rv) = ru
+          else { parent(rv) = ru; rank(ru) = hru + 1 }
+        }
+      }
+      val minRep = new scala.collection.mutable.LongMap[Long]()
+      ids.foreach { id =>
+        val r = find(id)
+        if (id < minRep.getOrElse(r, Long.MaxValue)) minRep(r) = id
+      }
+      val rows = ids.iterator
+        .map(id => (id, minRep(find(id))))
+        .filter { case (id, c) => c != id }
+        .toSeq
+      spark.createDataset(rows).toDF("id", "component")
+        .repartition(sessParts)
+    }
     var converged = false
     var it = 0
+    var comp: DataFrame = null
+    if (sig._1 <= driverFinishEdges) { comp = driverComp(); converged = true }
     while (!converged && it < maxIters) {
       // large-star: for each node u (both orientations), m = min(Γ(u) ∪
       // {u}); every strictly-larger neighbor re-attaches to m. Output stays
@@ -1303,14 +1376,20 @@ object Dedup {
       edges = next
       edgeIds = nextIds
       it += 1
+      if (!converged && sig._1 <= driverFinishEdges) {
+        comp = driverComp()
+        converged = true
+      }
     }
     if (!converged)
       ccLog.warn(s"connectedComponents: not converged after $maxIters rounds; " +
         "labels are an upper bound")
     // at the star fixpoint every non-root carries exactly one edge to its
-    // component min; roots and singletons label themselves
-    val comp = edges.groupBy("u").agg(min(col("v")).as("component"))
-      .withColumnRenamed("u", "id")
+    // component min; roots and singletons label themselves (the driver
+    // finish built `comp` directly — same mapping)
+    if (comp == null)
+      comp = edges.groupBy("u").agg(min(col("v")).as("component"))
+        .withColumnRenamed("u", "id")
     val (out, _) = ckptTracked(
       nodes.join(comp, Seq("id"), "left")
         .select(col("id"), coalesce(col("component"), col("id")).as("component"))

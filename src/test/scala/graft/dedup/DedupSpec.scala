@@ -233,12 +233,19 @@ class DedupSpec extends SparkSpec {
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    // three independent paths must agree: hybrid (driver union-find finish,
+    // the default at this size), PURE distributed star contraction
+    // (driverFinishEdges = 0 disables the driver finish entirely), and the
+    // min-label propagation cross-check
     val fast = asMap(Dedup.connectedComponents(pairs, "id_a", "id_b"))
+    val dist = asMap(Dedup.connectedComponents(pairs, "id_a", "id_b",
+      driverFinishEdges = 0L))
     val slow = asMap(Dedup.connectedComponentsMinLabel(pairs, "id_a", "id_b"))
+    assert(fast === dist)
     assert(fast === slow)
-    // no per-round checkpoint blocks may survive either call: only the two
-    // result-pinning RDDs (one per implementation) are added
-    assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 2)
+    // no per-round checkpoint blocks may survive any call: only the three
+    // result-pinning RDDs (one per invocation) are added
+    assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 3)
   }
 
   test("connected components: empty and all-self-loop pair lists degrade cleanly") {
@@ -257,9 +264,12 @@ class DedupSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     // 200-node path: diameter 199 — min-label would need 199 rounds and
-    // blow past maxIters; star contraction must converge inside 25
+    // blow past maxIters; star contraction must converge inside 25.
+    // driverFinishEdges = 0 forces the pure distributed rounds this test
+    // exists to exercise (the default would collect-and-union-find).
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      driverFinishEdges = 0L).collect()
     assert(labels.length === 200)
     assert(labels.forall(_.getLong(1) === 0L))
     assert(labels.count(_.getBoolean(2)) === 1)
