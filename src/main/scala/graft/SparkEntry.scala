@@ -341,12 +341,15 @@ object SparkEntry {
 
   /** Shared CTE chain for the ONE-PERMUTATION-HASHING minhash pipeline
     * ([[Dedup.minHashNearDupsOph]] / [[graft.dedup.OphSigKernel]]),
-    * terminating in `mp(id_a, id_b, jaccard)`: per distinct gram ONE
-    * permuted hash `(A·h + B) mod P` with `(A, B) = minHashCoefficients(1)`
-    * — the same call the kernel makes, NOT the 64-hash sequence's first
-    * pair (that sequence pairs rnd1 with rnd65; see the kernel-side
-    * note in [[Dedup.minHashNearDupsOph]]) — binned by `v mod k` with
-    * per-bin minima; empty
+    * terminating in `mp(id_a, id_b, jaccard)`: per distinct gram, `r =
+    * k / bands` permuted hashes `(A_p·h + B_p) mod P` with `(A, B) =
+    * minHashCoefficients(r)` — the same call the kernel makes, NOT the
+    * 64-hash sequence's first pairs (that sequence pairs rnd1 with
+    * rnd65; see the kernel-side note in [[Dedup.minHashNearDupsOph]]) —
+    * each range-binned into `bands` bins by the multiply-shift
+    * `(v·bands) // 2^31`, per-(perm, bin) minima; component layout
+    * `sig[j·r + p]` so band `j` folds one component per permutation;
+    * empty
     * bins borrow from the nearest non-empty bin to the RIGHT (circular),
     * value `(m_src + d·B1) mod P` — the SQL encodes the minimal borrow
     * distance as `d·2^32 + value` and decodes with `% 2^32`, reproducing
@@ -354,26 +357,32 @@ object SparkEntry {
     * join and exact-Jaccard verify mirror [[minhashPairCtes]]. */
   private def minhashOphPairCtes(n: Int, k: Int, bands: Int, threshold: Double): String = {
     val r = k / bands
-    val (ca, cb) = Dedup.minHashCoefficients(1)
-    val (ak, bk) = (ca(0), cb(0))
+    val (ca, cb) = Dedup.minHashCoefficients(r)
+    val aList = ca.mkString("[", ", ", "]")
+    val bList = cb.mkString("[", ", ", "]")
     s"""b0 AS (SELECT doc_id id, text FROM documents),
        |sh AS (SELECT id, CASE WHEN length(text) >= $n THEN
        |  list_distinct(list_transform(range(1, length(text) - ${n - 2}), i -> substr(text, i, $n)))
        |  ELSE [] END s FROM b0),
        |hs AS (SELECT id, s, list_transform(s, g -> ${PolyHash.sql("g", PolyHash.B1)}) h FROM sh WHERE len(s) > 0),
-       |vs AS (SELECT id, list_transform(h, x -> ($ak * x + $bk) % ${PolyHash.P}) v FROM hs),
-       |mn AS (SELECT id, list_transform(range(0, $k), j -> list_min(list_filter(v, x -> x % $k = j))) m FROM vs),
-       |sg AS (SELECT id, list_transform(range(0, $k), j ->
+       |vs AS (SELECT id, p.range pp, list_transform(h, x ->
+       |  (($aList)[p.range + 1] * x + ($bList)[p.range + 1]) % ${PolyHash.P}) v
+       |  FROM hs CROSS JOIN range(0, $r) p),
+       |mn AS (SELECT id, pp, list_transform(range(0, $bands), j ->
+       |  list_min(list_filter(v, x -> (x * $bands) // 2147483648 = j))) m FROM vs),
+       |dn AS (SELECT id, pp, list_transform(range(0, $bands), j ->
        |  CASE WHEN m[j+1] IS NOT NULL THEN m[j+1]
-       |  ELSE list_min(list_filter(list_transform(range(1, $k), dd ->
-       |    CASE WHEN m[((j+dd) % $k)+1] IS NOT NULL
-       |      THEN dd * 4294967296 + (m[((j+dd) % $k)+1] + dd * ${PolyHash.B1}) % ${PolyHash.P} END),
+       |  ELSE list_min(list_filter(list_transform(range(1, $bands), dd ->
+       |    CASE WHEN m[((j+dd) % $bands)+1] IS NOT NULL
+       |      THEN dd * 4294967296 + (m[((j+dd) % $bands)+1] + dd * ${PolyHash.B1}) % ${PolyHash.P} END),
        |    x -> x IS NOT NULL)) % 4294967296
-       |  END) sig FROM mn),
-       |bk AS (SELECT id, r.range band,
-       |  list_reduce(list_prepend(0::BIGINT, list_slice(sig, r.range * $r + 1, r.range * $r + $r)),
+       |  END) sigp FROM mn),
+       |cm AS (SELECT id, j.range band, pp, sigp[j.range + 1] comp
+       |  FROM dn CROSS JOIN range(0, $bands) j),
+       |bk AS (SELECT id, band,
+       |  list_reduce(list_prepend(0::BIGINT, list(comp ORDER BY pp)),
        |    (acc, v) -> (acc * ${PolyHash.B1} + v) % ${PolyHash.P}) bkey
-       |  FROM sg CROSS JOIN range(0, $bands) r),
+       |  FROM cm GROUP BY id, band),
        |cd AS (SELECT DISTINCT a.id id_a, b.id id_b FROM bk a JOIN bk b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
        |vr AS (SELECT id_a, id_b, len(list_intersect(sa.s, sb.s)) c, len(sa.s) za, len(sb.s) zb

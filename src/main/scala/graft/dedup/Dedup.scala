@@ -849,35 +849,42 @@ object Dedup {
   }
 
   /**
-   * One-permutation-hashing near-dup pipeline — the O(grams) signature
-   * sibling of [[minHashNearDups]] ([[OphSigKernel.ophSig]]: one permuted
-   * hash per distinct gram binned into `numBins` per-bin minima, empty
-   * bins rotation-densified) feeding the SAME banding, candidate join and
-   * exact-Jaccard verification. Precision is identical by construction —
-   * every emitted pair passed the exact set-Jaccard threshold — only the
-   * CANDIDATE sets differ: per-component collision probability is ≈ the
-   * pair's Jaccard on both schemes, so banded recall is comparable
-   * (MinHashOphSpec measures it against the classic kernel), while the
-   * signature pass drops from numHashes multiply/mod/min per gram to one.
-   * At the r12 sf100 decomposition that pass alone was 32.4 s of
-   * dedup_minhash's 68.8 s — the largest remaining kernel multiple.
-   * Deterministic; bit-exact DuckDB oracle (dedup_minhash_oph).
+   * Banded one-permutation-hashing near-dup pipeline — the O(r·grams)
+   * signature sibling of [[minHashNearDups]] ([[OphSigKernel.ophSig]]:
+   * `r = numBins / bands` independent permutations, one per band ROW,
+   * each range-binned into `bands` per-bin minima; empty bins
+   * rotation-densified within their permutation) feeding the SAME
+   * banding, candidate join and exact-Jaccard verification. Precision is
+   * identical by construction — every emitted pair passed the exact
+   * set-Jaccard threshold. Because a band's `r` components come from `r`
+   * DIFFERENT permutations they are independent, so the per-band
+   * collision probability is ≈ J^r — the classic operating point — and
+   * the candidate volume tracks classic's (the earlier single-permutation
+   * variant's within-band correlation inflated sf100 candidates 10.5M vs
+   * classic 3.1M, spending its kernel win on verify work), while the
+   * signature pass still does `r` (= 8 at the defaults) multiply/fold/min
+   * per gram instead of the classic numHashes (= 64; sf100 signature
+   * pass 33.4 s classic vs 9.7 s at one permutation — this scheme sits
+   * proportionally between). MinHashOphSpec measures banded recall
+   * against the classic kernel. Deterministic; bit-exact DuckDB oracle
+   * (dedup_minhash_oph).
    */
   def minHashNearDupsOph(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numBins: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     require(numBins % bands == 0, "numBins must divide into bands")
     val r = numBins / bands
-    // the single permutation is `minHashCoefficients(1)` — one shared seed
+    // the r permutations are `minHashCoefficients(r)` — one shared seed
     // story with the oracle builder, which embeds the identical values.
-    // NOTE: this is NOT the first (a, b) pair of the classic 64-hash
+    // NOTE: these are NOT the first r (a, b) pairs of the classic 64-hash
     // kernel: minHashCoefficients fills all of coefA before coefB, so
-    // minHashCoefficients(1) = (rnd1, rnd2) while the 64-hash sequence
-    // pairs rnd1 with rnd65. Kernel and oracle agree because BOTH call
-    // minHashCoefficients(1); "unifying" this with the classic first pair
-    // would silently diverge the gate from its oracle.
-    val (ca, cb) = minHashCoefficients(1)
-    val st = toCol(OphSigExpr(toExpr(col(textCol)), n, ca(0), cb(0), numBins))
+    // minHashCoefficients(r) pairs rnd1..rndr with rnd(r+1)..rnd(2r)
+    // while the 64-hash sequence pairs rnd1 with rnd65. Kernel and
+    // oracle agree because BOTH call minHashCoefficients(r); "unifying"
+    // this with the classic pairs would silently diverge the gate from
+    // its oracle.
+    val (ca, cb) = minHashCoefficients(r)
+    val st = toCol(OphSigExpr(toExpr(col(textCol)), n, ca, cb, numBins))
     val texts = df.select(col(idCol).as("id"), st.as("st"))
       .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
       .filter(col("sz") > 0)
@@ -1422,11 +1429,18 @@ object Dedup {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
-  /** [[dedupCorpus]] over the one-permutation-hashing candidate pipeline
-    * ([[minHashNearDupsOph]]) — the O(grams)-signature corpus dedup for
-    * the 100 TB path. Same CC contraction, same keep-the-minimum policy;
-    * only the (exact-Jaccard-verified) pair set can differ from the
-    * classic kernel's, by banding recall. */
+  /** [[dedupCorpus]] over the banded one-permutation-hashing candidate
+    * pipeline ([[minHashNearDupsOph]]) — the O(r·grams)-signature corpus
+    * dedup, and the measured scale path of the family: the r14 sf100
+    * probes (in-run text_bm25 control) read the signature pass 13.7 s vs
+    * classic 33.5 s in the same JVM, candidates 5.2M vs classic 3.1M,
+    * and end-to-end dedup_corpus_oph 49.7 s (2.43× control) vs classic
+    * dedup_corpus 72.1 s (3.77×) in adjacent JVMs — the multi-
+    * permutation layout holds candidate inflation to what the short-doc
+    * information cap forces, so the kernel win survives the verify
+    * stage. Same CC contraction, same keep-the-minimum policy; only the
+    * (exact-Jaccard-verified) pair set can differ from the classic
+    * kernel's, by banding recall. */
   def dedupCorpusOph(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numBins: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {

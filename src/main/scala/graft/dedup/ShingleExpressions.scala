@@ -255,25 +255,38 @@ object OphSigKernel {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 
   /**
-   * One-permutation-hashing MinHash signature (Li/Owen/Zhang, NIPS'12)
-   * with rotation densification (Shrivastava/Li, ICML'14): ONE permuted
-   * hash per distinct gram — `v = (a·poly + b) mod P` — binned into `k`
-   * congruence classes (`v mod k`), tracking the per-bin minimum. Empty
-   * bins borrow circularly from the nearest non-empty bin to the right,
-   * offset by the borrow distance (`(m_src + d·B1) mod P`) so a borrowed
-   * value collides with an unrelated native value only at hash odds.
-   * O(grams) signature work instead of the classic kernel's
-   * O(numHashes·grams) — the 64 multiply/mod/compare per gram that made
-   * the signature pass the largest single CPU item of the sf100 minhash
-   * family (32.4 s of dedup_minhash's 68.8 s, r12 decomposition).
+   * Banded one-permutation-hashing MinHash signature (Li/Owen/Zhang,
+   * NIPS'12; densification after Shrivastava/Li, ICML'14): `r = k /
+   * bandCount` INDEPENDENT permuted hashes per distinct gram — one per
+   * band ROW — each range-binned into `bands = k / r` bins by
+   * multiply-shift (`(v·bands) >>> 31`, v < 2³¹−1), tracking per-(perm,
+   * bin) minima. Component layout `sig[j·r + p]` = permutation `p`'s
+   * minimum in bin `j`, so band `j` (the consecutive `r`-slice the
+   * banded join folds) holds one component from each of the `r`
+   * permutations: the components INSIDE a band are independent across
+   * permutations, and the per-band collision probability is ≈ J^r — the
+   * classic banding operating point. The single-permutation variant this
+   * replaces derived all 64 components from ONE hash; its within-band
+   * correlation let weak pairs collide on whole bands, and the sf100
+   * decomposition measured 10.5M candidates vs classic's 3.1M — the
+   * inflation ate the kernel win in the verify stage. At r = 8 the
+   * kernel does 8 multiply/fold/min per gram instead of the classic 64
+   * (sf100 signature pass: classic 33.4 s, 1-perm OPH 9.7 s, this
+   * scheme sits proportionally between) while the candidate volume
+   * matches classic.
    *
-   * Rotation (not the ICML'17 "optimal" randomized-probe densification)
-   * is deliberate: at k=64 bins a document with g distinct grams leaves a
-   * bin empty with probability (1−1/k)^g ≈ 0.9% at g=300, so the
-   * sparse-vector variance gap the optimal scheme closes is negligible at
-   * document scale, and the rotation rule is a pure list expression in
-   * the DuckDB oracle (no unbounded probe loop to unroll). The whole
-   * scheme is pinned bit-for-bit by the dedup_minhash_oph gate.
+   * Empty bins borrow circularly from the nearest non-empty bin to the
+   * right WITHIN the same permutation, offset by the borrow distance
+   * (`(m_src + d·B1) mod P`) so a borrowed value collides with an
+   * unrelated native value only at hash odds. Rotation (not the
+   * ICML'17 "optimal" randomized-probe densification) is deliberate: at
+   * bands=8 bins/perm a document with g distinct grams leaves a bin
+   * empty with probability (1−1/8)^g — negligible past ~50 grams — and
+   * the rotation rule is a pure list expression in the DuckDB oracle
+   * (no unbounded probe loop to unroll). Every permutation sees every
+   * gram, so any non-empty shingle set occupies ≥ 1 bin of every
+   * permutation and densification always has a source. The whole scheme
+   * is pinned bit-for-bit by the dedup_minhash_oph gate.
    *
    * Distinctness, ASCII fast path, and the non-ASCII string fallback
    * mirror [[ShingleStatsKernel.shingleStats]]; unlike it, NO sorted
@@ -285,12 +298,15 @@ object OphSigKernel {
    * (text shorter than the gram width) returns `sz = 0` with all-sentinel
    * `sig` — callers filter `sz > 0` exactly as on the classic path.
    */
-  def ophSig(text: UTF8String, n: Int, a: Long, b: Long, k: Int): InternalRow = {
+  def ophSig(text: UTF8String, n: Int, a: Array[Long], b: Array[Long],
+      k: Int): InternalRow = {
     val numBytes = text.numBytes
     var ascii = true
     var i = 0
     while (ascii && i < numBytes) { if (text.getByte(i) < 0) ascii = false; i += 1 }
     if (!ascii) return ophSigGeneric(text, n, a, b, k)
+    val r = a.length
+    val bands = k / r
     val mins = Array.fill(k)(Long.MaxValue)
     if (numBytes < n) return pack(0, mins)
     val cap = Integer.highestOneBit(math.max(4, (numBytes - n + 1) * 2) - 1) << 1
@@ -321,20 +337,28 @@ object OphSigKernel {
       }
       if (fresh) {
         m += 1
-        // a < P and poly < P keep a·poly < 2^62: modP's whole domain
-        val v = graft.functions.PolyHash.modP(a * poly + b)
-        val bin = (v % k).toInt
-        if (v < mins(bin)) mins(bin) = v
+        var p = 0
+        while (p < r) {
+          // a(p) < P and poly < P keep a·poly < 2^62: modP's whole domain
+          val v = graft.functions.PolyHash.modP(a(p) * poly + b(p))
+          // multiply-shift range binning: v < 2^31 ⇒ (v·bands) >>> 31 ∈
+          // [0, bands); no hardware divide in the per-gram loop
+          val idx = ((v * bands) >>> 31).toInt * r + p
+          if (v < mins(idx)) mins(idx) = v
+          p += 1
+        }
       }
       pos += 1
     }
-    densify(m, mins, k)
+    densify(m, mins, k, r)
   }
 
   /** Non-ASCII fallback: identical output via the exact string-distinct
     * path (code-point polyhash), mirroring shingleStatsGeneric. */
-  private def ophSigGeneric(text: UTF8String, n: Int, a: Long, b: Long,
-      k: Int): InternalRow = {
+  private def ophSigGeneric(text: UTF8String, n: Int, a: Array[Long],
+      b: Array[Long], k: Int): InternalRow = {
+    val r = a.length
+    val bands = k / r
     val mins = Array.fill(k)(Long.MaxValue)
     val s = text.toString
     if (s.length < n) return pack(0, mins)
@@ -344,26 +368,42 @@ object OphSigKernel {
     val it = seen.iterator()
     while (it.hasNext) {
       val poly = graft.functions.PolyHash.hash(it.next(), graft.functions.PolyHash.B1)
-      val v = graft.functions.PolyHash.modP(a * poly + b)
-      val bin = (v % k).toInt
-      if (v < mins(bin)) mins(bin) = v
+      var p = 0
+      while (p < r) {
+        val v = graft.functions.PolyHash.modP(a(p) * poly + b(p))
+        val idx = ((v * bands) >>> 31).toInt * r + p
+        if (v < mins(idx)) mins(idx) = v
+        p += 1
+      }
     }
-    densify(seen.size, mins, k)
+    densify(seen.size, mins, k, r)
   }
 
-  private def densify(m: Int, mins: Array[Long], k: Int): InternalRow = {
+  /** Rotation densification per PERMUTATION: an empty (perm p, bin j)
+    * slot borrows from permutation p's nearest non-empty bin to the
+    * right (circular over its `bands = k / r` bins), never across
+    * permutations — cross-permutation borrowing would re-correlate the
+    * in-band components the multi-permutation layout exists to keep
+    * independent. */
+  private def densify(m: Int, mins: Array[Long], k: Int, r: Int): InternalRow = {
     if (m == 0) return pack(0, mins)
+    val bands = k / r
     val sig = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      if (mins(j) != Long.MaxValue) sig(j) = mins(j)
-      else {
-        var d = 1
-        while (mins((j + d) % k) == Long.MaxValue) d += 1
-        sig(j) = graft.functions.PolyHash.modP(
-          mins((j + d) % k) + d.toLong * graft.functions.PolyHash.B1)
+    var p = 0
+    while (p < r) {
+      var j = 0
+      while (j < bands) {
+        val idx = j * r + p
+        if (mins(idx) != Long.MaxValue) sig(idx) = mins(idx)
+        else {
+          var d = 1
+          while (mins(((j + d) % bands) * r + p) == Long.MaxValue) d += 1
+          sig(idx) = graft.functions.PolyHash.modP(
+            mins(((j + d) % bands) * r + p) + d.toLong * graft.functions.PolyHash.B1)
+        }
+        j += 1
       }
-      j += 1
+      p += 1
     }
     pack(m, sig)
   }
@@ -376,22 +416,29 @@ object OphSigKernel {
   }
 }
 
-/** Fused `(sz, sig)` one-permutation-hashing signature of a text column —
-  * see [[OphSigKernel.ophSig]]. The O(grams) sibling of
+/** Fused `(sz, sig)` banded one-permutation-hashing signature of a text
+  * column — see [[OphSigKernel.ophSig]]. The O(r·grams) sibling of
   * [[ShingleStatsExpr]] for the corpus signature pass (no sorted
-  * fingerprint array, no per-gram coefficient loop). */
-case class OphSigExpr(child: Expression, n: Int, a: Long, b: Long, k: Int)
-    extends UnaryExpression {
+  * fingerprint array, `r = k / bands` coefficient pairs instead of the
+  * classic numHashes). Coefficients ride as plan reference objects. */
+case class OphSigExpr(child: Expression, n: Int, coefA: Array[Long],
+    coefB: Array[Long], k: Int) extends UnaryExpression {
+  require(coefA.length == coefB.length && coefA.nonEmpty &&
+    k % coefA.length == 0,
+    s"k=$k must be a multiple of the permutation count ${coefA.length}")
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("sz",
       org.apache.spark.sql.types.IntegerType, nullable = false),
     org.apache.spark.sql.types.StructField("sig",
       ArrayType(LongType, containsNull = false), nullable = false)))
   override def nullSafeEval(v: Any): Any =
-    OphSigKernel.ophSig(v.asInstanceOf[UTF8String], n, a, b, k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    OphSigKernel.ophSig(v.asInstanceOf[UTF8String], n, coefA, coefB, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("coefA", coefA, "long[]")
+    val b = ctx.addReferenceObj("coefB", coefB, "long[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.dedup.OphSigKernel.ophSig($c, $n, ${a}L, ${b}L, $k)")
+      c => s"graft.dedup.OphSigKernel.ophSig($c, $n, $a, $b, $k)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "oph_sig"
 }

@@ -62,9 +62,9 @@ object ScaleProbe {
           .select(col("st.sz").as("sz"), col("st.sig").as("sig"))
           .filter(col("sz") > 0)
         (1 to 2).foreach(i => timed(s"sig_classic_$i") { noop(classic) })
-        val (ca, cb) = Dedup.minHashCoefficients(1)
+        val (ca, cb) = Dedup.minHashCoefficients(8)
         val oph = docs.select(
-            toCol(OphSigExpr(toExpr(col("text")), n, ca(0), cb(0), 64)).as("st"))
+            toCol(OphSigExpr(toExpr(col("text")), n, ca, cb, 64)).as("st"))
           .select(col("st.sz").as("sz"), col("st.sig").as("sig"))
           .filter(col("sz") > 0)
         (1 to 2).foreach(i => timed(s"sig_oph_$i") { noop(oph) })
@@ -88,12 +88,30 @@ object ScaleProbe {
           .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
           .filter(col("sz") > 0)
         timed("cands_classic_b8r8") { bandCands(classicTab, 8, 8) }
-        val (ca, cb) = Dedup.minHashCoefficients(1)
+        val (ca, cb) = Dedup.minHashCoefficients(8)
         val ophTab = docs.select(col("doc_id").as("id"),
-            toCol(OphSigExpr(toExpr(col("text")), n, ca(0), cb(0), 64)).as("st"))
+            toCol(OphSigExpr(toExpr(col("text")), n, ca, cb, 64)).as("st"))
           .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
           .filter(col("sz") > 0)
         timed("cands_oph_b8r8") { bandCands(ophTab, 8, 8) }
+      case "cc" =>
+        // corpus-dedup stage decomposition: pair generation (checkpointed
+        // by the operator, so later stages reuse the blocks), CC, anti-join
+        val pairs = timed("cc_pairs_gen") {
+          val p = Dedup.minHashNearDups(docs, "doc_id", "text", 5, 64, 8, 0.7)
+          println(s"""{"pairs":${p.count()}}""")
+          p
+        }
+        val comp = timed("cc_contract") {
+          val c = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          println(s"""{"comp_rows":${c.count()}}""")
+          c
+        }
+        timed("cc_antijoin") {
+          val drop = comp.filter(!col("is_canonical")).select(col("id"))
+          val kept = docs.join(drop, docs("doc_id") === drop("id"), "left_anti")
+          noop(kept)
+        }
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()

@@ -14,29 +14,36 @@ class MinHashOphSpec extends SparkSpec {
 
   private val K = 64
   private val N = 5
-  private val (ca, cb) = Dedup.minHashCoefficients(1)
-  private val (a0, b0) = (ca(0), cb(0))
+  private val R = 8              // permutations = rows per band
+  private val Bands = K / R
+  private val (ca, cb) = Dedup.minHashCoefficients(R)
 
-  /** Straight-line reference of the OPH scheme: string-distinct grams,
-    * one permuted polyhash each, mod-k binning, per-bin min, circular
-    * right rotation densification with d·B1 offset. Independent of the
-    * kernel's open-addressing/ASCII machinery. */
+  /** Straight-line reference of the banded-OPH scheme: string-distinct
+    * grams; R independent permuted polyhashes each; multiply-shift range
+    * binning into Bands bins per permutation; per-(perm, bin) min at
+    * layout `sig[j·R + p]`; circular right rotation densification with
+    * d·B1 offset WITHIN each permutation. Independent of the kernel's
+    * open-addressing/ASCII machinery. */
   private def refSig(text: String, n: Int, k: Int): (Int, Seq[Long]) = {
     if (text.length < n) return (0, Seq.fill(k)(Long.MaxValue))
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     (0 to text.length - n).foreach(i => seen += text.substring(i, i + n))
     val mins = Array.fill(k)(Long.MaxValue)
     seen.foreach { g =>
-      val v = PolyHash.modP(a0 * PolyHash.hash(g, PolyHash.B1) + b0)
-      val bin = (v % k).toInt
-      if (v < mins(bin)) mins(bin) = v
+      val h = PolyHash.hash(g, PolyHash.B1)
+      (0 until R).foreach { p =>
+        val v = PolyHash.modP(ca(p) * h + cb(p))
+        val idx = ((v * Bands) >>> 31).toInt * R + p
+        if (v < mins(idx)) mins(idx) = v
+      }
     }
-    val sig = (0 until k).map { j =>
-      if (mins(j) != Long.MaxValue) mins(j)
+    val sig = (0 until k).map { idx =>
+      val (j, p) = (idx / R, idx % R)
+      if (mins(idx) != Long.MaxValue) mins(idx)
       else {
         var d = 1
-        while (mins((j + d) % k) == Long.MaxValue) d += 1
-        PolyHash.modP(mins((j + d) % k) + d.toLong * PolyHash.B1)
+        while (mins(((j + d) % Bands) * R + p) == Long.MaxValue) d += 1
+        PolyHash.modP(mins(((j + d) % Bands) * R + p) + d.toLong * PolyHash.B1)
       }
     }
     (seen.size, sig)
@@ -46,7 +53,7 @@ class MinHashOphSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     texts.toDF("text")
-      .select(toCol(OphSigExpr(toExpr(col("text")), N, a0, b0, K)).as("st"))
+      .select(toCol(OphSigExpr(toExpr(col("text")), N, ca, cb, K)).as("st"))
       .select(col("st.sz"), col("st.sig"))
       .collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Long](1)))
