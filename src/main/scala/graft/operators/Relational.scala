@@ -92,28 +92,36 @@ object Relational {
    * two hash aggregations plus a window over only the ~n/bins rows that
    * land in rank-candidate buckets.
    *
-   * Pass 1 aggregates per-group (count, min, max); pass 2 histograms the
-   * values into `bins` equal-width buckets per group; the driver walks the
-   * cumulative counts to find, for each percentile, the bucket holding the
-   * target rank `ceil(p·n)` and the rank offset within it; a final window
-   * sorts ONLY the candidate buckets and picks the value at that offset.
-   * The picked value is identical to [[exactPercentiles]]'s rank selection
-   * (equal values always share a bucket, so the in-bucket rank is
-   * well-defined on ties), and the same SQL oracle applies.
+   * TWO scans total. Pass 1 histograms the values into fixed
+   * order-preserving buckets — the top `sign + exponent + log2(bins)`
+   * bits of the IEEE-754 sortable-bits transform ([[DoubleOrderedBits]]),
+   * so bucket order IS value order with ~`1/bins` relative width inside
+   * every binade, and NO per-group min/max pre-pass or stats join is
+   * needed (the earlier equal-width bucketing paid a third full scan for
+   * the range; at sf100 that was one extra pass over the 11 GB lineitem).
+   * The driver walks the cumulative counts to find, for each percentile,
+   * the bucket holding the target rank `ceil(p·n)` and the rank offset
+   * within it; pass 2 sorts ONLY the candidate buckets and picks the
+   * value at that offset. The picked value is identical to
+   * [[exactPercentiles]]'s rank selection (equal values always share a
+   * bucket — ±0.0 is normalized in the transform — so the in-bucket rank
+   * is well-defined on ties), and the same SQL oracle applies.
    *
    * Null handling matches the window variant exactly: null VALUES sort
    * first in a `row_number` over `orderBy(value)`, so they are binned
-   * into bucket 0 here (where the candidate window's nulls-first order
-   * reproduces the same ranks); null GROUP KEYS are a group of their own
-   * (all joins below are null-safe on the group columns).
+   * into the Int.MinValue bucket here (where the candidate window's
+   * nulls-first order reproduces the same ranks); null GROUP KEYS are a
+   * group of their own (all joins below are null-safe on the group
+   * columns).
    *
-   * Bounds: the driver collects ≤ groups·bins histogram rows — intended
-   * for the analytics shape (percentiles per flag/category/source, G in
-   * the hundreds). For high-cardinality groups use [[exactPercentiles]]:
-   * each group is then small, and the per-group sort is the right plan.
-   * Degenerate distributions (one bucket holding a whole group, e.g. all
-   * values equal) fall back to sorting that bucket — correct, at the
-   * window variant's cost for that group only.
+   * Bounds: the driver collects one row per OCCUPIED (group, bucket) —
+   * ≤ groups · binades-spanned · bins, intended for the analytics shape
+   * (percentiles per flag/category/source, G in the hundreds). For
+   * high-cardinality groups use [[exactPercentiles]]: each group is then
+   * small, and the per-group sort is the right plan. Degenerate
+   * distributions (one bucket holding a whole group, e.g. all values
+   * equal) fall back to sorting that bucket — correct, at the window
+   * variant's cost for that group only.
    */
   def exactPercentilesHist(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[Double], bins: Int = 8192): DataFrame = {
@@ -136,25 +144,21 @@ object Relational {
       val cond = keys.map(c => left(c) <=> renamed(s"__r_$c")).reduce(_ && _)
       keys.foldLeft(left.join(broadcast(renamed), cond))((d, c) => d.drop(s"__r_$c"))
     }
-    // pass 1: per-group count/min/max — one narrow aggregation, G rows
-    val statsDf = df.groupBy(g: _*).agg(
-      count(lit(1)).as("__n"), min(v).as("__mn"), max(v).as("__mx"))
-    // equal-width bucket of the value against its group's range; the
-    // double cast only steers CANDIDATE selection (exactness comes from
-    // the rank pick below), so decimal/float inputs are safe. Null values
-    // go to bucket 0: they rank FIRST under orderBy(value) (Spark default
-    // nulls-first asc), same as the window variant. min/max skip nulls,
-    // so an all-null group hits the v.isNull arm before the null range.
+    // fixed order-preserving bucket: top (1 sign + 11 exponent + mBits
+    // mantissa) bits of the sortable-bits transform. The double cast only
+    // steers CANDIDATE selection (exactness comes from the rank pick
+    // below), so decimal/float inputs are safe. Null values go to the
+    // Int.MinValue bucket: they rank FIRST under orderBy(value) (Spark
+    // default nulls-first asc), same as the window variant.
+    import org.apache.spark.sql.graftshim.GraftSql.{column => toCol, expression => toExpr}
+    val mBits = 63 - java.lang.Long.numberOfLeadingZeros(bins.toLong)
+    val shift = 52 - mBits
     val vd = v.cast("double")
-    val bucket = when(v.isNull, lit(0))
-      .when(col("__mx") === col("__mn"), lit(0)).otherwise(
-      least(lit(bins - 1),
-        floor((vd - col("__mn").cast("double")) /
-          (col("__mx").cast("double") - col("__mn").cast("double")) * bins)
-          .cast("int")))
-    val bucketed = nsJoin(df, statsDf, groupCols)
-      .withColumn("__b", bucket)
-    // pass 2: per-(group, bucket) counts — collected, ≤ G·bins rows
+    val bucket = when(v.isNull, lit(Int.MinValue)).otherwise(
+      shiftrightunsigned(toCol(DoubleOrderedBits(toExpr(vd))), shift).cast("int"))
+    val bucketed = df.withColumn("__b", bucket)
+    // pass 1: per-(group, bucket) counts — collected, one row per
+    // occupied bucket
     val hist = bucketed.groupBy((g :+ col("__b")): _*)
       .agg(count(lit(1)).as("__c")).collect()
     val nG = groupCols.length
@@ -410,5 +414,34 @@ object Relational {
     scored.crossJoin(broadcast(thr))
       .filter(col("__score") >= col("__thr"))
       .drop("__score", "__thr")
+  }
+}
+
+/** IEEE-754 sortable bits of a double: an order-preserving map onto the
+  * UNSIGNED long line (negatives flip all bits, non-negatives flip the
+  * sign bit), so any fixed-width unsigned prefix is an order-preserving
+  * bucket with ~2^-mantissaBits relative width inside every binade —
+  * the stats-free bucketing [[Relational.exactPercentilesHist]] builds
+  * its histogram on. ±0.0 normalizes to +0.0 and all NaNs canonicalize
+  * (`doubleToLongBits`), so SQL-equal values can never land in distinct
+  * buckets — the in-bucket rank-pick's tie invariant. */
+case class DoubleOrderedBits(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    DoubleOrderedBits.bits(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.operators.DoubleOrderedBits.bits($c)")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression) = copy(child = c)
+  override def prettyName: String = "double_ordered_bits"
+}
+
+object DoubleOrderedBits {
+  def bits(v: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (v == 0.0) 0.0 else v)
+    if (b < 0) ~b else b ^ Long.MinValue
   }
 }
