@@ -543,18 +543,20 @@ object Dedup {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (lines, Seq(lines))
       } else {
-        // operator-owned sizing (see selfSizedParts): the narrow stream is
-        // hash-partitioned by the df key BEFORE the persist, so the cached
-        // layout satisfies the two-phase df aggregation (clustering on
-        // (lh, doc_id) then (lh)) AND the candidate join — the one sized
-        // exchange replaces the session-knob agg exchange that previously
-        // re-shuffled the cache at 32 partitions regardless of corpus size
-        val narrowPre = exploded
+        // persist at SCAN partitioning; the df aggregation ships map-side-
+        // combined (lh, doc_id) volume through the session-knob exchange.
+        // The r13 "one sized exchange serves agg and join" variant
+        // (repartition(selfSizedParts, lh) before the persist) was measured
+        // a pure loss at sf100 — 61.9 s/3.17× (r12, BENCH_r12_sf100_boiler3)
+        // → 86.2 s/4.37× (BENCH_r14_sf100_boiler, control stable, task GC
+        // 54 → 103 s): the generate-inflated stats estimate drove the
+        // partition cap, rewriting the whole raw narrow stream into
+        // thousands of tiny cache blocks that every later stage then paid
+        // for, while the exchange it "replaced" only ever carried combined
+        // aggregation volume. The candidate join needs no co-partitioning
+        // either: candHashes is tiny by Zipf and AQE broadcasts it.
+        val narrow = exploded
           .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
-        val narrowParts = selfSizedParts(
-          df.sparkSession.sessionState.conf.numShufflePartitions,
-          narrowPre.queryExecution.optimizedPlan.stats.sizeInBytes)
-        val narrow = narrowPre.repartition(narrowParts, col("lh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (narrow, Seq(narrow))
       }

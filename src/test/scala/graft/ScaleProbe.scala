@@ -112,6 +112,48 @@ object ScaleProbe {
           val kept = docs.join(drop, docs("doc_id") === drop("id"), "left_anti")
           noop(kept)
         }
+      case "boiler" =>
+        // removeBoilerplate stage decomposition over the SAME input the
+        // text_boilerplate gate/bench feeds: the 10-token pseudo-line
+        // reshape (mirrors SparkEntry.boilerReshaped — raw ScaleGen docs
+        // are single-line, so probing them exercises nothing). Stages:
+        // reshape scan alone, + line kernel, + persist/two-phase hash-df
+        // to the candidate-hash count, full operator, full + the gate's
+        // orderBy — each later cost falls out by subtraction.
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
+        val reshaped = docs.select(col("doc_id"),
+          when(col("text").isNull, lit(null).cast("string"))
+            .when(size(toks) === 0, lit(""))
+            .otherwise(array_join(transform(sequence(lit(0), nl - 1),
+              i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
+            .as("text"))
+        val delimQ = java.util.regex.Pattern.quote("\n")
+        val narrowPre = reshaped.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), delimQ, -1)).as(Seq("pos", "line")))
+          .filter(length(col("line")) >= 8)
+          .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+        (1 to 2).foreach(i => timed(s"boiler_reshape_$i") { noop(reshaped) })
+        (1 to 2).foreach(i => timed(s"boiler_kernel_$i") { noop(narrowPre) })
+        timed("boiler_to_candhashes") {
+          val narrow = narrowPre
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val candHashes = narrow
+            .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__n"))
+            .groupBy(col("lh")).agg(count(lit(1)).as("__dfh"))
+            .filter(col("__dfh") >= 3)
+          println(s"""{"cand_hashes":${candHashes.count()}}""")
+          narrow.unpersist(blocking = true)
+        }
+        (1 to 2).foreach(i => timed(s"boiler_full_$i") {
+          noop(Dedup.removeBoilerplate(reshaped, "doc_id", "text",
+            minDocs = 3, minLen = 8))
+        })
+        timed("boiler_full_sorted") {
+          noop(Dedup.removeBoilerplate(reshaped, "doc_id", "text",
+            minDocs = 3, minLen = 8).orderBy("doc_id"))
+        }
       case other => sys.error(s"unknown probe mode: $other")
     }
     spark.stop()
