@@ -427,6 +427,35 @@ object SparkEntry {
         .as("text"))
   }
 
+  /** dedup_lines / dedup_lines_narrow shared oracle: same 10-token
+    * pseudo-line reshape, then each ≥8-char line keeps its global
+    * (doc_id, position)-first occurrence; groups by the line STRING
+    * where the operator first-passes on fingerprints (collision canary).
+    * The narrow-cache path is result-invariant, so ONE SQL gates both. */
+  private val dedupLinesOracleSql: String =
+    """WITH b0 AS (SELECT doc_id, text,
+      |  CASE WHEN text IS NULL THEN NULL
+      |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
+      |  FROM documents),
+      |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
+      |ln0 AS (SELECT r0.doc_id, r0.li,
+      |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
+      |  FROM r0 JOIN b0 USING (doc_id)),
+      |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
+      |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
+      |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
+      |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
+      |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
+      |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
+      |k AS (SELECT doc_id, i, line,
+      |  row_number() OVER (PARTITION BY line ORDER BY doc_id, i) rn FROM l),
+      |kept AS (SELECT doc_id, i, line FROM k WHERE len(line) < 8 OR rn = 1),
+      |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
+      |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
+      |  ELSE coalesce(agg.t, '') END text_dedup
+      |FROM re LEFT JOIN agg USING (doc_id)
+      |ORDER BY re.doc_id""".stripMargin.replace("\n", " ")
+
   /** text_boilerplate / text_boilerplate_narrow shared oracle: same
     * 10-token pseudo-line reshape, then every line (≥8 chars) present in
     * ≥3 DISTINCT docs is dropped everywhere; groups by the line STRING
@@ -1749,16 +1778,17 @@ object SparkEntry {
     // lines — a deterministic formatter both engines reproduce — then
     // keeps only each ≥8-char line's global first occurrence
     "dedup_lines" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
-      val toks = filter(split(col("text"), " "), t => length(t) > 0)
-      val nl = floor((size(toks) + lit(9)) / lit(10)).cast("int")
-      val reshaped = docs.select(col("doc_id"),
-        when(col("text").isNull, lit(null).cast("string"))
-          .when(size(toks) === 0, lit(""))
-          .otherwise(array_join(transform(sequence(lit(0), nl - 1),
-            i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
-          .as("text"))
-      Dedup.dedupLines(reshaped, "doc_id", "text", minLen = 8)
+      Dedup.dedupLines(boilerReshaped(s, dir), "doc_id", "text", minLen = 8)
+        .orderBy("doc_id")
+    }),
+    // scale-path twin: smallCorpusBytes=0 FORCES the narrow (doc_id, pos,
+    // lh) persist (one-pass byte-scan line kernel) + positional
+    // re-extraction of the duplicated minority that the operator engages
+    // only past the Catalyst size estimate — result is path-invariant,
+    // so the same static oracle gates it
+    "dedup_lines_narrow" -> ((s, dir) => {
+      Dedup.dedupLines(boilerReshaped(s, dir), "doc_id", "text", minLen = 8,
+          smallCorpusBytes = 0L)
         .orderBy("doc_id")
     }),
     // boilerplate-line removal: the frequency-threshold sibling of
@@ -2593,29 +2623,9 @@ object SparkEntry {
     // line ordered by (doc_id, line position) — grouped by the LINE STRING
     // itself, so the gate doubles as a collision canary for the Spark
     // side's 64-bit line fingerprints
-    "dedup_lines" ->
-      """WITH b0 AS (SELECT doc_id, text,
-        |  CASE WHEN text IS NULL THEN NULL
-        |       ELSE list_filter(str_split(text, ' '), t -> len(t) > 0) END toks
-        |  FROM documents),
-        |r0 AS (SELECT doc_id, unnest(range(0, (len(toks)+9)//10)) li FROM b0 WHERE toks IS NOT NULL),
-        |ln0 AS (SELECT r0.doc_id, r0.li,
-        |  array_to_string(b0.toks[r0.li*10+1 : r0.li*10+10], ' ') line
-        |  FROM r0 JOIN b0 USING (doc_id)),
-        |ra AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) t FROM ln0 GROUP BY doc_id),
-        |re AS (SELECT b0.doc_id, CASE WHEN b0.text IS NULL THEN NULL
-        |  ELSE coalesce(ra.t, '') END AS text FROM b0 LEFT JOIN ra USING (doc_id)),
-        |s0 AS (SELECT doc_id, str_split(text, chr(10)) ls FROM re WHERE text IS NOT NULL),
-        |p0 AS (SELECT doc_id, unnest(range(1, len(ls)+1)) i FROM s0),
-        |l AS (SELECT p0.doc_id, p0.i, s0.ls[p0.i] line FROM p0 JOIN s0 USING (doc_id)),
-        |k AS (SELECT doc_id, i, line,
-        |  row_number() OVER (PARTITION BY line ORDER BY doc_id, i) rn FROM l),
-        |kept AS (SELECT doc_id, i, line FROM k WHERE len(line) < 8 OR rn = 1),
-        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) t FROM kept GROUP BY doc_id)
-        |SELECT re.doc_id, CASE WHEN re.text IS NULL THEN NULL
-        |  ELSE coalesce(agg.t, '') END text_dedup
-        |FROM re LEFT JOIN agg USING (doc_id)
-        |ORDER BY re.doc_id""".stripMargin.replace("\n", " "),
+    "dedup_lines" -> dedupLinesOracleSql,
+    // forced narrow-cache twin: path-invariant result, same oracle
+    "dedup_lines_narrow" -> dedupLinesOracleSql,
     // boilerplate removal: same 10-token pseudo-line reshape, then every
     // line (>=8 chars) present in >=3 DISTINCT docs is dropped everywhere;
     // groups by the line STRING where the operator groups by fingerprint.

@@ -386,6 +386,12 @@ object Dedup {
    * first occurrence, an equi-join back, and one per-document reassembly
    * aggregation. Lines travel the first-occurrence shuffle as 64-bit
    * xxhash fingerprints, not strings (the span-flagging trick above).
+   * Past `smallCorpusBytes` (free Catalyst estimate) the persisted stream
+   * itself goes narrow — `(doc_id, pos, lh)` from the one-pass byte-scan
+   * kernel [[LineHashKernel.lineHashes]], ~20 bytes/line instead of the
+   * line strings' on-heap churn — and only occurrences of DUPLICATED
+   * fingerprints re-extract their strings positionally from the original
+   * documents (the [[removeBoilerplate]] narrow-cache design).
    * Removal is VERIFIED on the line STRING, not just the fingerprint
    * (the [[removeBoilerplate]] hardening): duplicated fingerprints — a
    * tiny `__cnt > 1` subset of the hash agg — recover their canonical
@@ -401,51 +407,118 @@ object Dedup {
    * (the reassembly sort).
    */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int = 1, delim: String = "\n"): DataFrame = {
+      minLen: Int = 1, delim: String = "\n",
+      smallCorpusBytes: Long = 256L << 20): DataFrame = {
     require(minLen >= 0, s"minLen must be >= 0, got $minLen")
-    val lines = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim), -1))
-          .as(Seq("pos", "line")))
-      .withColumn("lh", xxhash64(col("line")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // global first occurrence per eligible line fingerprint: one hash agg
-    // over 8-byte keys; min(struct) orders by (doc_id, pos) — deterministic.
-    // Only DUPLICATED fingerprints (__cnt > 1) survive — a cnt==1 hash can
-    // never produce a removal, and the filter keeps the join build side to
-    // the duplicated minority
-    val elig = lines.filter(length(col("line")) >= minLen)
-    val cand = elig
-      .groupBy(col("lh"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
-        count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") > 1)
-      .select(col("lh").as("__clh"), col("__f.doc_id").as("__fdoc"),
-        col("__f.pos").as("__fpos"))
-    // canonical first-occurrence STRINGS, recovered partition-locally from
-    // the persisted explode — cand is ~24-byte rows over the duplicated
-    // minority, so AQE broadcasts it and no line string shuffles here
-    val canon = elig
-      .join(cand, col("lh") === col("__clh")
-        && col("doc_id") === col("__fdoc") && col("pos") === col("__fpos"))
-      .select(col("__clh").as("__klh"), col("__fdoc"), col("__fpos"),
-        col("line").as("__fline"))
-    // removed POSITIONS per affected doc (every non-first occurrence whose
-    // STRING matches the canonical first — the collision guard): only
-    // position ints reach the per-doc aggregation. Untouched documents —
-    // the majority at any realistic dup rate — pass their text through
-    // VERBATIM below; the earlier shape regrouped and re-sorted EVERY line
-    // of EVERY document through a corpus-wide collect_list shuffle
-    // (dedup_paragraphs measured 28.7x/decade on the r10 sf100 probe
-    // through exactly that rebuild). canon is duplicated-firsts-sized, so
-    // this join broadcasts too and the occurrence strings stay put
-    val removed = elig
-      .join(canon, col("lh") === col("__klh"))
-      .filter(!(col("__fdoc") === col("doc_id") && col("__fpos") === col("pos")))
-      .filter(col("line") === col("__fline"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("pos"))).as("__rm"))
     val delimQ = java.util.regex.Pattern.quote(delim)
+    // Two cache shapes behind one result, thresholded on the free
+    // Catalyst size estimate — the [[removeBoilerplate]] pattern. Below
+    // the threshold the exploded corpus persists WITH its line strings
+    // (one explode, every later stage reads the cache). Above it that
+    // cache is the on-heap string-churn class, so only (doc_id, pos, lh)
+    // persists — produced by the one-pass byte-scan kernel
+    // ([[LineHashKernel.lineHashes]], no regex, no java String
+    // round-trip) — and the DUPLICATED minority recovers its strings by
+    // positional re-extraction from the original documents.
+    val narrowPath =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > smallCorpusBytes
+    val (removed, caches) = if (!narrowPath) {
+      val lines = df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), delimQ, -1))
+            .as(Seq("pos", "line")))
+        .withColumn("lh", xxhash64(col("line")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // global first occurrence per eligible line fingerprint: one hash agg
+      // over 8-byte keys; min(struct) orders by (doc_id, pos) — deterministic.
+      // Only DUPLICATED fingerprints (__cnt > 1) survive — a cnt==1 hash can
+      // never produce a removal, and the filter keeps the join build side to
+      // the duplicated minority
+      val elig = lines.filter(length(col("line")) >= minLen)
+      val cand = elig
+        .groupBy(col("lh"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
+          count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > 1)
+        .select(col("lh").as("__clh"), col("__f.doc_id").as("__fdoc"),
+          col("__f.pos").as("__fpos"))
+      // canonical first-occurrence STRINGS, recovered partition-locally from
+      // the persisted explode — cand is ~24-byte rows over the duplicated
+      // minority, so AQE broadcasts it and no line string shuffles here
+      val canon = elig
+        .join(cand, col("lh") === col("__clh")
+          && col("doc_id") === col("__fdoc") && col("pos") === col("__fpos"))
+        .select(col("__clh").as("__klh"), col("__fdoc"), col("__fpos"),
+          col("line").as("__fline"))
+      // removed POSITIONS per affected doc (every non-first occurrence whose
+      // STRING matches the canonical first — the collision guard): only
+      // position ints reach the per-doc aggregation. Untouched documents —
+      // the majority at any realistic dup rate — pass their text through
+      // VERBATIM below; the earlier shape regrouped and re-sorted EVERY line
+      // of EVERY document through a corpus-wide collect_list shuffle
+      // (dedup_paragraphs measured 28.7x/decade on the r10 sf100 probe
+      // through exactly that rebuild). canon is duplicated-firsts-sized, so
+      // this join broadcasts too and the occurrence strings stay put
+      val rm = elig
+        .join(canon, col("lh") === col("__klh"))
+        .filter(!(col("__fdoc") === col("doc_id") && col("__fpos") === col("pos")))
+        .filter(col("line") === col("__fline"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("__rm"))
+      (rm, Seq(lines))
+    } else {
+      // scan-partitioned narrow persist (the r14 boilerplate lesson: no
+      // pre-persist repartition — the df/first-occurrence agg ships
+      // map-side-combined volume through the session-knob exchange)
+      val narrow = df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          explode(toCol(LineHashesExpr(toExpr(col(textCol)), delim, minLen)))
+            .as("__plh"))
+        .select(col("doc_id"), col("__plh.pos").as("pos"),
+          col("__plh.lh").as("lh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = narrow
+        .groupBy(col("lh"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("__f"),
+          count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > 1)
+        .select(col("lh").as("__clh"), col("__f.doc_id").as("__fdoc"),
+          col("__f.pos").as("__fpos"))
+      // every occurrence of a duplicated fingerprint, with its string
+      // re-extracted positionally: group the occurrences per doc, join the
+      // affected documents (a minority at any realistic dup rate — on a
+      // dup-free corpus this stage touches nothing), split each text ONCE
+      // row-locally. cand carries ~24-byte rows over the duplicated
+      // minority, so AQE broadcasts the join; no hint — a degenerate
+      // all-duplicate corpus must shuffle (banded-join discipline).
+      val occ = narrow.join(cand, col("lh") === col("__clh"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("pos"), col("lh"),
+          col("__fdoc"), col("__fpos"))).as("__ps"))
+        .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+          Seq("doc_id"))
+        .withColumn("__parts", split(col("__t"), delimQ, -1))
+        .select(col("doc_id"), explode(transform(col("__ps"), p =>
+          struct(p("pos").as("pos"), p("lh").as("lh"),
+            p("__fdoc").as("__fdoc"), p("__fpos").as("__fpos"),
+            element_at(col("__parts"), p("pos") + 1).as("line")))).as("__c"))
+        .select(col("doc_id"), col("__c.pos").as("pos"),
+          col("__c.lh").as("lh"), col("__c.__fdoc").as("__fdoc"),
+          col("__c.__fpos").as("__fpos"), col("__c.line").as("line"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // canonical first-occurrence strings and the string-verified removal
+      // set both read the small occurrence cache — semantics identical to
+      // the strings-in-cache path above, including the collision guard
+      val canon = occ
+        .filter(col("doc_id") === col("__fdoc") && col("pos") === col("__fpos"))
+        .select(col("lh").as("__klh"), col("line").as("__fline"))
+      val rm = occ.join(canon, col("lh") === col("__klh"))
+        .filter(!(col("__fdoc") === col("doc_id") && col("__fpos") === col("pos")))
+        .filter(col("line") === col("__fline"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("pos"))).as("__rm"))
+      (rm, Seq(narrow, occ))
+    }
     val parts = split(col("__orig"), delimQ, -1)
     val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
       .join(removed, Seq("doc_id"), "left")
@@ -457,7 +530,7 @@ object Dedup {
               array_except(sequence(lit(0), size(parts) - 1), col("__rm")),
               p => element_at(parts, p + 1)),
             delim)).as("text_dedup"))
-    graft.util.CacheDiscipline.materializeAndFree(out, lines)
+    graft.util.CacheDiscipline.materializeAndFree(out, caches: _*)
   }
 
   /**
@@ -555,8 +628,18 @@ object Dedup {
         // for, while the exchange it "replaced" only ever carried combined
         // aggregation volume. The candidate join needs no co-partitioning
         // either: candHashes is tiny by Zipf and AQE broadcasts it.
-        val narrow = exploded
-          .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+        // The (pos, lh) stream itself comes from the one-pass byte-scan
+        // kernel ([[LineHashKernel.lineHashes]], bit-equal to the
+        // split/posexplode/xxhash64 pipeline the small path keeps): the
+        // regex split round-tripped every document through
+        // java.lang.String and allocated one String per line — the sf100
+        // decomposition put that kernel stage at ~2/3 of the operator.
+        val narrow = df.filter(col(textCol).isNotNull)
+          .select(col(idCol).as("doc_id"),
+            explode(toCol(LineHashesExpr(toExpr(col(textCol)), delim, minLen)))
+              .as("__plh"))
+          .select(col("doc_id"), col("__plh.pos").as("pos"),
+            col("__plh.lh").as("lh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (narrow, Seq(narrow))
       }

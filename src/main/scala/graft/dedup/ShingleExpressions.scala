@@ -643,3 +643,106 @@ case class MinHashSignatureExpr(child: Expression, coefA: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_signature"
 }
+
+/**
+ * One-pass line fingerprinting for the substring-dedup family
+ * (reference behavior: FaissSearcher-style corpora are cleaned line-wise
+ * before indexing; see /root/reference/README.md usage pipeline). Scans
+ * the document's UTF-8 BYTES once: finds literal delimiter occurrences,
+ * counts characters per segment, and xxhash64-fingerprints qualifying
+ * segments in place via [[XXH64.hashUnsafeBytes]] (seed 42 — bit-equal
+ * to `xxhash64(line)`). Replaces the
+ * `posexplode(split(text, quote(delim), -1))` → `length(line) >= minLen`
+ * → `xxhash64(line)` pipeline, whose regex split round-trips the whole
+ * corpus through java.lang.String and allocates one String + one
+ * UTF8String per line — the sf100 decomposition measured that kernel
+ * stage at ~2/3 of removeBoilerplate's end-to-end cost. Emits ONLY
+ * `(pos, lh)` — no line string ever materializes.
+ */
+object LineHashKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.Platform
+
+  /** Positions (0-based split-array index over ALL segments, matching
+    * posexplode) and xxhash64 fingerprints of segments with >= minLen
+    * CHARACTERS (matching `length(line)` — codepoints, not bytes).
+    * Split semantics mirror `split(text, Pattern.quote(delim), -1)`:
+    * non-overlapping left-to-right literal matches, trailing empty
+    * segment kept (then typically dropped by minLen). */
+  def lineHashes(text: UTF8String, delim: Array[Byte], minLen: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    val dlen = delim.length
+    val d0 = delim(0)
+    val out = new java.util.ArrayList[InternalRow]()
+    var segStart = 0
+    var pos = 0
+
+    def emit(start: Int, end: Int): Unit = {
+      val segBytes = end - start
+      // chars <= bytes in UTF-8: a byte count below minLen can't qualify
+      if (segBytes >= minLen) {
+        var ok = true
+        if (minLen > 1) {
+          // count codepoints: bytes that are not 10xxxxxx continuations
+          var chars = 0
+          var i = start
+          while (i < end && chars < minLen) {
+            if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) chars += 1
+            i += 1
+          }
+          ok = chars >= minLen
+        }
+        if (ok) {
+          val row = new GenericInternalRow(2)
+          row.update(0, pos)
+          row.update(1, XXH64.hashUnsafeBytes(base, off + start, segBytes, 42L))
+          out.add(row)
+        }
+      }
+      pos += 1
+    }
+
+    var i = 0
+    val scanEnd = n - dlen
+    while (i <= scanEnd) {
+      if (Platform.getByte(base, off + i) == d0) {
+        var j = 1
+        while (j < dlen && Platform.getByte(base, off + i + j) == delim(j)) j += 1
+        if (j == dlen) {
+          emit(segStart, i)
+          i += dlen
+          segStart = i
+        } else i += 1
+      } else i += 1
+    }
+    emit(segStart, n)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `array<struct<pos:int, lh:long>>` of qualifying lines — see
+  * [[LineHashKernel.lineHashes]]. The delimiter travels as plan-local
+  * UTF-8 bytes (a literal, as in the `Pattern.quote` formulation). */
+case class LineHashesExpr(child: Expression, delim: String, minLen: Int)
+    extends UnaryExpression {
+  require(delim.nonEmpty, "delimiter must be non-empty")
+  private lazy val delimBytes = delim.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("lh", LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LineHashKernel.lineHashes(v.asInstanceOf[UTF8String], delimBytes, minLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.addReferenceObj("delimBytes", delimBytes, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.dedup.LineHashKernel.lineHashes($c, $d, $minLen)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "line_hashes"
+}

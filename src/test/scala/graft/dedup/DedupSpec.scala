@@ -438,6 +438,80 @@ class DedupSpec extends SparkSpec {
     assert(narrow(3L) == "echo echo echo\necho echo echo\necho echo echo\ndelta body")
   }
 
+  test("dedupLines: narrow-cache path bit-equal to strings-in-cache path") {
+    val sp = spark
+    import sp.implicits._
+    // dup-heavy fixture: cross-doc dups (kept only at global first),
+    // in-doc repeats (non-first removed), short lines (immune), empty
+    // lines, trailing delim, a fully-duplicated doc, unicode lines —
+    // exercised at line ("\n") and paragraph ("\n\n") granularity
+    val docs = Seq(
+      (0L, "shared alpha line\nunique zero\nshared alpha line"),
+      (1L, "shared alpha line\nunique one\n\nshared beta line"),
+      (2L, "shared beta line\nok\nunique two\n"),
+      (3L, "shared alpha line"),
+      (4L, "中文重复的行内容\nunique four"),
+      (5L, "中文重复的行内容\nunique five"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    for (delim <- Seq("\n", "\n\n")) {
+      def run(smallBytes: Long) = Dedup.dedupLines(docs, "doc_id", "text",
+          minLen = 5, delim = delim, smallCorpusBytes = smallBytes)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val narrow = run(0L)
+      val small = run(Long.MaxValue)
+      assert(narrow === small, s"delim=${delim.replace("\n", "\\n")}")
+    }
+    // spot-check the line-level semantics on the narrow path
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minLen = 5,
+        smallCorpusBytes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "shared alpha line\nunique zero") // first kept, in-doc repeat dropped
+    assert(got(1L) == "unique one\n\nshared beta line") // lost to doc 0; beta first here
+    assert(got(2L) == "ok\nunique two\n")               // beta lost; short+empty immune
+    assert(got(3L) == "")                               // fully-duplicated doc
+    assert(got(4L) == "中文重复的行内容\nunique four")   // unicode first kept
+    assert(got(5L) == "unique five")
+    assert(got(6L) == null)
+    assert(got(7L) == "")
+  }
+
+  test("LineHashKernel: (pos, lh) stream bit-equal to split/posexplode/length/xxhash64") {
+    val sp = spark
+    import sp.implicits._
+    // adversarial shapes: empty lines, trailing/leading delims, unicode
+    // (char count != byte count), delim-run (for the "\n\n" paragraph
+    // delim), single char, empty text, whole-text == delim
+    val texts = Seq(
+      "plain line\nsecond line\nthird",
+      "\nleading empty\n\n\ntrailing empty\n",
+      "café naïve 中文行\nascii",     // 2-3 byte chars
+      "😀 emoji line\nx",                          // 4-byte char
+      "", "x", "\n", "\n\n\n",
+      "para one line a\npara one line b\n\npara two\n\n",
+      "exactly5\nfour\nsix ch"
+    )
+    for (delim <- Seq("\n", "\n\n"); minLen <- Seq(1, 2, 5, 8)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val delimQ = java.util.regex.Pattern.quote(delim)
+      val expected = docs
+        .select(col("doc_id"),
+          posexplode(split(col("text"), delimQ, -1)).as(Seq("pos", "line")))
+        .filter(length(col("line")) >= minLen)
+        .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val got = docs
+        .select(col("doc_id"), explode(org.apache.spark.sql.graftshim.GraftSql.column(
+          LineHashesExpr(org.apache.spark.sql.graftshim.GraftSql.expression(col("text")),
+            delim, minLen))).as("__plh"))
+        .select(col("doc_id"), col("__plh.pos"), col("__plh.lh"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === expected, s"delim=${delim.replace("\n", "\\n")} minLen=$minLen")
+    }
+  }
+
   test("clusterQuotaSample: per-cell quota enforced, rank follows score desc with id ties") {
     val sp = spark
     import sp.implicits._
