@@ -50,6 +50,65 @@ object ShingleKernels {
     * GC). Tokenization is single-space + drop-empties, matching the
     * dedup_spans oracle's `str_split(text, ' ')`. */
   def gramHashes(text: UTF8String, w: Int): ArrayData = {
+    // ASCII fast path: one scan over the UTF-8 BYTES (char == byte there)
+    // collects per-token (poly·31 + separator, 31^(len+1)) pairs, then
+    // each gram folds w PRECOMPUTED pairs — h' = h·31^(len+1) + (poly·31
+    // + 1) equals the char-by-char recurrence exactly because Long
+    // arithmetic wraps mod 2^64 and multiplication there is associative.
+    // The previous shape re-walked every character w times through a
+    // java.lang.String round-trip; this walks each byte once and
+    // allocates nothing per token. Any non-ASCII byte falls back to the
+    // bit-identical String path below.
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    var phs = new Array[Long](64) // token poly·31 + 1 (separator folded in)
+    var pws = new Array[Long](64) // 31^(len+1)
+    var ntok = 0
+    var ascii = true
+    var i = 0
+    while (ascii && i < nb) {
+      val b = org.apache.spark.unsafe.Platform.getByte(base, off + i)
+      if (b < 0) ascii = false
+      else if (b == ' ') i += 1
+      else {
+        var h = 0L
+        var pw = 31L
+        var c = b
+        while (c >= 0 && c != ' ') {
+          h = h * 31L + c
+          pw *= 31L
+          i += 1
+          c = if (i < nb)
+            org.apache.spark.unsafe.Platform.getByte(base, off + i)
+          else ' ' // virtual trailing separator ends the token
+        }
+        if (c < 0) ascii = false
+        else {
+          if (ntok == phs.length) {
+            phs = java.util.Arrays.copyOf(phs, ntok * 2)
+            pws = java.util.Arrays.copyOf(pws, ntok * 2)
+          }
+          phs(ntok) = h * 31L + 1L
+          pws(ntok) = pw
+          ntok += 1
+        }
+      }
+    }
+    if (ascii) {
+      if (ntok < w) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](ntok - w + 1)
+      var g = 0
+      while (g <= ntok - w) {
+        var h = 1125899906842597L
+        var j = g
+        val end = g + w
+        while (j < end) { h = h * pws(j) + phs(j); j += 1 }
+        out(g) = h
+        g += 1
+      }
+      return new GenericArrayData(out)
+    }
     val toks = text.toString.split(" ", -1).filter(_.nonEmpty)
     val n = toks.length
     if (n < w) return new GenericArrayData(Array.empty[Any])

@@ -438,6 +438,36 @@ class DedupSpec extends SparkSpec {
     assert(narrow(3L) == "echo echo echo\necho echo echo\necho echo echo\ndelta body")
   }
 
+  test("gramHashes: ASCII byte-scan fast path bit-equal to the reference recurrence") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def naive(text: String, w: Int): Seq[Long] = {
+      val toks = text.split(" ", -1).filter(_.nonEmpty)
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map { g =>
+        var h = 1125899906842597L
+        for (j <- 0 until w) {
+          val t = toks(g + j)
+          for (k <- 0 until t.length) h = h * 31L + t.charAt(k)
+          h = h * 31L + 1L
+        }
+        h
+      }
+    }
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota",
+      "  doubled  spaces   here and a trailing space ",
+      "short a b c d e f g h i j",
+      "one-long-token-" + ("x" * 300) + " then more tokens follow here now",
+      "unicodé token forces the fallback päth here now ok", // non-ASCII
+      "中文 tokens mixed with ascii words in here too yes",  // non-ASCII
+      "", " ", "only three tokens here")
+    for (t <- texts; w <- Seq(1, 2, 3, 8)) {
+      val got = ShingleKernels.gramHashes(UTF8String.fromString(t), w)
+      val gotSeq = (0 until got.numElements()).map(got.getLong(_))
+      assert(gotSeq === naive(t, w), s"w=$w text=${t.take(30)}")
+    }
+  }
+
   test("dedupLines: narrow-cache path bit-equal to strings-in-cache path") {
     val sp = spark
     import sp.implicits._
