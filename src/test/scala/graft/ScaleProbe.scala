@@ -129,12 +129,23 @@ object ScaleProbe {
               i => array_join(slice(toks, i * 10 + 1, lit(10)), " ")), "\n"))
             .as("text"))
         val delimQ = java.util.regex.Pattern.quote("\n")
-        val narrowPre = reshaped.filter(col("text").isNotNull)
+        val regexPre = reshaped.filter(col("text").isNotNull)
           .select(col("doc_id"),
             posexplode(split(col("text"), delimQ, -1)).as(Seq("pos", "line")))
           .filter(length(col("line")) >= 8)
           .select(col("doc_id"), col("pos"), xxhash64(col("line")).as("lh"))
+        // the SHIPPED kernel stream (LineHashKernel byte-scan) vs the
+        // regex/String pipeline it replaced — same (doc_id, pos, lh) rows
+        val narrowPre = reshaped.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(org.apache.spark.sql.graftshim.GraftSql.column(
+              graft.dedup.LineHashesExpr(
+                org.apache.spark.sql.graftshim.GraftSql.expression(col("text")),
+                "\n", 8))).as("__plh"))
+          .select(col("doc_id"), col("__plh.pos").as("pos"),
+            col("__plh.lh").as("lh"))
         (1 to 2).foreach(i => timed(s"boiler_reshape_$i") { noop(reshaped) })
+        (1 to 2).foreach(i => timed(s"boiler_kernel_regex_$i") { noop(regexPre) })
         (1 to 2).foreach(i => timed(s"boiler_kernel_$i") { noop(narrowPre) })
         timed("boiler_to_candhashes") {
           val narrow = narrowPre

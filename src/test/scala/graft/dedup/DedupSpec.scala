@@ -493,6 +493,18 @@ class DedupSpec extends SparkSpec {
       val small = run(Long.MaxValue)
       assert(narrow === small, s"delim=${delim.replace("\n", "\\n")}")
     }
+    // dup-free corpus: the narrow path's zero-candidate short-circuit
+    // (no occurrence machinery, verbatim projection) must still equal
+    // the strings-in-cache path row-for-row
+    val uniq = Seq(
+      (0L, "wholly unique line a\nwholly unique line b"),
+      (1L, "another unique line\nyet another one"),
+      (2L, null.asInstanceOf[String]), (3L, "")
+    ).toDF("doc_id", "text")
+    def runU(smallBytes: Long) = Dedup.dedupLines(uniq, "doc_id", "text",
+        minLen = 5, smallCorpusBytes = smallBytes)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(runU(0L) === runU(Long.MaxValue))
     // spot-check the line-level semantics on the narrow path
     val got = Dedup.dedupLines(docs, "doc_id", "text", minLen = 5,
         smallCorpusBytes = 0L)
