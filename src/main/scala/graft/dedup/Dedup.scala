@@ -484,28 +484,20 @@ object Dedup {
         .filter(col("__cnt") > 1)
         .select(col("lh").as("__clh"), col("__f.doc_id").as("__fdoc"),
           col("__f.pos").as("__fpos"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // One count() action, narrow path only: the aggregation it triggers
-      // is work every downstream consumer needs anyway (cand is persisted
-      // and reused), and a DUP-FREE corpus — every fingerprint unique —
-      // short-circuits the whole occurrence machinery below, whose doc
-      // join otherwise re-scans the full corpus just to find zero
-      // affected documents (the sf100 lines probe read that wasted scan
-      // at ~24 s of an 82 s operator). With duplicates present the scan
-      // is inherent: the affected docs' strings live only in the corpus.
-      if (cand.count() == 0L) {
-        val out0 = df.select(col(idCol).as("doc_id"),
-          col(textCol).as("text_dedup"))
-        return graft.util.CacheDiscipline.materializeAndFree(
-          out0, narrow, cand)
-      }
       // every occurrence of a duplicated fingerprint, with its string
       // re-extracted positionally: group the occurrences per doc, join the
       // affected documents (a minority at any realistic dup rate), split
       // each text ONCE row-locally. cand carries ~24-byte rows over the
       // duplicated minority, so AQE broadcasts the join; no hint — a
       // degenerate all-duplicate corpus must shuffle (banded-join
-      // discipline).
+      // discipline). A zero-candidate short-circuit (persist cand, count,
+      // skip the join machinery when empty) was MEASURED A LOSS here
+      // (sf100: paragraphs 2.07× → 2.50× control, BENCH_r14_sf100_lines2
+      // vs _lines): hoisting the candidate aggregation out of the
+      // occurrence DAG costs one full extra narrow-cache pass whenever
+      // candidates exist — and at corpus scale they essentially always
+      // do (even the dup-free-by-construction ScaleGen corpus repeats
+      // short tail segments). The agg stays fused in this DAG.
       val occ = narrow.join(cand, col("lh") === col("__clh"))
         .groupBy(col("doc_id"))
         .agg(collect_list(struct(col("pos"), col("lh"),
@@ -532,7 +524,7 @@ object Dedup {
         .filter(col("line") === col("__fline"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("pos"))).as("__rm"))
-      (rm, Seq(narrow, cand, occ))
+      (rm, Seq(narrow, occ))
     }
     val parts = split(col("__orig"), delimQ, -1)
     val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
