@@ -532,9 +532,10 @@ class DedupSpec extends SparkSpec {
       "😀 emoji line\nx",                          // 4-byte char
       "", "x", "\n", "\n\n\n",
       "para one line a\npara one line b\n\npara two\n\n",
+      "seg one§seg two§§terminal§", // 2-byte UTF-8 delimiter case
       "exactly5\nfour\nsix ch"
     )
-    for (delim <- Seq("\n", "\n\n"); minLen <- Seq(1, 2, 5, 8)) {
+    for (delim <- Seq("\n", "\n\n", "§"); minLen <- Seq(0, 1, 2, 5, 8)) {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val delimQ = java.util.regex.Pattern.quote(delim)
