@@ -86,9 +86,15 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // optional arg: comma-separated gate-name filter for local iteration
-    val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // optional arg: comma-separated gate-name filter for local iteration.
+    // An explicit list also fixes EXECUTION ORDER (scale-probe protocol:
+    // the zero-shuffle control must run before heap-heavy families — a
+    // control that ran last behind three heavy families GC-stormed to
+    // 241 s in r14 and the artifact was discarded). Full runs stay
+    // alphabetical.
+    val onlyOrder: Option[Seq[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSeq) else None
+    val only: Option[Set[String]] = onlyOrder.map(_.toSet)
     // Hygiene: queries persist/checkpoint intermediates (index fits, dedup
     // shingle tables, CC rounds). In an 81-query single-JVM run those
     // orphaned blocks compound into 4-6× slowdowns on later queries (r3
@@ -136,8 +142,16 @@ object Bench {
       val (gc1, sp1) = metricSnapshot()
       (sec, ok, gc1 - gc0, sp1 - sp0)
     }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val selected = {
+      val filtered = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+      onlyOrder match {
+        case Some(order) =>
+          val pos = order.zipWithIndex.toMap
+          filtered.sortBy { case (name, _) => pos.getOrElse(name, Int.MaxValue) }
+        case None => filtered
+      }
+    }
     var results = selected.map { case (name, fn) =>
       val runs = (1 to repeats).map(_ => runOnce(name, fn))
       // ok only if EVERY repeat succeeded: a flaky query is a bug and must

@@ -420,8 +420,7 @@ object Dedup {
     // ([[LineHashKernel.lineHashes]], no regex, no java String
     // round-trip) — and the DUPLICATED minority recovers its strings by
     // positional re-extraction from the original documents.
-    val narrowPath =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > smallCorpusBytes
+    val narrowPath = narrowTrigger(df, smallCorpusBytes)
     val (removed, caches) = if (!narrowPath) {
       val lines = df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"),
@@ -614,8 +613,7 @@ object Dedup {
     // carries no broadcast hint: a normal corpus has a tiny candidate
     // set and AQE broadcasts it, a degenerate one (every line shared) is
     // corpus-sized and must shuffle — the banded self-join discipline.
-    val narrowPath =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > smallCorpusBytes
+    val narrowPath = narrowTrigger(df, smallCorpusBytes)
     val (candSource, caches) =
       if (!narrowPath) {
         val lines = exploded
@@ -1010,6 +1008,20 @@ object Dedup {
     if (estimate >= BigInt(1L << 56)) sess
     else math.max(sess, (estimate / (4L << 20) + 1).min(BigInt(4096)).toInt)
 
+  /** Narrow-cache trigger shared by [[dedupLines]] and
+    * [[removeBoilerplate]]: true only when the FREE Catalyst size
+    * estimate is KNOWN (below the `defaultSizeInBytes` sentinel class,
+    * ≥ 2^56 — RDD-converted or view-backed inputs report Long.MaxValue)
+    * AND above the small-corpus threshold. An unknown estimate falls
+    * back to the strings-in-cache path: both paths are spec-pinned
+    * result-equal, but the narrow machinery is measured slower at small
+    * scale and a sentinel says nothing about actual size — the same
+    * discipline [[selfSizedParts]] applies to partition sizing. */
+  private def narrowTrigger(df: DataFrame, smallCorpusBytes: Long): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    est < BigInt(1L << 56) && est > smallCorpusBytes
+  }
+
   /** Shared tail of the minhash family: band the persisted `texts`
     * (id, sz, sig) table, self-join on the band keys for candidates,
     * recover sorted gram fingerprints for CANDIDATE ids only, verify by
@@ -1347,6 +1359,10 @@ object Dedup {
       maxIters: Int = 25, driverFinishEdges: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     val sessParts = spark.sessionState.conf.numShufflePartitions
+    // the driver finish indexes dense ids into primitive INT arrays
+    // (2 ids per edge) — cap the knob where that stays safe
+    require(driverFinishEdges <= (1L << 30),
+      s"driverFinishEdges must be <= 2^30, got $driverFinishEdges")
     // order-independent edge-set signature: equal sets ⇒ equal (count,
     // hash-xor); xor can't overflow under ANSI and duplicate-pair
     // cancellation can't occur on a distinct edge set. A false match
@@ -1395,60 +1411,114 @@ object Dedup {
     // so the TAIL rounds operate on trivially small graphs while still
     // paying full distributed fixed cost (two shuffle stages + one action
     // each). Once the observed edge count — free, it rides the checkpoint
-    // job — is at most `driverFinishEdges` (4M (u,v) longs ≈ 64 MB, the
-    // same driver-capacity class as an AQE broadcast side; NEVER
-    // corpus-scale, this is the duplicate-PAIR set), the remaining
-    // contraction is one bounded collect + union-find (path compression +
-    // union by rank, then a per-root min relabel — the identical
-    // fixpoint: component = smallest reachable id, so gates and specs
-    // cannot tell the paths apart). A duplicate-saturated corpus whose
-    // pair list exceeds the cap keeps contracting distributed; the cap
-    // only moves the crossover. `driverFinishEdges = 0` forces the pure
-    // distributed path (spec cross-check).
-    def driverComp(): DataFrame = {
-      import spark.implicits._
-      val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
-      val parent = new scala.collection.mutable.LongMap[Long]()
-      val rank = new scala.collection.mutable.LongMap[Int]()
-      def find(x0: Long): Long = {
+    // job — is at most `driverFinishEdges` (NEVER corpus-scale, this is
+    // the duplicate-PAIR set), the remaining contraction is one bounded
+    // collect + union-find (path compression + union by rank, then a
+    // per-root min relabel — the identical fixpoint: component =
+    // smallest reachable id, so gates and specs cannot tell the paths
+    // apart). A duplicate-saturated corpus whose pair list exceeds the
+    // cap keeps contracting distributed; the cap only moves the
+    // crossover. `driverFinishEdges = 0` forces the pure distributed
+    // path (spec cross-check).
+    //
+    // Driver footprint at the 4M default, honestly: everything below is
+    // PRIMITIVE arrays — edge endpoints 2×8B×E (64 MB), the open-
+    // addressed id→dense-index table ≤ 2^⌈log2(2·2E/0.75)⌉ slots × 12 B
+    // (≈ 256 MB worst when 2E ids force a 16M-slot table), dense
+    // union-find state 5 B per id (≈ 40 MB), and the relabel output ≤
+    // 16 B per renamed id — ≲ 0.5 GB transient worst-case, a few MB on
+    // a typical corpus (250k pairs). The earlier boxed shape (tuple
+    // collect + LongMaps + a materialized Seq) peaked at several times
+    // that and could OOM a modest driver just under the cap. The collect
+    // itself streams one partition at a time (toLocalIterator), so no
+    // boxed Array[Row] ever materializes.
+    def driverComp(nEdges: Long): DataFrame = {
+      var cap = math.max(16, nEdges.toInt)
+      var us = new Array[Long](cap); var vs = new Array[Long](cap)
+      val it = edges.select(col("u"), col("v")).toLocalIterator()
+      var nE = 0
+      while (it.hasNext) {
+        if (nE == cap) { // observed count is authoritative, but stay safe
+          cap *= 2
+          us = java.util.Arrays.copyOf(us, cap)
+          vs = java.util.Arrays.copyOf(vs, cap)
+        }
+        val r = it.next(); us(nE) = r.getLong(0); vs(nE) = r.getLong(1)
+        nE += 1
+      }
+      // open-addressed long→int: dense index per distinct endpoint
+      val maxIds = math.max(4L, 2L * nE)
+      var tbits = 64 - java.lang.Long.numberOfLeadingZeros(
+        (maxIds * 4 / 3) - 1)
+      if (tbits < 3) tbits = 3
+      val tcap = 1 << tbits; val tmask = tcap - 1
+      val tkeys = new Array[Long](tcap)
+      val tvals = new Array[Int](tcap)
+      java.util.Arrays.fill(tvals, -1)
+      val idByIdx = new Array[Long](maxIds.toInt)
+      var nIds = 0
+      val parent = new Array[Int](maxIds.toInt)
+      val rank = new Array[Byte](maxIds.toInt)
+      def idx(id: Long): Int = {
+        var h = (java.lang.Long.hashCode(id * -7046029254386353131L)) & tmask
+        while (tvals(h) != -1 && tkeys(h) != id) h = (h + 1) & tmask
+        if (tvals(h) == -1) {
+          tkeys(h) = id; tvals(h) = nIds; idByIdx(nIds) = id
+          parent(nIds) = nIds; nIds += 1
+        }
+        tvals(h)
+      }
+      def find(x0: Int): Int = {
         var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          val gp = parent.getOrElse(p, p)
-          parent(x) = gp
-          x = gp
+        while (parent(x) != x) {
+          val p = parent(x); val gp = parent(p)
+          parent(x) = gp; x = gp
         }
         x
       }
-      val ids = new scala.collection.mutable.ArrayBuffer[Long](es.length * 2)
-      val seen = new scala.collection.mutable.LongMap[Boolean]()
-      es.foreach { case (u, v) =>
-        if (seen.put(u, true).isEmpty) ids += u
-        if (seen.put(v, true).isEmpty) ids += v
-        val (ru, rv) = (find(u), find(v))
+      var i = 0
+      while (i < nE) {
+        val ru = find(idx(us(i))); val rv = find(idx(vs(i)))
         if (ru != rv) {
-          val (hru, hrv) = (rank.getOrElse(ru, 0), rank.getOrElse(rv, 0))
-          if (hru < hrv) parent(ru) = rv
-          else if (hrv < hru) parent(rv) = ru
-          else { parent(rv) = ru; rank(ru) = hru + 1 }
+          if (rank(ru) < rank(rv)) parent(ru) = rv
+          else if (rank(rv) < rank(ru)) parent(rv) = ru
+          else { parent(rv) = ru; rank(ru) = (rank(ru) + 1).toByte }
         }
+        i += 1
       }
-      val minRep = new scala.collection.mutable.LongMap[Long]()
-      ids.foreach { id =>
-        val r = find(id)
-        if (id < minRep.getOrElse(r, Long.MaxValue)) minRep(r) = id
+      // per-root minimum id = the component label (the distributed
+      // fixpoint's invariant)
+      val minRep = new Array[Long](nIds)
+      java.util.Arrays.fill(minRep, Long.MaxValue)
+      i = 0
+      while (i < nIds) {
+        val r = find(i)
+        if (idByIdx(i) < minRep(r)) minRep(r) = idByIdx(i)
+        i += 1
       }
-      val rows = ids.iterator
-        .map(id => (id, minRep(find(id))))
-        .filter { case (id, c) => c != id }
-        .toSeq
-      spark.createDataset(rows).toDF("id", "component")
+      var m = 0
+      i = 0
+      while (i < nIds) {
+        if (minRep(find(i)) != idByIdx(i)) m += 1
+        i += 1
+      }
+      val outId = new Array[Long](m); val outComp = new Array[Long](m)
+      var j = 0
+      i = 0
+      while (i < nIds) {
+        val c = minRep(find(i))
+        if (c != idByIdx(i)) { outId(j) = idByIdx(i); outComp(j) = c; j += 1 }
+        i += 1
+      }
+      import spark.implicits._
+      spark.createDataset(Array.tabulate(m)(x => (outId(x), outComp(x))))
+        .toDF("id", "component")
         .repartition(sessParts)
     }
     var converged = false
     var it = 0
     var comp: DataFrame = null
-    if (sig._1 <= driverFinishEdges) { comp = driverComp(); converged = true }
+    if (sig._1 <= driverFinishEdges) { comp = driverComp(sig._1); converged = true }
     while (!converged && it < maxIters) {
       // large-star: for each node u (both orientations), m = min(Γ(u) ∪
       // {u}); every strictly-larger neighbor re-attaches to m. Output stays
@@ -1476,7 +1546,7 @@ object Dedup {
       edgeIds = nextIds
       it += 1
       if (!converged && sig._1 <= driverFinishEdges) {
-        comp = driverComp()
+        comp = driverComp(sig._1)
         converged = true
       }
     }

@@ -500,6 +500,19 @@ case class OphSigExpr(child: Expression, n: Int, coefA: Array[Long],
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "oph_sig"
+  // Array fields degrade case-class equality to reference identity,
+  // defeating common-subexpression elimination and plan-cache matching
+  // for two semantically identical expressions built separately —
+  // compare coefficient CONTENT instead.
+  override def equals(o: Any): Boolean = o match {
+    case that: OphSigExpr => child == that.child && n == that.n &&
+      k == that.k && java.util.Arrays.equals(coefA, that.coefA) &&
+      java.util.Arrays.equals(coefB, that.coefB)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(n), Int.box(k), Int.box(java.util.Arrays.hashCode(coefA)),
+    Int.box(java.util.Arrays.hashCode(coefB)))
 }
 
 object DecontamKernel {
@@ -557,6 +570,16 @@ case class GramHitsExpr(child: Expression, w: Int, evalSorted: Array[Long])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "gram_hits"
+  // content equality over the (possibly large) eval-set array; the hash
+  // is computed once (lazy) so canonicalization doesn't re-walk it
+  override def equals(o: Any): Boolean = o match {
+    case that: GramHitsExpr => child == that.child && w == that.w &&
+      ((evalSorted eq that.evalSorted) ||
+        java.util.Arrays.equals(evalSorted, that.evalSorted))
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(w), Int.box(java.util.Arrays.hashCode(evalSorted)))
 }
 
 object IntersectKernels {
@@ -684,6 +707,16 @@ case class ShingleStatsExpr(child: Expression, n: Int, coefA: Array[Long],
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "shingle_stats"
+  // content equality over the coefficient arrays (see OphSigExpr)
+  override def equals(o: Any): Boolean = o match {
+    case that: ShingleStatsExpr => child == that.child && n == that.n &&
+      java.util.Arrays.equals(coefA, that.coefA) &&
+      java.util.Arrays.equals(coefB, that.coefB)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(n), Int.box(java.util.Arrays.hashCode(coefA)),
+    Int.box(java.util.Arrays.hashCode(coefB)))
 }
 
 /** `child` is an array<string> of shingles; coefficients ride as plan
@@ -701,6 +734,16 @@ case class MinHashSignatureExpr(child: Expression, coefA: Array[Long],
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_signature"
+  // content equality over the coefficient arrays (see OphSigExpr)
+  override def equals(o: Any): Boolean = o match {
+    case that: MinHashSignatureExpr => child == that.child &&
+      java.util.Arrays.equals(coefA, that.coefA) &&
+      java.util.Arrays.equals(coefB, that.coefB)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(java.util.Arrays.hashCode(coefA)),
+    Int.box(java.util.Arrays.hashCode(coefB)))
 }
 
 /**

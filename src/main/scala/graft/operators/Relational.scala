@@ -109,7 +109,7 @@ object Relational {
    *
    * Null handling matches the window variant exactly: null VALUES sort
    * first in a `row_number` over `orderBy(value)`, so they are binned
-   * into the Int.MinValue bucket here (where the candidate window's
+   * into the Long.MinValue bucket here (where the candidate window's
    * nulls-first order reproduces the same ranks); null GROUP KEYS are a
    * group of their own (all joins below are null-safe on the group
    * columns).
@@ -126,6 +126,11 @@ object Relational {
   def exactPercentilesHist(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[Double], bins: Int = 8192): DataFrame = {
     require(bins > 1, s"bins must be > 1, got $bins")
+    // the bucket id is the top (12 + log2(bins)) bits of the 64-bit
+    // sortable transform, kept as a LONG (an int cast wrapped negative
+    // past bins = 2^19, inverting bucket order across zero); bound bins
+    // so the histogram stays a driver-collectable candidate set
+    require(bins <= (1 << 24), s"bins must be <= 2^24, got $bins")
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"percentiles must lie in (0, 1], got $ps")
     // labels pivot the output columns; two ps that round to the same
@@ -148,14 +153,16 @@ object Relational {
     // mantissa) bits of the sortable-bits transform. The double cast only
     // steers CANDIDATE selection (exactness comes from the rank pick
     // below), so decimal/float inputs are safe. Null values go to the
-    // Int.MinValue bucket: they rank FIRST under orderBy(value) (Spark
-    // default nulls-first asc), same as the window variant.
+    // Long.MinValue bucket — the only negative id, since the real ids
+    // are unsigned-shifted longs — so they rank FIRST under
+    // orderBy(value) (Spark default nulls-first asc), same as the
+    // window variant.
     import org.apache.spark.sql.graftshim.GraftSql.{column => toCol, expression => toExpr}
     val mBits = 63 - java.lang.Long.numberOfLeadingZeros(bins.toLong)
     val shift = 52 - mBits
     val vd = v.cast("double")
-    val bucket = when(v.isNull, lit(Int.MinValue)).otherwise(
-      shiftrightunsigned(toCol(DoubleOrderedBits(toExpr(vd))), shift).cast("int"))
+    val bucket = when(v.isNull, lit(Long.MinValue)).otherwise(
+      shiftrightunsigned(toCol(DoubleOrderedBits(toExpr(vd))), shift))
     val bucketed = df.withColumn("__b", bucket)
     // pass 1: per-(group, bucket) counts — collected, one row per
     // occupied bucket
@@ -166,7 +173,7 @@ object Relational {
     val labels = ps.map(p => s"p${(p * 100).round}")
     // driver: cumulative walk per group -> (bucket, in-bucket rank) per p
     val candRows = byGroup.toSeq.flatMap { case (gKey, rs) =>
-      val counts = rs.map(r => (r.getInt(nG), r.getLong(nG + 1))).sortBy(_._1)
+      val counts = rs.map(r => (r.getLong(nG), r.getLong(nG + 1))).sortBy(_._1)
       val n = counts.map(_._2).sum
       ps.zip(labels).map { case (p, label) =>
         val target = math.ceil(p * n).toLong
@@ -182,7 +189,7 @@ object Relational {
     val candSchema = org.apache.spark.sql.types.StructType(
       groupCols.map(c => df.schema(c)) ++ Seq(
         org.apache.spark.sql.types.StructField("__b",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("__p",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("__r",

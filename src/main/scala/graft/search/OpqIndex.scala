@@ -151,4 +151,13 @@ case class OpqRotateExpr(child: Expression, rows: Array[Array[Float]])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "opq_rotate"
+  // content equality over the rotation rows (see HashedLinearScore)
+  override def equals(o: Any): Boolean = o match {
+    case that: OpqRotateExpr => child == that.child &&
+      java.util.Arrays.deepEquals(rows.asInstanceOf[Array[AnyRef]],
+        that.rows.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]])))
 }

@@ -396,4 +396,14 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Float]]]
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "pq_encode"
+  // content equality over the codebook arrays (see HashedLinearScore)
+  override def equals(o: Any): Boolean = o match {
+    case that: PqEncodeExpr => child == that.child && nbits == that.nbits &&
+      java.util.Arrays.deepEquals(codebooks.asInstanceOf[Array[AnyRef]],
+        that.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(nbits),
+    Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
 }

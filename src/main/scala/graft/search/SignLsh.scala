@@ -81,4 +81,13 @@ case class LshBucketsExpr(child: Expression, planes: Array[Array[Array[Float]]])
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "lsh_buckets"
+  // content equality over the plane arrays (see HashedLinearScore)
+  override def equals(o: Any): Boolean = o match {
+    case that: LshBucketsExpr => child == that.child &&
+      java.util.Arrays.deepEquals(planes.asInstanceOf[Array[AnyRef]],
+        that.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])))
 }

@@ -162,6 +162,16 @@ case class SqEncodeExpr(child: Expression, vmin: Array[Float], vdiff: Array[Floa
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "sq_encode"
+  // content equality over the min/diff arrays (see HashedLinearScore)
+  override def equals(o: Any): Boolean = o match {
+    case that: SqEncodeExpr => child == that.child && nbits == that.nbits &&
+      java.util.Arrays.equals(vmin, that.vmin) &&
+      java.util.Arrays.equals(vdiff, that.vdiff)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(nbits), Int.box(java.util.Arrays.hashCode(vmin)),
+    Int.box(java.util.Arrays.hashCode(vdiff)))
 }
 
 /**

@@ -201,4 +201,14 @@ case class HashedLinearScore(child: Expression, weights: Array[Float], bias: Dou
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "hashed_linear_score"
+  // Array fields degrade case-class equality to reference identity —
+  // compare weight CONTENT so semantically equal expressions
+  // canonicalize equal (CSE / plan-cache matching)
+  override def equals(o: Any): Boolean = o match {
+    case that: HashedLinearScore => child == that.child && bias == that.bias &&
+      java.util.Arrays.equals(weights, that.weights)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Double.box(bias), Int.box(java.util.Arrays.hashCode(weights)))
 }

@@ -48,6 +48,17 @@ case class WhitenTransform(child: Expression, kernel: Array[Array[Double]],
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "whiten_transform"
+  // content equality over kernel/bias (see HashedLinearScore)
+  override def equals(o: Any): Boolean = o match {
+    case that: WhitenTransform => child == that.child &&
+      java.util.Arrays.deepEquals(kernel.asInstanceOf[Array[AnyRef]],
+        that.kernel.asInstanceOf[Array[AnyRef]]) &&
+      java.util.Arrays.equals(bias, that.bias)
+    case _ => false
+  }
+  override lazy val hashCode: Int = java.util.Objects.hash(getClass, child,
+    Int.box(java.util.Arrays.deepHashCode(kernel.asInstanceOf[Array[AnyRef]])),
+    Int.box(java.util.Arrays.hashCode(bias)))
 }
 
 /**
