@@ -408,6 +408,20 @@ object SparkEntry {
        |SELECT id, min(comp) component, (min(comp) = id) is_canonical
        |FROM reach GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
 
+  /** Cluster oracle over the OPH candidate pipeline: the same reachability
+    * fixpoint as [[minhashClusterOracle]], but the pair CTEs reproduce the
+    * banded one-permutation-per-band-row scheme bit-for-bit. */
+  private def minhashOphClusterOracle(n: Int, k: Int, bands: Int,
+      threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashOphPairCtes(n, k, bands, threshold)},
+       |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
+       |reach(id, comp) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+       |  UNION
+       |  SELECT ed.u, reach.comp FROM ed JOIN reach ON ed.v = reach.id)
+       |SELECT id, min(comp) component, (min(comp) = id) is_canonical
+       |FROM reach GROUP BY id ORDER BY id""".stripMargin.replace("\n", " ")
+
   /** DuckDB oracle for simhash near-dups: 62-bit two-polynomial fingerprint
     * (bit votes over token multisets), pigeonhole chunk join, hamming ≤ max. */
   /** text_boilerplate / text_boilerplate_narrow shared reshape: 10-token
@@ -1195,6 +1209,15 @@ object SparkEntry {
     "dedup_cluster" -> ((s, dir) => Dedup.connectedComponents(
       Dedup.minHashNearDups(table(s, dir, "documents"), "doc_id", "text",
         n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+      "id_a", "id_b")
+      .orderBy("id")),
+    // the cluster deliverable over the OPH candidate pipeline — the
+    // measured sf100 scale route of the minhash family (the classic
+    // 64-perm kernel above stays as the reference-semantics
+    // compatibility twin; its signature pass alone costs 2.4× OPH's)
+    "dedup_cluster_oph" -> ((s, dir) => Dedup.connectedComponents(
+      Dedup.minHashNearDupsOph(table(s, dir, "documents"), "doc_id", "text",
+        n = 5, numBins = 64, bands = 8, threshold = 0.5),
       "id_a", "id_b")
       .orderBy("id")),
     // dedup: the CLEANED corpus at document level — minhash pairs → CC →
@@ -2143,6 +2166,7 @@ object SparkEntry {
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_minhash_oph" -> minhashOphOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
     "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
+    "dedup_cluster_oph" -> minhashOphClusterOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
     // same pair CTEs + reachability as the cluster oracle, then the
     // cleaned corpus: every document except non-canonical cluster members
     "dedup_corpus" ->

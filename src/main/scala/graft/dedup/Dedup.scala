@@ -421,6 +421,19 @@ object Dedup {
     // round-trip) — and the DUPLICATED minority recovers its strings by
     // positional re-extraction from the original documents.
     val narrowPath = narrowTrigger(df, smallCorpusBytes)
+    // the narrow path scans the documents three times (narrow build,
+    // occurrence re-extraction, rebuild); when the INPUT PLAN itself is
+    // expensive to re-run ([[rescanIsExpensive]]) those re-scans re-pay
+    // it each time — persist the (id, text) projection once instead
+    // (r15 sf100 decomposition: the two re-scans were ~44 s of the
+    // operator's 75.9 s; the persist costs what one pass costs)
+    val inCached = narrowPath && rescanIsExpensive(df)
+    val in = {
+      val in0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+      if (inCached)
+        in0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else in0
+    }
     val (removed, caches) = if (!narrowPath) {
       val lines = df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"),
@@ -469,9 +482,9 @@ object Dedup {
       // scan-partitioned narrow persist (the r14 boilerplate lesson: no
       // pre-persist repartition — the df/first-occurrence agg ships
       // map-side-combined volume through the session-knob exchange)
-      val narrow = df.filter(col(textCol).isNotNull)
-        .select(col(idCol).as("doc_id"),
-          explode(toCol(LineHashesExpr(toExpr(col(textCol)), delim, minLen)))
+      val narrow = in.filter(col("__orig").isNotNull)
+        .select(col("doc_id"),
+          explode(toCol(LineHashesExpr(toExpr(col("__orig")), delim, minLen)))
             .as("__plh"))
         .select(col("doc_id"), col("__plh.pos").as("pos"),
           col("__plh.lh").as("lh"))
@@ -501,7 +514,7 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(collect_list(struct(col("pos"), col("lh"),
           col("__fdoc"), col("__fpos"))).as("__ps"))
-        .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        .join(in.select(col("doc_id"), col("__orig").as("__t")),
           Seq("doc_id"))
         .withColumn("__parts", split(col("__t"), delimQ, -1))
         .select(col("doc_id"), explode(transform(col("__ps"), p =>
@@ -523,10 +536,10 @@ object Dedup {
         .filter(col("line") === col("__fline"))
         .groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("pos"))).as("__rm"))
-      (rm, Seq(narrow, occ))
+      (rm, if (inCached) Seq(narrow, occ, in) else Seq(narrow, occ))
     }
     val parts = split(col("__orig"), delimQ, -1)
-    val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+    val out = in
       .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__orig").isNull, lit(null).cast("string"))
@@ -614,6 +627,16 @@ object Dedup {
     // set and AQE broadcasts it, a degenerate one (every line shared) is
     // corpus-sized and must shuffle — the banded self-join discipline.
     val narrowPath = narrowTrigger(df, smallCorpusBytes)
+    // persist an EXPENSIVE-to-re-run input once (see [[dedupLines]] —
+    // the narrow path otherwise re-pays the input plan on the candidate
+    // re-extraction and the rebuild; bare scans stay uncached)
+    val inCached = narrowPath && rescanIsExpensive(df)
+    val in = {
+      val in0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+      if (inCached)
+        in0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else in0
+    }
     val (candSource, caches) =
       if (!narrowPath) {
         val lines = exploded
@@ -639,14 +662,14 @@ object Dedup {
         // regex split round-tripped every document through
         // java.lang.String and allocated one String per line — the sf100
         // decomposition put that kernel stage at ~2/3 of the operator.
-        val narrow = df.filter(col(textCol).isNotNull)
-          .select(col(idCol).as("doc_id"),
-            explode(toCol(LineHashesExpr(toExpr(col(textCol)), delim, minLen)))
+        val narrow = in.filter(col("__orig").isNotNull)
+          .select(col("doc_id"),
+            explode(toCol(LineHashesExpr(toExpr(col("__orig")), delim, minLen)))
               .as("__plh"))
           .select(col("doc_id"), col("__plh.pos").as("pos"),
             col("__plh.lh").as("lh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (narrow, Seq(narrow))
+        (narrow, if (inCached) Seq(narrow, in) else Seq(narrow))
       }
     val candHashes = candSource
       .groupBy(col("lh"), col("doc_id")).agg(count(lit(1)).as("__n"))
@@ -661,7 +684,7 @@ object Dedup {
         candSource.join(candHashes, Seq("lh"))
           .groupBy(col("doc_id"))
           .agg(collect_list(struct(col("pos"), col("lh"))).as("__ps"))
-          .join(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), Seq("doc_id"))
+          .join(in.select(col("doc_id"), col("__orig").as("__t")), Seq("doc_id"))
           .withColumn("__parts", split(col("__t"), delimQ, -1))
           .select(col("doc_id"), explode(transform(col("__ps"), p =>
             struct(p("pos").as("pos"), p("lh").as("lh"),
@@ -682,7 +705,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__rm"))
     val parts = split(col("__orig"), delimQ, -1)
-    val out = df.select(col(idCol).as("doc_id"), col(textCol).as("__orig"))
+    val out = in
       .join(removed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__orig").isNull, lit(null).cast("string"))
@@ -1020,6 +1043,28 @@ object Dedup {
   private def narrowTrigger(df: DataFrame, smallCorpusBytes: Long): Boolean = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     est < BigInt(1L << 56) && est > smallCorpusBytes
+  }
+
+  /** True when RE-SCANNING `df` plausibly pays real compute — any
+    * operator above the leaves beyond pruning/filtering (joins, aggs,
+    * generates, unions), or a projection whose expressions do real work
+    * (the parsed/normalized-upstream pipeline shape; tree size > 8 nodes
+    * separates `alias(cast(col))` from `transform(...)/split(...)`
+    * chains). The multi-pass line operators persist such inputs ONCE:
+    * the r15 sf100 decomposition read one pass of the dedup_lines gate's
+    * reshape at 21.9 s vs persist + 3 cache reads at 21.5 s — while a
+    * bare columnar scan re-read at 1.5 s, so raw scans stay UNcached
+    * (at 100 TB a cache write of the raw corpus trades free parquet
+    * re-reads for a corpus-sized spill). */
+  private[dedup] def rescanIsExpensive(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    df.queryExecution.optimizedPlan.exists {
+      case p: Project =>
+        p.projectList.exists(e => e.collect { case _ => 1 }.sum > 8)
+      case _: Filter => false
+      case _: LeafNode => false
+      case _ => true
+    }
   }
 
   /** Shared tail of the minhash family: band the persisted `texts`
@@ -1579,6 +1624,13 @@ object Dedup {
    * candidates (never all-pairs), log-round star contraction for
    * clusters, one broadcast-able anti-join of the (small) drop list
    * against the corpus — the only full-corpus pass after pair generation.
+   *
+   * This classic 64-permutation kernel is the reference-semantics
+   * COMPATIBILITY twin; [[dedupCorpusOph]] is the measured scale route
+   * (r14 sf100: 2.43× control vs 3.77× here — the residual is this
+   * kernel's signature pass, 33.5 s vs OPH's 13.7 s in the same JVM).
+   * Pick classic only when bit-compatibility with per-gram
+   * multi-permutation MinHash matters more than throughput.
    */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 8,

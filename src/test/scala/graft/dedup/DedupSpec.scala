@@ -8,6 +8,26 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docs = sf("documents")
 
+  test("rescanIsExpensive: bare scans and filters stay uncached, computed projections and aggregates trigger") {
+    val sp = spark
+    import sp.implicits._
+    // bare local/scan-shaped relation: cheap to re-run
+    val bare = docs.select(col("doc_id"), col("text"))
+    assert(!Dedup.rescanIsExpensive(bare))
+    assert(!Dedup.rescanIsExpensive(bare.filter(col("doc_id") > 10)))
+    // trivial projection (alias/cast) stays cheap
+    assert(!Dedup.rescanIsExpensive(
+      docs.select(col("doc_id").cast("string").as("id2"), col("text"))))
+    // a projection doing real compute (the reshaped-upstream shape)
+    val reshaped = docs.select(col("doc_id"),
+      array_join(transform(split(col("text"), " "), t => upper(t)), " ").as("text"))
+    assert(Dedup.rescanIsExpensive(reshaped))
+    // anything above the leaves beyond prune/filter
+    assert(Dedup.rescanIsExpensive(
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))))
+    assert(Dedup.rescanIsExpensive(docs.join(docs.select(col("doc_id")), "doc_id")))
+  }
+
   test("exact dedup groups identical keys, keeps min id") {
     val sp = spark
     import sp.implicits._
