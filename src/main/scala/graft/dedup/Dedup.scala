@@ -754,10 +754,18 @@ object Dedup {
       w: Int, hotDf: Long = 32, maxHotBroadcast: Long = 2000000,
       minHotOcc: Long = 1L << 22): DataFrame = {
     require(w >= 2, s"span width must be >= 2 tokens, got $w")
-    // only (id, text) is cached: token arrays materialize exclusively in
-    // the rebuild projection of AFFECTED documents
-    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only (id, text) is cached — token arrays materialize exclusively in
+    // the rebuild projection of AFFECTED documents — and only when the
+    // input PLAN is expensive to re-run ([[rescanIsExpensive]]): the two
+    // consumers (gram stream, rebuild) re-read a bare columnar scan
+    // cheaper than a corpus-sized cache writes (r15 sf100 decomposition:
+    // 1.5 s per text re-scan)
+    val base = {
+      val base0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      if (rescanIsExpensive(df))
+        base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+    }
     val toks = filter(split(col("__text"), " ", -1), t => length(t) > 0)
     // positioned gram fingerprints: gram at gp covers tokens [gp, gp+w-1].
     // Single-pass codegen kernel ([[GramHashesExpr]]) — no per-position
@@ -945,7 +953,17 @@ object Dedup {
     // signatures would band-collide with every other short doc and their
     // jaccard is 0/0 — mirrors the oracle's WHERE len(s) > 0.
     val (coefA, coefB) = minHashCoefficients(numHashes)
-    val st = toCol(ShingleStatsExpr(toExpr(col(textCol)), n, coefA, coefB))
+    // expensive-to-re-run inputs persist once as the (id, text) source:
+    // the signature pass and the candidate fingerprint recovery both
+    // scan it ([[rescanIsExpensive]]; bare scans stay uncached)
+    val srcCached = rescanIsExpensive(df)
+    val src = {
+      val s0 = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      if (srcCached)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val st = toCol(ShingleStatsExpr(toExpr(col("__t")), n, coefA, coefB))
     // corpus-wide persist carries (sz, sig) ONLY — 256 bytes/doc. The
     // exact-jaccard fingerprint arrays (~4 KB/doc; 20 GB on-heap at 5M
     // docs) are recomputed below for CANDIDATE ids only: the r12 sf100
@@ -954,11 +972,12 @@ object Dedup {
     // Candidates are a small fraction of the corpus at any realistic dup
     // rate, so one extra kernel pass over them costs far less than
     // keeping every document's array alive through the whole pipeline.
-    val texts = df.select(col(idCol).as("id"), st.as("st"))
+    val texts = src.select(col("id"), st.as("st"))
       .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandedJaccardVerify(df, idCol, textCol, n, bands, r, threshold, texts)
+    bandedJaccardVerify(src, n, bands, r, threshold, texts,
+      if (srcCached) Seq(src) else Nil)
   }
 
   /**
@@ -997,12 +1016,21 @@ object Dedup {
     // this with the classic pairs would silently diverge the gate from
     // its oracle.
     val (ca, cb) = minHashCoefficients(r)
-    val st = toCol(OphSigExpr(toExpr(col(textCol)), n, ca, cb, numBins))
-    val texts = df.select(col(idCol).as("id"), st.as("st"))
+    // same input-persist discipline as [[minHashNearDups]]
+    val srcCached = rescanIsExpensive(df)
+    val src = {
+      val s0 = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      if (srcCached)
+        s0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else s0
+    }
+    val st = toCol(OphSigExpr(toExpr(col("__t")), n, ca, cb, numBins))
+    val texts = src.select(col("id"), st.as("st"))
       .select(col("id"), col("st.sz").as("sz"), col("st.sig").as("sig"))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bandedJaccardVerify(df, idCol, textCol, n, bands, r, threshold, texts)
+    bandedJaccardVerify(src, n, bands, r, threshold, texts,
+      if (srcCached) Seq(src) else Nil)
   }
 
   /** Self-sized partition count for an operator-owned heavy shuffle over a
@@ -1058,10 +1086,14 @@ object Dedup {
     * re-reads for a corpus-sized spill). */
   private[dedup] def rescanIsExpensive(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    def heavy(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.collect { case _ => 1 }.sum > 8
     df.queryExecution.optimizedPlan.exists {
-      case p: Project =>
-        p.projectList.exists(e => e.collect { case _ => 1 }.sum > 8)
-      case _: Filter => false
+      case p: Project => p.projectList.exists(heavy)
+      // a filter re-runs its CONDITION on every re-scan: a predicate
+      // doing real compute (a quality-flag struct, a tokenizing check)
+      // makes the re-scan expensive even under a trivial projection
+      case f: Filter => heavy(f.condition)
       case _: LeafNode => false
       case _ => true
     }
@@ -1073,16 +1105,16 @@ object Dedup {
     * exact set-Jaccard. `texts` must be persisted by the caller (both
     * self-join sides consume it; without the persist the signature kernel
     * runs twice). */
-  private def bandedJaccardVerify(df: DataFrame, idCol: String,
-      textCol: String, n: Int, bands: Int, r: Int, threshold: Double,
-      texts: DataFrame): DataFrame = {
+  private def bandedJaccardVerify(src: DataFrame, n: Int, bands: Int,
+      r: Int, threshold: Double, texts: DataFrame,
+      srcCaches: Seq[DataFrame]): DataFrame = {
     // the banded self-join's sides are bands × corpus rows; the operator
     // sizes their partitioning itself instead of riding the session knob
     // (see selfSizedParts). Repartitioning by the JOIN KEY once, BEFORE
     // the persist, makes the cached table's partitioning satisfy both
     // self-join sides — the join then plans with zero additional
     // exchanges (the two per-side exchanges the unpartitioned cache paid)
-    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sessParts = src.sparkSession.sessionState.conf.numShufflePartitions
     val bandedPre = texts.select(col("id"), posexplode(
       toCol(BandKeysExpr(toExpr(col("sig")), bands, r))).as(Seq("band", "bh")))
     val joinParts = selfSizedParts(sessParts,
@@ -1108,7 +1140,7 @@ object Dedup {
     val (ca1, cb1) = minHashCoefficients(1)
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val hsTab = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val hsTab = src
       .join(candIds, Seq("id"))
       .select(col("id"),
         toCol(ShingleStatsExpr(toExpr(col("__t")), n, ca1, cb1)).as("st2"))
@@ -1123,7 +1155,8 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    graft.util.CacheDiscipline.materializeAndFree(pairs, texts, banded, hsTab)
+    graft.util.CacheDiscipline.materializeAndFree(pairs,
+      (Seq(texts, banded, hsTab) ++ srcCaches): _*)
   }
 
   /**
@@ -1635,12 +1668,22 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashNearDups(df, idCol, textCol, n, numHashes, bands, threshold)
+    // an expensive-to-re-run input would be scanned three times here
+    // (signature pass, candidate fingerprint recovery, anti-join) —
+    // persist it once; the inner pipeline sees the cached leaf and
+    // never double-persists. Bare scans stay uncached.
+    val srcCached = rescanIsExpensive(df)
+    val src = if (srcCached)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val pairs = minHashNearDups(src, idCol, textCol, n, numHashes, bands, threshold)
     val comp = connectedComponents(pairs, "id_a", "id_b")
     // non-canonical members of any duplicate cluster; singletons never
     // appear in `comp`, so they survive by construction
     val drop = comp.filter(!col("is_canonical")).select(col("id"))
-    df.join(drop, df(idCol) === drop("id"), "left_anti")
+    val out = src.join(drop, src(idCol) === drop("id"), "left_anti")
+    if (srcCached) graft.util.CacheDiscipline.materializeAndFree(out, src)
+    else out
   }
 
   /** [[dedupCorpus]] over the banded one-permutation-hashing candidate
@@ -1658,10 +1701,17 @@ object Dedup {
   def dedupCorpusOph(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numBins: Int = 64, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
-    val pairs = minHashNearDupsOph(df, idCol, textCol, n, numBins, bands, threshold)
+    // same three-scan input-persist discipline as [[dedupCorpus]]
+    val srcCached = rescanIsExpensive(df)
+    val src = if (srcCached)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    val pairs = minHashNearDupsOph(src, idCol, textCol, n, numBins, bands, threshold)
     val comp = connectedComponents(pairs, "id_a", "id_b")
     val drop = comp.filter(!col("is_canonical")).select(col("id"))
-    df.join(drop, df(idCol) === drop("id"), "left_anti")
+    val out = src.join(drop, src(idCol) === drop("id"), "left_anti")
+    if (srcCached) graft.util.CacheDiscipline.materializeAndFree(out, src)
+    else out
   }
 
   /**

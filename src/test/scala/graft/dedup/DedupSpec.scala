@@ -15,6 +15,10 @@ class DedupSpec extends SparkSpec {
     val bare = docs.select(col("doc_id"), col("text"))
     assert(!Dedup.rescanIsExpensive(bare))
     assert(!Dedup.rescanIsExpensive(bare.filter(col("doc_id") > 10)))
+    // an expensive FILTER CONDITION makes the re-scan expensive too
+    // (the curation composition: quality-flag predicate over a scan)
+    assert(Dedup.rescanIsExpensive(bare.filter(
+      size(filter(split(col("text"), " "), t => length(t) > 3)) > 5)))
     // trivial projection (alias/cast) stays cheap
     assert(!Dedup.rescanIsExpensive(
       docs.select(col("doc_id").cast("string").as("id2"), col("text"))))
@@ -26,6 +30,29 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.rescanIsExpensive(
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))))
     assert(Dedup.rescanIsExpensive(docs.join(docs.select(col("doc_id")), "doc_id")))
+  }
+
+  test("minhash family: computed (persist-triggering) input yields the bare-scan result") {
+    val sp = spark
+    import sp.implicits._
+    val base = docs.select(col("doc_id"), col("text")).limit(200)
+    // an input plan the persist heuristic classifies as expensive —
+    // identity on the text content, so results must be bit-equal
+    val computed = base.select(col("doc_id"),
+      array_join(filter(split(col("text"), " ", -1), t => length(t) >= 0), " ")
+        .as("text"))
+    assert(Dedup.rescanIsExpensive(computed))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect().toSeq.map(_.toString)
+    assert(norm(Dedup.minHashNearDups(computed, "doc_id", "text", 5, 64, 8, 0.5)) ===
+      norm(Dedup.minHashNearDups(base, "doc_id", "text", 5, 64, 8, 0.5)))
+    assert(norm(Dedup.minHashNearDupsOph(computed, "doc_id", "text", 5, 64, 8, 0.5)) ===
+      norm(Dedup.minHashNearDupsOph(base, "doc_id", "text", 5, 64, 8, 0.5)))
+    val ca = Dedup.dedupCorpus(computed, "doc_id", "text", 5, 64, 8, 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val cb = Dedup.dedupCorpus(base, "doc_id", "text", 5, 64, 8, 0.5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ca === cb)
   }
 
   test("exact dedup groups identical keys, keeps min id") {
