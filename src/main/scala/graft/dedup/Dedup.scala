@@ -762,7 +762,12 @@ object Dedup {
     // 1.5 s per text re-scan)
     val base = {
       val base0 = df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      if (rescanIsExpensive(df))
+      // KNOWN-small inputs persist too: the cache is a few MB and saves
+      // the per-scan fixed costs (file listing, codegen) the r15 builder
+      // bench measured at ~0.4 s on the sf0.1 gate; unknown estimates
+      // (the >= 2^56 sentinel class) count as large
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (rescanIsExpensive(df) || est < BigInt(256L << 20))
         base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else base0
     }
@@ -1507,22 +1512,36 @@ object Dedup {
     // 16 B per renamed id — ≲ 0.5 GB transient worst-case, a few MB on
     // a typical corpus (250k pairs). The earlier boxed shape (tuple
     // collect + LongMaps + a materialized Seq) peaked at several times
-    // that and could OOM a modest driver just under the cap. The collect
-    // itself streams one partition at a time (toLocalIterator), so no
-    // boxed Array[Row] ever materializes.
-    def driverComp(nEdges: Long): DataFrame = {
-      var cap = math.max(16, nEdges.toInt)
-      var us = new Array[Long](cap); var vs = new Array[Long](cap)
-      val it = edges.select(col("u"), col("v")).toLocalIterator()
-      var nE = 0
-      while (it.hasNext) {
-        if (nE == cap) { // observed count is authoritative, but stay safe
-          cap *= 2
-          us = java.util.Arrays.copyOf(us, cap)
-          vs = java.util.Arrays.copyOf(vs, cap)
-        }
-        val r = it.next(); us(nE) = r.getLong(0); vs(nE) = r.getLong(1)
-        nE += 1
+    // that and could OOM a modest driver just under the cap.
+    def driverComp(): DataFrame = {
+      // ONE job, primitive transport: each partition packs its edges
+      // into two long arrays (toLocalIterator would run a job PER
+      // partition — 32 scheduling round-trips cost the sf0.1 corpus
+      // family ~0.4 s each; a row collect would box every edge)
+      val parts = edges.select(col("u"), col("v")).rdd
+        .mapPartitions { it =>
+          var c = 16
+          var u = new Array[Long](c); var v = new Array[Long](c)
+          var n = 0
+          while (it.hasNext) {
+            if (n == c) {
+              c *= 2
+              u = java.util.Arrays.copyOf(u, c)
+              v = java.util.Arrays.copyOf(v, c)
+            }
+            val r = it.next(); u(n) = r.getLong(0); v(n) = r.getLong(1)
+            n += 1
+          }
+          Iterator.single((java.util.Arrays.copyOf(u, n),
+            java.util.Arrays.copyOf(v, n)))
+        }.collect()
+      val nE = parts.map(_._1.length).sum
+      val us = new Array[Long](nE); val vs = new Array[Long](nE)
+      var off = 0
+      parts.foreach { case (u, v) =>
+        System.arraycopy(u, 0, us, off, u.length)
+        System.arraycopy(v, 0, vs, off, v.length)
+        off += u.length
       }
       // open-addressed long→int: dense index per distinct endpoint
       val maxIds = math.max(4L, 2L * nE)
@@ -1596,7 +1615,7 @@ object Dedup {
     var converged = false
     var it = 0
     var comp: DataFrame = null
-    if (sig._1 <= driverFinishEdges) { comp = driverComp(sig._1); converged = true }
+    if (sig._1 <= driverFinishEdges) { comp = driverComp(); converged = true }
     while (!converged && it < maxIters) {
       // large-star: for each node u (both orientations), m = min(Γ(u) ∪
       // {u}); every strictly-larger neighbor re-attaches to m. Output stays
@@ -1624,7 +1643,7 @@ object Dedup {
       edgeIds = nextIds
       it += 1
       if (!converged && sig._1 <= driverFinishEdges) {
-        comp = driverComp(sig._1)
+        comp = driverComp()
         converged = true
       }
     }
