@@ -47,13 +47,13 @@ object SparkEntry {
     * table — the engine's flagship top-K similarity join (reference
     * `search`, faiss_searcher.py:161-169). */
   private def knn(s: SparkSession, dir: String, measurement: String, k: Int,
-      metricArg: Double = 2.0): DataFrame = {
+      metricArg: Double = 2.0, maxQ: Int = 10): DataFrame = {
     val items = table(s, dir, "embeddings")
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = measurement, metricArg = metricArg))
       .fit(items)
-    val queries = table(s, dir, "embeddings").filter(col("vec_id") < 10)
+    val queries = table(s, dir, "embeddings").filter(col("vec_id") < maxQ)
     knnSelect(model.search(queries, k, keepRankNo = true, queryIdCol = Some("vec_id")))
   }
 
@@ -67,7 +67,7 @@ object SparkEntry {
     * dot/(||q||·||x||) per pair, rank by distance with row_id tie-break,
     * final cast to float32 (matches the engine's sim_val contract,
     * faiss_searcher.py:145). */
-  private def knnOracle(measurement: String, k: Int): String = {
+  private def knnOracle(measurement: String, k: Int, maxQ: Int = 10): String = {
     val distExpr = measurement match {
       case "cos" => "list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v)))"
       case "ip"  => "list_dot_product(q.v, x.v)"
@@ -88,7 +88,7 @@ object SparkEntry {
           "(CASE WHEN p[2] > 0 AND 0.5*(p[1]+p[2]) > 0 THEN 0.5*p[2]*ln(p[2]/(0.5*(p[1]+p[2]))) ELSE 0.0 END)))"
     }
     val dir = if (measurement == "cos" || measurement == "ip") "DESC" else "ASC"
-    s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 10),
+    s"""WITH q AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < $maxQ),
        |x AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
        |s AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label, $distExpr c
        |      FROM q CROSS JOIN x),
@@ -614,6 +614,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O8+O11: top-K similarity join, per metric (O5)
     "knn_cos_top10" -> ((s, dir) => knn(s, dir, "cos", 10)),
+    // batch-retrieval shape of the flagship path: hundreds of queries
+    // through one fit + one search (the mining workload — at sf100 this
+    // gate is 500 queries x the full corpus through the
+    // broadcast-queries bounded-heap plan)
+    "knn_batch_cos" -> ((s, dir) => knn(s, dir, "cos", 5, maxQ = 500)),
     "knn_ip_top5"   -> ((s, dir) => knn(s, dir, "ip", 5)),
     "knn_l2_top5"   -> ((s, dir) => knn(s, dir, "l2", 5)),
     "knn_l1_top5"   -> ((s, dir) => knn(s, dir, "l1", 5)),
@@ -2081,6 +2086,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "knn_cos_top10" -> knnOracle("cos", 10),
+    "knn_batch_cos" -> knnOracle("cos", 5, maxQ = 500),
     // static despite being a quantizer gate: fp16 is train-free
     "knn_fp16_cos" -> fp16Oracle(10),
     "knn_ip_top5"   -> knnOracle("ip", 5),

@@ -147,6 +147,17 @@ object TopKAggregate {
       ascending: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import SparkSearcher.{QID, ROW_ID, DIST, RANK}
+    // TypedImperativeAggregate plans as ObjectHashAggregate, whose
+    // sort-based fallback triggers at 128 DISTINCT KEYS regardless of
+    // state size — a 500-query batch then SORTS the whole
+    // (queries × corpus) scored stream (sf100: 40 GB spilled, 49 → 144 s
+    // between repeats). That fallback exists for unbounded states
+    // (collect_list); this heap state is k-bounded (~16 B per hit), so
+    // 64k keys is ≤ ~64 MB per task. Lift the threshold ONLY when it is
+    // still Spark's default, so an explicit user setting always wins.
+    val conf = partials.sparkSession.conf
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (conf.get(key, "128") == "128") conf.set(key, "65536")
     partials
       .groupBy(col(QID))
       .agg(top_k(struct(col(ROW_ID), col(DIST)), k, ascending).as("__hits"))
