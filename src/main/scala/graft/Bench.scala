@@ -77,6 +77,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.applySessionDefaults(spark)
     // JIT/codegen warmup + one scan per table, so the alphabetically-first
     // query doesn't absorb one-time session costs (file listing, footer
     // reads, first-scan codegen) into its number

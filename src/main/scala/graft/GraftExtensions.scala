@@ -92,12 +92,51 @@ object GraftFunctions {
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
 
-  /** Register every function on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register every function on an already-built session, and apply the
+    * engine's declared session defaults ([[GraftConf]]). */
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage), builder)
     }
+    GraftConf.applySessionDefaults(spark)
+  }
+}
+
+/**
+ * Engine session defaults — conf values the engine's operators are
+ * designed against, applied ONCE, declared, at session setup (every graft
+ * main calls this; [[GraftFunctions.register]] applies it on the
+ * per-session install path; a cluster deploy sets the same keys in
+ * spark-defaults). A key the user already set — builder `.config`,
+ * spark-defaults, or an earlier `spark.conf.set` — is NEVER overridden:
+ * detection reads the session's explicitly-set entries, so even setting a
+ * key to its Spark default counts as a user decision and wins.
+ */
+object GraftConf {
+
+  /** ObjectHashAggregate falls back to sort-based aggregation at this many
+    * DISTINCT KEYS per task hash map, regardless of state size. The
+    * searcher's top-k merge ([[graft.search.TopKAggregate.mergeHits]])
+    * carries a k-BOUNDED heap (~16 B/hit), so the conservative 128
+    * default turns any >128-query batch into a full sort of the
+    * (queries × corpus) scored stream — r15 measured 40 GB spilled and
+    * 3–9× wall-clock at a 500-query sf100 batch. 65536 keys of top-k
+    * state is ≤ a few MB per task. The flip side, and why this is a
+    * declared SESSION decision rather than a hidden operator mutation:
+    * the same knob governs unbounded-state aggregates (collect_list /
+    * collect_set), where 64k keys of large collected states per task can
+    * pressure a small executor heap — a deployment tuning dedup-heavy
+    * jobs on small executors may prefer to pin the key lower, and that
+    * explicit setting always wins here. */
+  val TopKFallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+
+  def applySessionDefaults(spark: SparkSession): Unit =
+    // getAll lists EXPLICITLY-set entries only (registered confs at their
+    // default are absent), so this distinguishes "unset" from "user set it
+    // to 128" — the guard an equality test against the default cannot give
+    if (!spark.conf.getAll.contains(TopKFallbackKey))
+      spark.conf.set(TopKFallbackKey, "65536")
 }
 
 /** `spark.sql.extensions` entry point — see [[GraftFunctions]]. */

@@ -41,6 +41,7 @@ object Recall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftConf.applySessionDefaults(spark)
     spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
 
     val base = SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),

@@ -619,6 +619,29 @@ object SparkEntry {
     // gate is 500 queries x the full corpus through the
     // broadcast-queries bounded-heap plan)
     "knn_batch_cos" -> ((s, dir) => knn(s, dir, "cos", 5, maxQ = 500)),
+    // the same 500-query batch shape over the ANN access paths: the
+    // ObjectHashAggregate fallback fix lives in the shared mergeHits
+    // tail, so LSH/PQ/IVF/graph all ride it — these pin the two paths a
+    // large retrieval deployment actually batches (auto-sized IVF at
+    // auto-nprobe, and the PQ-compressed scan)
+    "knn_batch_ivf" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF0", nprobe = 0))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    "knn_batch_pq" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_ip_top5"   -> ((s, dir) => knn(s, dir, "ip", 5)),
     "knn_l2_top5"   -> ((s, dir) => knn(s, dir, "l2", 5)),
     "knn_l1_top5"   -> ((s, dir) => knn(s, dir, "l1", 5)),
@@ -1208,37 +1231,35 @@ object SparkEntry {
       table(s, dir, "documents"), "doc_id", "text",
       n = 5, numBins = 64, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")),
-    // dedup: near-dup CLUSTERS — minhash pairs → connected components
+    // dedup: near-dup CLUSTERS — candidate pairs → connected components
     // (keep-one-per-cluster is the step after pair generation in a real
-    // dedup pipeline); iterative min-label propagation, recursive-CTE oracle
-    "dedup_cluster" -> ((s, dir) => Dedup.connectedComponents(
-      Dedup.minHashNearDups(table(s, dir, "documents"), "doc_id", "text",
-        n = 5, numHashes = 64, bands = 8, threshold = 0.5),
-      "id_a", "id_b")
+    // dedup pipeline). Gates the PRIMARY API at its r16-flipped default:
+    // the OPH candidate pipeline, the measured sf100 scale route (2.48×
+    // control vs classic's 3.94× in r15); recursive-CTE reachability oracle
+    "dedup_cluster" -> ((s, dir) => Dedup.dedupCluster(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy("id")),
-    // the cluster deliverable over the OPH candidate pipeline — the
-    // measured sf100 scale route of the minhash family (the classic
-    // 64-perm kernel above stays as the reference-semantics
-    // compatibility twin; its signature pass alone costs 2.4× OPH's)
-    "dedup_cluster_oph" -> ((s, dir) => Dedup.connectedComponents(
-      Dedup.minHashNearDupsOph(table(s, dir, "documents"), "doc_id", "text",
-        n = 5, numBins = 64, bands = 8, threshold = 0.5),
-      "id_a", "id_b")
+    // the explicit-knob classic twin (scheme="classic": per-gram 64-perm
+    // signatures — reference-semantics bit-compatibility; its signature
+    // pass alone costs 2.4× OPH's at sf100)
+    "dedup_cluster_classic" -> ((s, dir) => Dedup.dedupCluster(
+      table(s, dir, "documents"), "doc_id", "text",
+      n = 5, numHashes = 64, bands = 8, threshold = 0.5, scheme = "classic")
       .orderBy("id")),
-    // dedup: the CLEANED corpus at document level — minhash pairs → CC →
-    // keep the canonical (min-id) doc per duplicate cluster. The
-    // deliverable of a near-dup pipeline (dedup_lines is its line-level
-    // sibling); pairs/clusters above gate the intermediate signals
+    // dedup: the CLEANED corpus at document level — pairs → CC → keep the
+    // canonical (min-id) doc per duplicate cluster. The deliverable of a
+    // near-dup pipeline (dedup_lines is its line-level sibling); gates the
+    // primary API's r16 default (OPH) end-to-end against its own
+    // recursive-CTE oracle
     "dedup_corpus" -> ((s, dir) => Dedup.dedupCorpus(
       table(s, dir, "documents"), "doc_id", "text",
       n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy("doc_id")),
-    // the cleaned corpus over the OPH candidate pipeline — the
-    // O(grams)-signature 100 TB path, gated end-to-end (pairs → CC →
-    // anti-join) against its own recursive-CTE oracle
-    "dedup_corpus_oph" -> ((s, dir) => Dedup.dedupCorpusOph(
+    // the cleaned corpus under the explicit classic knob
+    "dedup_corpus_classic" -> ((s, dir) => Dedup.dedupCorpus(
       table(s, dir, "documents"), "doc_id", "text",
-      n = 5, numBins = 64, bands = 8, threshold = 0.5)
+      n = 5, numHashes = 64, bands = 8, threshold = 0.5, scheme = "classic")
       .orderBy("doc_id")),
     // dedup: SimHash hamming-band pairs, block count PINNED at the old
     // fixed policy (maxHamming+1 single-block bands) for plan determinism
@@ -2171,11 +2192,13 @@ object SparkEntry {
          |ORDER BY id_a""".stripMargin.replace("\n", " "),
     "dedup_minhash" -> minhashOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     "dedup_minhash_oph" -> minhashOphOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
-    "dedup_cluster" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
-    "dedup_cluster_oph" -> minhashOphClusterOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
+    // the primary gates ride the r16 OPH default; the _classic twins pin
+    // the explicit-knob route against the per-gram multi-perm arithmetic
+    "dedup_cluster" -> minhashOphClusterOracle(n = 5, k = 64, bands = 8, threshold = 0.5),
+    "dedup_cluster_classic" -> minhashClusterOracle(n = 5, numHashes = 64, bands = 8, threshold = 0.5),
     // same pair CTEs + reachability as the cluster oracle, then the
     // cleaned corpus: every document except non-canonical cluster members
-    "dedup_corpus" ->
+    "dedup_corpus_classic" ->
       s"""WITH RECURSIVE ${minhashPairCtes(5, 64, 8, 0.5)},
          |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
          |reach(id, comp) AS (
@@ -2186,8 +2209,8 @@ object SparkEntry {
          |SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM dropped)
          |ORDER BY doc_id""".stripMargin.replace("\n", " "),
-    // same reachability shape over the OPH pair CTEs
-    "dedup_corpus_oph" ->
+    // same reachability shape over the OPH pair CTEs — the primary gate
+    "dedup_corpus" ->
       s"""WITH RECURSIVE ${minhashOphPairCtes(5, 64, 8, 0.5)},
          |ed AS (SELECT id_a u, id_b v FROM mp UNION SELECT id_b, id_a FROM mp),
          |reach(id, comp) AS (
@@ -3007,7 +3030,7 @@ object SparkEntry {
     * scorer keeps per-subspace lookup order, so the double accumulation
     * matches bit-for-bit at either width. */
   private def pqOracle(s: SparkSession, dir: String, measurement: String,
-      k: Int, indexParam: String = "PQ8"): String = {
+      k: Int, indexParam: String = "PQ8", maxQ: Int = 10): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = measurement, indexParam = indexParam))
@@ -3026,7 +3049,7 @@ object SparkEntry {
     s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
        |$fCte,
        |${pqCodesCte(dsub)},
-       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < 10),
+       |q AS (SELECT vec_id qid, v FROM f WHERE vec_id < $maxQ),
        |${adcCtes(dsub, contrib)},
        |${knnTail(k, ord)}""".stripMargin.replace("\n", " ")
   }
@@ -3280,7 +3303,8 @@ object SparkEntry {
     * identical [[graft.search.IndexStrategy.resolveNlist]] arithmetic, so
     * the embedded centroids match the gate's run bit-for-bit. */
   private def ivfPrunedOracle(s: SparkSession, dir: String, k: Int,
-      indexParam: String = "IVF16,Flat", nprobe: Int = 4): String = {
+      indexParam: String = "IVF16,Flat", nprobe: Int = 4,
+      maxQ: Int = 10): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = "cos", indexParam = indexParam, nprobe = nprobe))
@@ -3295,8 +3319,8 @@ object SparkEntry {
        |cd AS (SELECT x.vec_id, ce.c, list_sum(list_transform(list_zip(x.v, ce.cent), p -> (p[1]-p[2])*(p[1]-p[2]))) dd
        |  FROM x CROSS JOIN ce),
        |xcell AS (SELECT vec_id, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd) WHERE rn = 1),
-       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < 10) WHERE rn <= $probes),
-       |q AS (SELECT vec_id, v FROM x WHERE vec_id < 10),
+       |qcell AS (SELECT vec_id qid, c cell FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dd, c) rn FROM cd WHERE vec_id < $maxQ) WHERE rn <= $probes),
+       |q AS (SELECT vec_id, v FROM x WHERE vec_id < $maxQ),
        |s0 AS (SELECT q.vec_id source_id, x.vec_id sim_id, x.label sim_label,
        |  list_dot_product(q.v, x.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(x.v, x.v))) sim
        |  FROM q JOIN qcell ON qcell.qid = q.vec_id JOIN xcell ON xcell.cell = qcell.cell JOIN x ON x.vec_id = xcell.vec_id),
@@ -3599,6 +3623,10 @@ object SparkEntry {
         "knn_ivf_pruned" -> (() => ivfPrunedOracle(s, dir, 10)),
         "knn_ivf_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0")),
         "knn_ivf_nprobe_auto" -> (() => ivfPrunedOracle(s, dir, 10, "IVF0", nprobe = 0)),
+        // 500-query batch twins of the auto-IVF and PQ gates (k = 5,
+        // matching knn_batch_cos's shape)
+        "knn_batch_ivf" -> (() => ivfPrunedOracle(s, dir, 5, "IVF0", nprobe = 0, maxQ = 500)),
+        "knn_batch_pq" -> (() => pqOracle(s, dir, "cos", 5, maxQ = 500)),
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "knn_pcar_cos" -> (() => pcaKnnOracle(s, dir, 10, whiten = false, rotate = true)),

@@ -1093,7 +1093,14 @@ object Dedup {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
     def heavy(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       e.collect { case _ => 1 }.sum > 8
-    df.queryExecution.optimizedPlan.exists {
+    // a NONDETERMINISTIC input (monotonically_increasing_id, uuid, rand)
+    // is not merely expensive to re-scan — it is UNSAFE: two independent
+    // evaluations hand the multi-pass operators two different id
+    // assignments, silently mismatching the gram stream against the
+    // rebuild join. Such plans always persist, however cheap their tree.
+    val nondeterministic = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(e => !e.deterministic))
+    nondeterministic || df.queryExecution.optimizedPlan.exists {
       case p: Project => p.projectList.exists(heavy)
       // a filter re-runs its CONDITION on every re-scan: a predicate
       // doing real compute (a quality-flag struct, a tokenizing check)
@@ -1443,9 +1450,16 @@ object Dedup {
     val spark = pairs.sparkSession
     val sessParts = spark.sessionState.conf.numShufflePartitions
     // the driver finish indexes dense ids into primitive INT arrays
-    // (2 ids per edge) — cap the knob where that stays safe
-    require(driverFinishEdges <= (1L << 30),
-      s"driverFinishEdges must be <= 2^30, got $driverFinishEdges")
+    // (2 ids per edge) — cap the knob where the ARITHMETIC stays safe:
+    // at nE edges the id table needs a power-of-two ≥ (2·nE)·4/3 slots,
+    // so nE must stay ≤ 3·2^28 for the table to fit `1 << tbits` as a
+    // positive Int (the old 2^30 cap let tbits reach 31/32 — a negative
+    // or 1-slot table — and 2·nE overflow `maxIds.toInt`). 2^28 keeps a
+    // power-of-two margin; the driver MEMORY story at that extreme
+    // (2^30-slot table ≈ 12 GB transient) is the operator's documented
+    // worst case — the 4M default stays a few-hundred-MB bound.
+    require(driverFinishEdges <= (1L << 28),
+      s"driverFinishEdges must be <= 2^28, got $driverFinishEdges")
     // order-independent edge-set signature: equal sets ⇒ equal (count,
     // hash-xor); xor can't overflow under ANSI and duplicate-pair
     // cancellation can't occur on a distinct edge set. A false match
@@ -1487,9 +1501,24 @@ object Dedup {
       raw.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct())
-    val (nodes, nodeIds) = ckptTracked(
-      raw.select(explode(array(col("u"), col("v"))).as("id")).distinct())
-    freeRdds(spark, rawIds)
+    // the node set is only read by the FINAL labeling join. When the
+    // driver finish triggers immediately (known for free from the edge
+    // checkpoint's observed count — the common small/medium-corpus case,
+    // and every sf0.1 gate), materializing it as its own checkpoint is a
+    // pure extra job: leave it lazy over the raw checkpoint and let the
+    // derivation ride the single output-checkpoint job (5 fixed-cost jobs
+    // → 4; the r16 open probe read the CC tail at ~1.0 s of dedup_cluster's
+    // 2.14 s at sf0.1). The distributed-loop case keeps the upfront pin so
+    // the (possibly large) raw pair checkpoint frees BEFORE the rounds.
+    val nodesLazy = raw.select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    val immediateFinish = sig._1 <= driverFinishEdges
+    val (nodes, nodeIds) =
+      if (immediateFinish) (nodesLazy, Set.empty[Int])
+      else {
+        val t = ckptTracked(nodesLazy)
+        freeRdds(spark, rawIds)
+        t
+      }
     // DRIVER FINISH: star contraction shrinks the edge set geometrically,
     // so the TAIL rounds operate on trivially small graphs while still
     // paying full distributed fixed cost (two shuffle stages + one action
@@ -1615,7 +1644,7 @@ object Dedup {
     var converged = false
     var it = 0
     var comp: DataFrame = null
-    if (sig._1 <= driverFinishEdges) { comp = driverComp(); converged = true }
+    if (immediateFinish) { comp = driverComp(); converged = true }
     while (!converged && it < maxIters) {
       // large-star: for each node u (both orientations), m = min(Γ(u) ∪
       // {u}); every strictly-larger neighbor re-attaches to m. Output stays
@@ -1663,6 +1692,9 @@ object Dedup {
           (col("component") === col("id")).as("is_canonical")))
     freeRdds(spark, edgeIds)
     freeRdds(spark, nodeIds)
+    // immediate finish kept raw pinned for the output job's lazy node
+    // derivation — free it now that the result carries its own checkpoint
+    if (immediateFinish) freeRdds(spark, rawIds)
     out
   }
 
@@ -1677,16 +1709,22 @@ object Dedup {
    * clusters, one broadcast-able anti-join of the (small) drop list
    * against the corpus — the only full-corpus pass after pair generation.
    *
-   * This classic 64-permutation kernel is the reference-semantics
-   * COMPATIBILITY twin; [[dedupCorpusOph]] is the measured scale route
-   * (r14 sf100: 2.43× control vs 3.77× here — the residual is this
-   * kernel's signature pass, 33.5 s vs OPH's 13.7 s in the same JVM).
-   * Pick classic only when bit-compatibility with per-gram
-   * multi-permutation MinHash matters more than throughput.
+   * Candidate scheme (r16 — the default FLIPPED to the measured scale
+   * route): `scheme = "oph"` routes the banded one-permutation-hashing
+   * kernel ([[minHashNearDupsOph]] — O(r·grams) signature pass; r15
+   * sf100: 2.43–2.67× the zero-shuffle scan control end-to-end, ≥0.9
+   * banded recall vs classic spec-pinned in MinHashOphSpec);
+   * `scheme = "classic"` keeps the per-gram 64-permutation kernel
+   * ([[minHashNearDups]] — 3.81× at sf100, signature pass alone 33.5 s
+   * vs OPH's 13.7 s in the same JVM), for bit-compatibility with
+   * reference-style multi-permutation MinHash. Both schemes verify every
+   * candidate by EXACT set-Jaccard, so precision is identical; only
+   * banding recall can differ. `numHashes` is the signature width under
+   * either scheme: permutation count (classic) or bin count (OPH).
    */
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numHashes: Int = 64, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, scheme: String = "oph"): DataFrame = {
     // an expensive-to-re-run input would be scanned three times here
     // (signature pass, candidate fingerprint recovery, anti-join) —
     // persist it once; the inner pipeline sees the cached leaf and
@@ -1695,7 +1733,7 @@ object Dedup {
     val src = if (srcCached)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df
-    val pairs = minHashNearDups(src, idCol, textCol, n, numHashes, bands, threshold)
+    val pairs = nearDupPairs(src, idCol, textCol, n, numHashes, bands, threshold, scheme)
     val comp = connectedComponents(pairs, "id_a", "id_b")
     // non-canonical members of any duplicate cluster; singletons never
     // appear in `comp`, so they survive by construction
@@ -1705,33 +1743,38 @@ object Dedup {
     else out
   }
 
-  /** [[dedupCorpus]] over the banded one-permutation-hashing candidate
-    * pipeline ([[minHashNearDupsOph]]) — the O(r·grams)-signature corpus
-    * dedup, and the measured scale path of the family: the r14 sf100
-    * probes (in-run text_bm25 control) read the signature pass 13.7 s vs
-    * classic 33.5 s in the same JVM, candidates 5.2M vs classic 3.1M,
-    * and end-to-end dedup_corpus_oph 49.7 s (2.43× control) vs classic
-    * dedup_corpus 72.1 s (3.77×) in adjacent JVMs — the multi-
-    * permutation layout holds candidate inflation to what the short-doc
-    * information cap forces, so the kernel win survives the verify
-    * stage. Same CC contraction, same keep-the-minimum policy; only the
-    * (exact-Jaccard-verified) pair set can differ from the classic
-    * kernel's, by banding recall. */
+  /** Near-duplicate CLUSTERS — the labeling deliverable the keep-one
+    * policy reads: candidate pairs under the chosen `scheme` (see
+    * [[dedupCorpus]]; default OPH, the measured sf100 scale route —
+    * 2.48× control vs classic's 3.94× in r15) → connected components.
+    * Returns `[id, component, is_canonical]` for every id appearing in a
+    * verified pair. No input persist here: the pair pipeline manages its
+    * own input discipline and the contraction never re-reads the corpus. */
+  def dedupCluster(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.7, scheme: String = "oph"): DataFrame =
+    connectedComponents(
+      nearDupPairs(df, idCol, textCol, n, numHashes, bands, threshold, scheme),
+      "id_a", "id_b")
+
+  /** Scheme dispatch shared by [[dedupCorpus]] and [[dedupCluster]] —
+    * `k` is permutations (classic) or bins (OPH). */
+  private def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, threshold: Double, scheme: String): DataFrame =
+    scheme match {
+      case "oph" => minHashNearDupsOph(df, idCol, textCol, n, k, bands, threshold)
+      case "classic" => minHashNearDups(df, idCol, textCol, n, k, bands, threshold)
+      case other => throw new IllegalArgumentException(
+        s"""scheme must be "oph" or "classic", got "$other"""")
+    }
+
+  /** Explicit-OPH spelling of [[dedupCorpus]] — identical to the default
+    * since the r16 flip; kept so call sites written against the r15 API
+    * keep compiling. `numBins` is `numHashes` under the OPH reading. */
   def dedupCorpusOph(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, numBins: Int = 64, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
-    // same three-scan input-persist discipline as [[dedupCorpus]]
-    val srcCached = rescanIsExpensive(df)
-    val src = if (srcCached)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
-    val pairs = minHashNearDupsOph(src, idCol, textCol, n, numBins, bands, threshold)
-    val comp = connectedComponents(pairs, "id_a", "id_b")
-    val drop = comp.filter(!col("is_canonical")).select(col("id"))
-    val out = src.join(drop, src(idCol) === drop("id"), "left_anti")
-    if (srcCached) graft.util.CacheDiscipline.materializeAndFree(out, src)
-    else out
-  }
+      threshold: Double = 0.7): DataFrame =
+    dedupCorpus(df, idCol, textCol, n, numBins, bands, threshold, scheme = "oph")
 
   /**
    * Min-label propagation connected components — every node adopts the
@@ -2070,12 +2113,24 @@ object Dedup {
   }
 
   /**
-   * Cell-blocked embedding near-dup (the 100 TB path): k-means the vectors
-   * into `nlist` cells (same coarse quantizer as the IVF index), assign
-   * each vector its `nprobe` nearest cells, and compare only pairs sharing
-   * a cell — an equi-join on cell id instead of the all-pairs cross join.
+   * Cell-blocked embedding near-dup: k-means the vectors into `nlist`
+   * cells (same coarse quantizer as the IVF index), assign each vector its
+   * `nprobe` nearest cells, and compare only pairs sharing a cell — an
+   * equi-join on cell id instead of the all-pairs cross join.
    * Approximate: a pair split across all probed cells is missed; raise
    * `nprobe` for recall (2 catches most boundary pairs).
+   *
+   * SCALE STANDING (decided r16, certs r15): [[embeddingNearDupsLsh]] is
+   * the scale-PREFERRED embedding near-dup — 2.25× the sf100 scan control
+   * vs 2.73× here (both true-idle re-certs), auto-bits that grow
+   * logarithmically vs this route's capped nlist (see [[autoBlockNlist]]:
+   * past ~4.2M vectors occupancy grows linearly), and a bit-exact DuckDB
+   * oracle. This k-means route stays for corpora whose cluster structure
+   * LSH's random planes can't exploit and as the searcher-aligned
+   * (IVF-cell) blocking; its 2.73× is a certified standing number, not a
+   * per-round re-measure — no further lever is identified (the
+   * hierarchical assignment kernel already landed r10, and the remaining
+   * cost is the occupancy-64 assignment pass itself).
    */
   def embeddingNearDupsBlocked(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 0, nprobe: Int = 2): DataFrame = {

@@ -149,15 +149,19 @@ object TopKAggregate {
     import SparkSearcher.{QID, ROW_ID, DIST, RANK}
     // TypedImperativeAggregate plans as ObjectHashAggregate, whose
     // sort-based fallback triggers at 128 DISTINCT KEYS regardless of
-    // state size — a 500-query batch then SORTS the whole
+    // state size — a >128-query batch then SORTS the whole
     // (queries × corpus) scored stream (sf100: 40 GB spilled, 49 → 144 s
     // between repeats). That fallback exists for unbounded states
     // (collect_list); this heap state is k-bounded (~16 B per hit), so
-    // 64k keys is ≤ ~64 MB per task. Lift the threshold ONLY when it is
-    // still Spark's default, so an explicit user setting always wins.
-    val conf = partials.sparkSession.conf
-    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (conf.get(key, "128") == "128") conf.set(key, "65536")
+    // thousands of keys cost ≤ a few MB per task. The threshold lift
+    // that keeps batch search hash-aggregated is a SESSION conf —
+    // [[graft.GraftConf.applySessionDefaults]] sets it, declared, at
+    // session setup (every graft main and [[graft.GraftFunctions
+    // .register]] apply it; cluster deploys set it in spark-defaults).
+    // It is deliberately NOT set here: a conf mutation inside plan
+    // building would silently persist for the whole session and also
+    // govern unrelated unbounded-state aggregates (r15 shipped exactly
+    // that; reverted r16).
     partials
       .groupBy(col(QID))
       .agg(top_k(struct(col(ROW_ID), col(DIST)), k, ascending).as("__hits"))

@@ -58,4 +58,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GraftConf: declared default lifts the top-k fallback threshold; any explicit user setting wins") {
+    // newSession shares the context but owns its SQLConf — isolation
+    val fresh = TestSpark.spark.newSession()
+    assert(!fresh.conf.getAll.contains(GraftConf.TopKFallbackKey))
+    GraftConf.applySessionDefaults(fresh)
+    assert(fresh.conf.get(GraftConf.TopKFallbackKey) === "65536")
+    // idempotent
+    GraftConf.applySessionDefaults(fresh)
+    assert(fresh.conf.get(GraftConf.TopKFallbackKey) === "65536")
+    // an explicit user setting — EVEN to Spark's own default value —
+    // survives (the r15 guard compared against "128" and clobbered it)
+    val pinned = TestSpark.spark.newSession()
+    pinned.conf.set(GraftConf.TopKFallbackKey, "128")
+    GraftConf.applySessionDefaults(pinned)
+    assert(pinned.conf.get(GraftConf.TopKFallbackKey) === "128")
+  }
+
 }

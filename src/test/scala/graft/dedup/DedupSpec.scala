@@ -30,6 +30,15 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.rescanIsExpensive(
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))))
     assert(Dedup.rescanIsExpensive(docs.join(docs.select(col("doc_id")), "doc_id")))
+    // NONDETERMINISTIC plans must persist however small their tree: two
+    // independent re-evaluations would hand the multi-pass operators two
+    // DIFFERENT id assignments (r15 shipped the tree-size-only test, which
+    // classified a monotonically_increasing_id projection as cheap)
+    assert(Dedup.rescanIsExpensive(
+      docs.select(monotonically_increasing_id().as("rid"), col("text"))))
+    // a sampling filter (re-scan would select DIFFERENT rows); a tautology
+    // like rand > -1 won't do — the optimizer folds it away entirely
+    assert(Dedup.rescanIsExpensive(bare.filter(rand(7) > 0.5)))
   }
 
   test("minhash family: computed (persist-triggering) input yields the bare-scan result") {
@@ -361,6 +370,36 @@ class DedupSpec extends SparkSpec {
         n = 5, numHashes = 64, bands = 8, threshold = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(10L, 20L, 21L))
+  }
+
+  test("dedupCorpus/dedupCluster scheme dispatch: default is OPH, classic knob routes the 64-perm kernel") {
+    val sub = docs.select(col("doc_id"), col("text")).limit(300)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // the r16 default IS the OPH route — bit-equal to the explicit spelling
+    assert(ids(Dedup.dedupCorpus(sub, "doc_id", "text", 5, 64, 8, 0.5)) ===
+      ids(Dedup.dedupCorpusOph(sub, "doc_id", "text", 5, 64, 8, 0.5)))
+    // the classic knob IS the classic pipeline (pairs → CC → anti-join)
+    val classicPairs = Dedup.minHashNearDups(sub, "doc_id", "text", 5, 64, 8, 0.5)
+    val classicDrop = Dedup.connectedComponents(classicPairs, "id_a", "id_b")
+      .filter(!col("is_canonical")).select(col("id"))
+    val classicKept = sub.join(classicDrop, sub("doc_id") === classicDrop("id"), "left_anti")
+    assert(ids(Dedup.dedupCorpus(sub, "doc_id", "text", 5, 64, 8, 0.5,
+      scheme = "classic")) === ids(classicKept))
+    // dedupCluster mirrors the same dispatch
+    assert(labels(Dedup.dedupCluster(sub, "doc_id", "text", 5, 64, 8, 0.5)) ===
+      labels(Dedup.connectedComponents(
+        Dedup.minHashNearDupsOph(sub, "doc_id", "text", 5, 64, 8, 0.5),
+        "id_a", "id_b")))
+    assert(labels(Dedup.dedupCluster(sub, "doc_id", "text", 5, 64, 8, 0.5,
+      scheme = "classic")) ===
+      labels(Dedup.connectedComponents(classicPairs, "id_a", "id_b")))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupCorpus(sub, "doc_id", "text", scheme = "simhash")
+    }
   }
 
   test("dedupSpans: keep-first masking, sub-width runs kept, null/empty preservation") {

@@ -52,4 +52,21 @@ class TopKBufferSpec extends AnyFunSuite {
     val back = agg.deserialize(agg.serialize(buf))
     assert(back.sorted.toSeq === buf.sorted.toSeq)
   }
+
+  test("mergeHits builds and executes without mutating session conf") {
+    // r15 set the ObjectHashAggregate fallback threshold from inside plan
+    // building — a session-global side effect. The lift now lives in
+    // GraftConf.applySessionDefaults (declared, session setup); mergeHits
+    // itself must stay pure.
+    val s = graft.TestSpark.spark.newSession()
+    import s.implicits._
+    val partials = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (1L, 3L, 0.7))
+      .toDF(SparkSearcher.QID, SparkSearcher.ROW_ID, SparkSearcher.DIST)
+    val merged = TopKAggregate.mergeHits(partials, 1, ascending = false)
+    assert(!s.conf.getAll.contains(graft.GraftConf.TopKFallbackKey))
+    val rows = merged.orderBy(SparkSearcher.QID).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 1L), (1L, 3L)))
+    assert(!s.conf.getAll.contains(graft.GraftConf.TopKFallbackKey))
+  }
 }
