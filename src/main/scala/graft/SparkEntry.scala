@@ -1596,8 +1596,19 @@ object SparkEntry {
     "q_stream_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      // layout-agnostic source path: the table is a single FILE in the
+      // driver testdata but a DIRECTORY of part files at any real scale
+      // (ScaleGen, every production writer). The old shape — glob
+      // "events.parquet" against the parent dir — matches only the file
+      // layout; against a directory layout the file-stream source lists
+      // NOTHING and the query "succeeds" on zero rows (found by the r16
+      // sf100 streaming probe, BENCH_r16_sf100_stream.json: input_rows 0)
+      val src = s"$dir/events.parquet"
+      val stream =
+        if (new java.io.File(src).isDirectory)
+          s.readStream.schema(schema).parquet(src)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
       // state-store partition count is pinned at query start from the
       // shuffle-partitions conf: 8 is plenty for ~3.4k windows, and each
       // extra partition is per-micro-batch state-commit overhead

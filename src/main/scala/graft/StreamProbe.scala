@@ -37,9 +37,13 @@ object StreamProbe {
       time(noop(SparkEntry.queries("q_events_hourly")(spark, sfDir))))
 
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val srcPath = s"$sfDir/events.parquet"
+    val srcIsDir = new java.io.File(srcPath).isDirectory
     def runStream(tag: String, maxFiles: Option[Int]): String = {
-      val reader0 = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+      val reader0 =
+        if (srcIsDir) spark.readStream.schema(schema)
+        else spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
       val reader = maxFiles.fold(reader0)(m =>
         reader0.option("maxFilesPerTrigger", m))
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -47,7 +51,8 @@ object StreamProbe {
       val q =
         try {
           spark.conf.set("spark.sql.shuffle.partitions", "8")
-          graft.streaming.StreamingOps.hourlyEventStats(reader.parquet(sfDir))
+          graft.streaming.StreamingOps.hourlyEventStats(
+            reader.parquet(if (srcIsDir) srcPath else sfDir))
             .writeStream.outputMode("complete").format("memory")
             .queryName(s"probe_sink_$tag")
             .trigger(Trigger.AvailableNow()).start()
