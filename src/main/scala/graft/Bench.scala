@@ -111,27 +111,35 @@ object Bench {
     // outliers). Listener delivery is async — flush the bus around each
     // snapshot so deltas attribute to the right run.
     val gcAcc = new AtomicLong; val spillAcc = new AtomicLong
+    // task wall (executorRunTime, ms) vs on-CPU (executorCpuTime, ns):
+    // their ratio is the in-artifact contention/GC diagnosis — the r16
+    // corpus swing (39.6 ↔ 74.0 s on identical code) cost an interleaved
+    // old-binary A/B to attribute to slot state; task_ms >> cpu_ms says
+    // "the cores were stalled, not busy" without a re-measure
+    val cpuAcc = new AtomicLong; val runAcc = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
           gcAcc.addAndGet(m.jvmGCTime)
           spillAcc.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          cpuAcc.addAndGet(m.executorCpuTime)
+          runAcc.addAndGet(m.executorRunTime)
         }
       }
     })
-    def metricSnapshot(): (Long, Long) = {
+    def metricSnapshot(): (Long, Long, Long, Long) = {
       GraftCore.flushListenerBus(spark.sparkContext)
-      (gcAcc.get, spillAcc.get)
+      (gcAcc.get, spillAcc.get, cpuAcc.get, runAcc.get)
     }
     // min-of-2 per query: one-off GC pauses / page-cache misses stop moving
     // the official number; repeats run back-to-back for OS-cache locality
     val repeats = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean, Long, Long) = {
+        : (Double, Boolean, Long, Long, Long, Long) = {
       clearState()
-      val (gc0, sp0) = metricSnapshot()
+      val (gc0, sp0, cpu0, run0) = metricSnapshot()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -140,8 +148,8 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      val (gc1, sp1) = metricSnapshot()
-      (sec, ok, gc1 - gc0, sp1 - sp0)
+      val (gc1, sp1, cpu1, run1) = metricSnapshot()
+      (sec, ok, gc1 - gc0, sp1 - sp0, (cpu1 - cpu0) / 1000000L, run1 - run0)
     }
     val selected = {
       val filtered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -164,7 +172,7 @@ object Bench {
       // explaining when min and max disagree
       val slowest = runs.maxBy(_._1)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s" + (if (ok) "" else "  FAILED"))
-      (name, dt, ok, slowest._1, slowest._3, slowest._4)
+      (name, dt, ok, slowest._1, slowest._3, slowest._4, slowest._5, slowest._6)
     }
     // Sustained-contention self-heal: min-of-2 misses episodes where BOTH
     // repeats land inside one machine-state event (the r9 driver artifact
@@ -184,7 +192,7 @@ object Bench {
       results.filter(_._3).map(r => r._1 -> r._2).toMap, refPre)
     val rechecked = firstPass.flatMap { name =>
       selected.find(_._1 == name).map { case (_, fn) =>
-        val (sec, ok, _, _) = runOnce(name, fn)
+        val (sec, ok, _, _, _, _) = runOnce(name, fn)
         System.err.println(f"[bench] recheck $name%-16s $sec%8.2f s (was ${results.find(_._1 == name).get._2}%.2f)")
         (name, results.find(_._1 == name).get._2, if (ok) sec else Double.MaxValue)
       }
@@ -200,16 +208,17 @@ object Bench {
     }.mkString("{", ",", "}")
     // a failed query records sentinel -1 (not its time-to-failure: a fast
     // regression must not read as an improvement) and is excluded from total
-    val qs = results.map { case (k, v, ok, _, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _, _, _) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
-    val metricsJson = results.map { case (k, _, _, maxSec, gcMs, spill) =>
-      f""""$k":{"max_sec":$maxSec%.3f,"gc_ms":$gcMs,"spill_bytes":$spill}"""
+    // task_ms vs cpu_ms: stall diagnosis (see the accumulator comment)
+    val metricsJson = results.map { case (k, _, _, maxSec, gcMs, spill, cpuMs, runMs) =>
+      f""""$k":{"max_sec":$maxSec%.3f,"gc_ms":$gcMs,"spill_bytes":$spill,"cpu_ms":$cpuMs,"task_ms":$runMs}"""
     }.mkString("{", ",", "}")
     // noise flag: min/max spread over 3x AND over 0.3 s absolute (sub-second
     // queries jitter multiplicatively without meaning anything)
     val noisy = results.collect {
-      case (k, dt, ok, maxSec, _, _) if ok && maxSec > 3 * dt && maxSec - dt > 0.3 =>
+      case (k, dt, ok, maxSec, _, _, _, _) if ok && maxSec > 3 * dt && maxSec - dt > 0.3 =>
         "\"" + k + "\""
     }.mkString("[", ",", "]")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
@@ -237,7 +246,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     val slowest = results.filter(_._3).sortBy(-_._2).take(25)
-      .map { case (k, v, _, _, _, _) => f""""$k":$v%.3f""" }
+      .map { case (k, v, _, _, _, _, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_ok":${results.count(_._3)},"failed":$failed,"noisy":$noisy,"suspect":$suspect,"loadavg":"$load","queries_note":"slowest 25 of ${results.size}; full per-query record in $outPath","sf":"$sfDir"}""")
     spark.stop()
