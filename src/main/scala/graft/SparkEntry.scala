@@ -642,6 +642,26 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    "knn_batch_lsh" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "LSH0"))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
+    // graph path at the exhaustive-ef EXACT operating point (the same
+    // trick as knn_hnsw), so the brute-force batch oracle applies
+    "knn_batch_hnsw" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW32", efSearch = Int.MaxValue))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_ip_top5"   -> ((s, dir) => knn(s, dir, "ip", 5)),
     "knn_l2_top5"   -> ((s, dir) => knn(s, dir, "l2", 5)),
     "knn_l1_top5"   -> ((s, dir) => knn(s, dir, "l1", 5)),
@@ -2119,6 +2139,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "knn_cos_top10" -> knnOracle("cos", 10),
     "knn_batch_cos" -> knnOracle("cos", 5, maxQ = 500),
+    // exhaustive-ef graph batch is provably exact -> same brute oracle
+    "knn_batch_hnsw" -> knnOracle("cos", 5, maxQ = 500),
     // static despite being a quantizer gate: fp16 is train-free
     "knn_fp16_cos" -> fp16Oracle(10),
     "knn_ip_top5"   -> knnOracle("ip", 5),
@@ -3346,7 +3368,8 @@ object SparkEntry {
     * so this refit resolves identically). The planes are read from the
     * FITTED model, so gate and oracle share them bit-for-bit; SQL shape
     * identical to the static knn_lsh_cos oracle. */
-  private def lshKnnOracle(s: SparkSession, dir: String, k: Int): String = {
+  private def lshKnnOracle(s: SparkSession, dir: String, k: Int,
+      maxQ: Int = 10): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = "cos", indexParam = "LSH0"))
@@ -3359,7 +3382,7 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
        |b0 AS (SELECT vec_id, $bucketExprs bs FROM e),
        |bk AS (SELECT vec_id, r.range tbl, bs[r.range + 1] bkt FROM b0 CROSS JOIN range(0, $t) r),
-       |qb AS (SELECT * FROM bk WHERE vec_id < 10),
+       |qb AS (SELECT * FROM bk WHERE vec_id < $maxQ),
        |cd AS (SELECT DISTINCT q.vec_id qid, x.vec_id xid FROM qb q JOIN bk x
        |  ON q.tbl = x.tbl AND q.bkt = x.bkt),
        |s AS (SELECT cd.qid source_id, cd.xid sim_id, ex.label sim_label,
@@ -3638,6 +3661,7 @@ object SparkEntry {
         // matching knn_batch_cos's shape)
         "knn_batch_ivf" -> (() => ivfPrunedOracle(s, dir, 5, "IVF0", nprobe = 0, maxQ = 500)),
         "knn_batch_pq" -> (() => pqOracle(s, dir, "cos", 5, maxQ = 500)),
+        "knn_batch_lsh" -> (() => lshKnnOracle(s, dir, 5, maxQ = 500)),
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "knn_pcar_cos" -> (() => pcaKnnOracle(s, dir, 10, whiten = false, rotate = true)),

@@ -1222,12 +1222,15 @@ class SearcherModel private[search] (
           posexplode(SignLsh.bucketsCol(col(QVEC), planes)).as(Seq("__tbl", "__bkt")))
         val slimB = scanBase.select(col(ROW_ID),
           posexplode(col(BUCKETS)).as(Seq("__tbl", "__bkt")))
+        // skinny (qid, row_id) pairs shuffle FIRST; the wide sides join
+        // on after (index by row_id, broadcast queries last) — same
+        // candidate-volume discipline as lshTopK
         probes.select(col(QID), col("__tbl"), col("__bkt"))
           .join(slimB, Seq("__tbl", "__bkt"))
           .select(col(QID), col(ROW_ID)).distinct()
-          .join(broadcast(qn), QID)
           .join(scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*), ROW_ID)
+          .join(broadcast(qn), QID)
       case _ =>
         scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*)
@@ -1467,9 +1470,18 @@ class SearcherModel private[search] (
     val cands = probes.select(col(QID), col("__tbl"), col("__bkt"))
       .join(slimB, Seq("__tbl", "__bkt"))
       .select(col(QID), col(ROW_ID)).distinct()
+    // JOIN ORDER IS THE SCALE STORY HERE: the candidate set is
+    // |Q| × occupancy × tables rows (the r16 sf100 probe measured 506M
+    // DISTINCT candidates at |Q|=500 under the joint-auto 44×6-bit
+    // config), so the row_id shuffle must carry the SKINNY (qid, row_id)
+    // pairs only. The earlier shape attached the ~300-byte query vector
+    // BEFORE that shuffle — 160 GB in flight at |Q|=500 (ENOSPC,
+    // BENCH_r16_sf100_knnbatch2 first attempt) vs ~4 GB at the 10-query
+    // gates where it hid. Vectors join on AFTER the shuffle: the index
+    // side by row_id, the broadcast-able query side last.
     val scored = cands
-      .join(broadcast(q.select(col(QID), col(QVEC))), QID)
       .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
+      .join(broadcast(q.select(col(QID), col(QVEC))), QID)
       .withColumn(DIST, metric.dist(col(QVEC), col(VEC)))
     // bounded-heap top-k tail (same as the exact aggregate path): shuffles
     // k rows per query per partition instead of sorting all candidates

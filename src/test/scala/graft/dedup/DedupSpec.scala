@@ -302,6 +302,15 @@ class DedupSpec extends SparkSpec {
     // no per-round checkpoint blocks may survive any call: only the three
     // result-pinning RDDs (one per invocation) are added
     assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 3)
+    // the driver-finish knob caps where the dense-table arithmetic is
+    // safe: 2^28 accepted, anything above rejected (at the old 2^30 cap
+    // the open-addressed table's power-of-two sizing overflowed Int)
+    assert(asMap(Dedup.connectedComponents(pairs, "id_a", "id_b",
+      driverFinishEdges = 1L << 28)) === fast)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b",
+        driverFinishEdges = (1L << 28) + 1)
+    }
   }
 
   test("connected components: empty and all-self-loop pair lists degrade cleanly") {

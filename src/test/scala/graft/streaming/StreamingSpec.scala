@@ -35,6 +35,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0)
   }
 
+  test("q_stream_hourly reads DIRECTORY-layout event tables (the production shape)") {
+    // r16 regression pin: the gate's source used to glob 'events.parquet'
+    // against the parent dir — matching only the single-FILE test layout;
+    // against a directory of part files (every production writer) the
+    // file-stream source listed NOTHING and the query succeeded on zero
+    // rows (found by the first sf100 streaming probe).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(3) // force a multi-part DIRECTORY table
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.SparkEntry.queries("q_stream_hourly")(spark, tmp)
+      .collect()
+    assert(got.length > 0, "directory-layout stream source read zero rows")
+    // same final state as the batch twin over the same directory table
+    // (hour columns differ in epoch unit — compare the per-window stats
+    // in the shared hour+type order both gates sort by)
+    val want = graft.SparkEntry.queries("q_events_hourly")(spark, tmp)
+      .collect()
+    assert(got.length === want.length)
+    assert(got.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      want.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
   test("sessionize: custom state via flatMapGroupsWithState closes sessions on gaps") {
     val sp = spark
     import sp.implicits._
