@@ -139,7 +139,15 @@ object GraftConf {
       spark.conf.set(TopKFallbackKey, "65536")
 }
 
-/** `spark.sql.extensions` entry point — see [[GraftFunctions]]. */
+/** `spark.sql.extensions` entry point — see [[GraftFunctions]].
+  *
+  * The extensions hook can only inject functions (Spark hands it no live
+  * session), so it cannot apply [[GraftConf]] defaults. Deploys that
+  * enable graft this way are still covered two ways: every operator
+  * entry point ([[graft.search.SparkSearcher.fit]],
+  * [[GraftFunctions.register]], the graft mains) applies the defaults
+  * itself, and SQL-only sessions set the one required key in
+  * spark-defaults.conf (documented in README "Deploying on a cluster"). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.inject(ext)

@@ -1624,8 +1624,14 @@ object SparkEntry {
       // NOTHING and the query "succeeds" on zero rows (found by the r16
       // sf100 streaming probe, BENCH_r16_sf100_stream.json: input_rows 0)
       val src = s"$dir/events.parquet"
+      // resolve the layout through Hadoop's FileSystem so the probe works
+      // on any scheme (hdfs://, s3a://, file:), not just local paths —
+      // java.io.File.isDirectory is false for every non-local URI, which
+      // would silently fall back to the zero-rows glob shape
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val stream =
-        if (new java.io.File(src).isDirectory)
+        if (fs.getFileStatus(srcPath).isDirectory)
           s.readStream.schema(schema).parquet(src)
         else s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -1642,7 +1648,12 @@ object SparkEntry {
             .trigger(Trigger.AvailableNow()).start()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       q.awaitTermination(300000)
+      // belt-and-braces vs the silent zero-rows failure class: a stream
+      // that listed no input is a source-path bug, never a valid answer
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
       q.stop()
+      require(inputRows > 0,
+        s"q_stream_hourly read zero input rows from $src — source path/layout bug")
       s.table("q_stream_hourly_sink")
         .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
           col("n"), col("sum_value"))

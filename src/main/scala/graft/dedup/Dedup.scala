@@ -1495,12 +1495,23 @@ object Dedup {
     val (raw, rawIds) = ckptTracked(
       pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
         .repartition(sessParts))
+    // round-checkpoint bookkeeping lives OUTSIDE the body below so a thrown
+    // job anywhere (a driverComp collect OOM, a failed output checkpoint)
+    // cannot leave blocks pinned for the life of the session: the finally
+    // re-frees whatever is still live, and freeRdds is idempotent (it only
+    // touches RDDs still present in getPersistentRDDs)
+    var edgeIds = Set.empty[Int]
+    var nodeIds = Set.empty[Int]
+    def runContraction(): DataFrame = {
     // canonical orientation u > v; self-loops dropped from the edge set
     // (the node set below still carries their endpoint as a singleton)
-    var (edges, edgeIds, sig) = ckptSigTracked(
+    val firstCkpt = ckptSigTracked(
       raw.filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
         .distinct())
+    var edges = firstCkpt._1
+    edgeIds = firstCkpt._2
+    var sig = firstCkpt._3
     // the node set is only read by the FINAL labeling join. When the
     // driver finish triggers immediately (known for free from the edge
     // checkpoint's observed count — the common small/medium-corpus case,
@@ -1512,12 +1523,13 @@ object Dedup {
     // the (possibly large) raw pair checkpoint frees BEFORE the rounds.
     val nodesLazy = raw.select(explode(array(col("u"), col("v"))).as("id")).distinct()
     val immediateFinish = sig._1 <= driverFinishEdges
-    val (nodes, nodeIds) =
-      if (immediateFinish) (nodesLazy, Set.empty[Int])
+    val nodes =
+      if (immediateFinish) nodesLazy
       else {
         val t = ckptTracked(nodesLazy)
+        nodeIds = t._2
         freeRdds(spark, rawIds)
-        t
+        t._1
       }
     // DRIVER FINISH: star contraction shrinks the edge set geometrically,
     // so the TAIL rounds operate on trivially small graphs while still
@@ -1690,12 +1702,17 @@ object Dedup {
         .select(col("id"), coalesce(col("component"), col("id")).as("component"))
         .select(col("id"), col("component"),
           (col("component") === col("id")).as("is_canonical")))
-    freeRdds(spark, edgeIds)
-    freeRdds(spark, nodeIds)
-    // immediate finish kept raw pinned for the output job's lazy node
-    // derivation — free it now that the result carries its own checkpoint
-    if (immediateFinish) freeRdds(spark, rawIds)
     out
+    }
+    // immediate finish keeps raw pinned through the output job (its lazy
+    // node derivation reads it); the finally frees it — and everything
+    // else still live — on success AND on any thrown job
+    try runContraction()
+    finally {
+      freeRdds(spark, edgeIds)
+      freeRdds(spark, nodeIds)
+      freeRdds(spark, rawIds)
+    }
   }
 
   /**

@@ -340,6 +340,12 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
   /** Build the index: encode all items, assign row_id, materialize.
     * Reference `train()` (faiss_searcher.py:116-125). */
   def fit(items: DataFrame): SearcherModel = {
+    // session setup from the operator's own entry point: a direct-API
+    // caller (no graft main, no GraftFunctions.register) still gets the
+    // declared engine defaults — notably the ObjectHashAggregate fallback
+    // threshold that keeps >128-query batch top-k out of the sort-spill
+    // path. Explicit user settings always win (see GraftConf).
+    graft.GraftConf.applySessionDefaults(items.sparkSession)
     val itemCol = params.itemCol.getOrElse(items.columns.head)
     require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
 
