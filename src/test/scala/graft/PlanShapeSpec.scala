@@ -291,4 +291,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(nestedLoops(plan) <= 1,
       s"only the 1-row stats broadcast may nested-loop, found ${nestedLoops(plan)}")
   }
+
+  test("LSH candidate joins: every shuffle carrying the query id is SKINNY (no array column)") {
+    // r16's 160 GB ENOSPC class: the LSH candidate stream is
+    // |Q| · occupancy · tables rows (506M distinct pairs measured at a
+    // 500-query sf100 batch), so any vector column attached BEFORE one of
+    // its shuffles multiplies that volume by ~dim·4 bytes — invisible at
+    // 10-query gate scale, fatal at batch scale. Pin the fix structurally:
+    // in both the top-k and the range LSH plans, a ShuffleExchange whose
+    // output carries the internal query id must carry ONLY skinny columns;
+    // vectors join on after (index side by row_id, query side broadcast).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    import graft.search.{SparkSearcher, SearcherParams}
+
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case _                        => p +: p.children.flatMap(allNodes)
+    }
+    def qidShuffles(df: DataFrame): Seq[Seq[String]] =
+      allNodes(df.queryExecution.executedPlan).collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "__qid") =>
+          e.output.map(a => s"${a.name}: ${a.dataType.simpleString}")
+      }
+
+    val emb = sf("embeddings")
+    val model = new SparkSearcher(new graft.encoders.PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH12x6")).fit(emb)
+    val q = emb.filter(col("vec_id") < 5)
+
+    Seq(
+      "lshTopK" -> model.search(q, 10, queryIdCol = Some("vec_id")),
+      "searchRange(LSH)" -> model.searchRange(q, threshold = 0.35,
+        queryIdCol = Some("vec_id"))
+    ).foreach { case (name, df) =>
+      val shuffles = qidShuffles(df)
+      // the candidate-pair shuffle must exist (a column rename would make
+      // this pin vacuous), and none may carry an array (vector) column
+      assert(shuffles.nonEmpty,
+        s"$name: expected a __qid-carrying candidate shuffle — internal column renamed?")
+      val wide = shuffles.filter(_.exists(_.contains("array")))
+      assert(wide.isEmpty,
+        s"$name: candidate shuffle carries a wide column (the r16 ENOSPC shape): " +
+          wide.map(_.mkString(", ")).mkString(" | "))
+    }
+  }
 }
