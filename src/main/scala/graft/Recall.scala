@@ -68,6 +68,11 @@ object Recall {
       // bare LSH / LSH0 = joint auto since r13: bits AND tables resolve
       // from the closed-form recall model at a corpus-sampled anchor
       Cfg("LSH0 (joint auto)", "lsh", base.copy(indexParam = "LSH0")),
+      // the batch-serving operating point (r17): the resolver weighs the
+      // hinted batch's candidate-verify volume against fit cost — more
+      // bits, smaller buckets, tables to hold recall
+      Cfg("LSH0 (joint auto, batchHint=500)", "lsh",
+        base.copy(indexParam = "LSH0", lshBatchHint = 500)),
       Cfg("PQ8 (byte codes)", "pq", base.copy(indexParam = "PQ8")),
       Cfg("PQ8x4 (nibble codes)", "pq", base.copy(indexParam = "PQ8x4")),
       Cfg("OPQ8,PQ8", "opq", base.copy(indexParam = "OPQ8,PQ8")),

@@ -633,6 +633,24 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // the DEPLOYMENT regime of batch retrieval (the reference README's
+    // flow 3, README.md:60-64: persist the index once, serve from load):
+    // fit + save, then the 500-query batch through load() — the whole
+    // lifecycle the amortized-fit BASELINE row measures, gated for
+    // correctness (loaded cells/params must serve the identical batch)
+    "knn_batch_ivf_loaded" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "IVF0", nprobe = 0))
+        .fit(items)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfb").toString
+      model.save(path)
+      model.unpersist()
+      val loaded = SparkSearcher.load(s, path, new PassthroughEncoder("embedding"))
+      knnSelect(loaded.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_batch_pq" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -644,9 +662,13 @@ object SparkEntry {
     }),
     "knn_batch_lsh" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
+      // the index is fitted FOR the batch it serves (lshBatchHint): the
+      // joint-auto resolver weighs the 500-query verify volume against
+      // fit cost, picking more bits / smaller buckets than the
+      // interactive default would
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-          measurement = "cos", indexParam = "LSH0"))
+          measurement = "cos", indexParam = "LSH0", lshBatchHint = 500))
         .fit(items)
       knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
         keepRankNo = true, queryIdCol = Some("vec_id")))
@@ -3380,10 +3402,10 @@ object SparkEntry {
     * FITTED model, so gate and oracle share them bit-for-bit; SQL shape
     * identical to the static knn_lsh_cos oracle. */
   private def lshKnnOracle(s: SparkSession, dir: String, k: Int,
-      maxQ: Int = 10): String = {
+      maxQ: Int = 10, batchHint: Int = 64): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
-        measurement = "cos", indexParam = "LSH0"))
+        measurement = "cos", indexParam = "LSH0", lshBatchHint = batchHint))
       .fit(table(s, dir, "embeddings"))
     val planes = model.fittedLshPlanes.get
     model.unpersist()
@@ -3671,8 +3693,11 @@ object SparkEntry {
         // 500-query batch twins of the auto-IVF and PQ gates (k = 5,
         // matching knn_batch_cos's shape)
         "knn_batch_ivf" -> (() => ivfPrunedOracle(s, dir, 5, "IVF0", nprobe = 0, maxQ = 500)),
+        // the loaded index serves the identical batch: same deterministic
+        // refit oracle (save/load must not change cells, codes, or params)
+        "knn_batch_ivf_loaded" -> (() => ivfPrunedOracle(s, dir, 5, "IVF0", nprobe = 0, maxQ = 500)),
         "knn_batch_pq" -> (() => pqOracle(s, dir, "cos", 5, maxQ = 500)),
-        "knn_batch_lsh" -> (() => lshKnnOracle(s, dir, 5, maxQ = 500)),
+        "knn_batch_lsh" -> (() => lshKnnOracle(s, dir, 5, maxQ = 500, batchHint = 500)),
         "knn_lsh_auto" -> (() => lshKnnOracle(s, dir, 10)),
         "knn_pcaw_cos" -> (() => pcaKnnOracle(s, dir, 10)),
         "knn_pcar_cos" -> (() => pcaKnnOracle(s, dir, 10, whiten = false, rotate = true)),

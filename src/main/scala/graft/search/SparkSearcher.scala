@@ -60,7 +60,16 @@ final case class SearcherParams(
     efSearch: Int = 64,
     hnswGraphs: Int = 0,
     broadcastThreshold: Long = 2000000L,
-    exactPath: String = "aggregate")
+    exactPath: String = "aggregate",
+    /** Expected queries per `search` batch — sizes the joint-auto LSH
+      * config (`LSH0`) for the batch it will serve: the resolver weighs
+      * per-table fit cost (n·bits signature ops) against per-batch verify
+      * cost (batchHint · bucket-occupancy candidate rows), so a large
+      * hint pushes toward more bits (smaller buckets, more tables to hold
+      * recall). r16's |Q|-blind config scored 506M candidates for a
+      * 500-query sf100 batch; the hint is how the fit knows the batch
+      * shape. Ignored by every other index family. */
+    lshBatchHint: Int = 64)
 
 /** Physical access path selected by the faiss-style factory string
   * (faiss_searcher.py:100-107). */
@@ -600,14 +609,22 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val (numTables, bits) =
           if (numTables0 > 0) (numTables0, IndexStrategy.resolveBits(bitsOpt, n))
           else {
-            val anchor = SparkSearcher.lshSampleAnchor(pre, n)
+            val anchor = SparkSearcher.lshRankKAnchor(pre, n)
             val (b, t) = bitsOpt match {
-              case None => graft.dedup.Dedup.autoLshConfig(n, anchor)
+              case None => SparkSearcher.autoLshConfigServing(n, anchor,
+                params.lshBatchHint)
               case Some(pb) => (pb, graft.dedup.Dedup.lshTablesFor(anchor, pb))
             }
-            lshLog.info(f"LSH joint-auto: n=$n%d, sampled anchor cos ≈ " +
-              f"$anchor%.3f -> LSH${t}%dx$b%d (estimated recall at anchor " +
-              f"${graft.dedup.Dedup.lshRecallEstimate(anchor, b, t)}%.3f)")
+            // the config decision, logged at fit (each term is the lever a
+            // user would tune): anchor, batch hint, chosen config, its
+            // estimated recall at the anchor, and the expected per-query
+            // candidate volume the batch path will score
+            lshLog.info(f"LSH joint-auto: n=$n%d, rank-k anchor cos ≈ " +
+              f"$anchor%.3f, batchHint=${params.lshBatchHint}%d -> " +
+              f"LSH${t}%dx$b%d (estimated recall at anchor " +
+              f"${graft.dedup.Dedup.lshRecallEstimate(anchor, b, t)}%.3f, " +
+              f"~${t.toLong * math.max(1L, n >> math.min(b, 62))}%d " +
+              "candidates/query)")
             (t, b)
           }
         // recall advisory (no semantics change): LSH recall loss is
@@ -705,50 +722,94 @@ object SparkSearcher {
   // PCARn (random-rotated output)
   private[search] val PcaSpelling = "PCA([WR]?)(\\d+),(.+)".r
 
-  /** Fit-time anchor cosine for joint-auto LSH (`LSH0`): the lower median
-    * of each sampled row's max cosine against the rest of a DETERMINISTIC
-    * `sampleSize`-row sample (rows with the smallest xxhash64(row_id) —
-    * reproducible across refits, so the gate's oracle re-fit resolves the
-    * identical config). The sample is sparser than the corpus, so its
-    * top-1 similarity UNDERESTIMATES the corpus's true neighbor cosine on
-    * large data — the auto-config then errs toward more tables, the
-    * recall-safe direction. Clamped to [0.2, 0.95]: below, the closed-form
-    * would demand a table count that is a corpus scan in disguise (the fit
+  /** Fit-time anchor cosine for joint-auto LSH (`LSH0`): the 10th
+    * percentile of the EXACT rank-k neighbor cosine over a DETERMINISTIC
+    * `sampleSize`-row query sample (rows with the smallest
+    * xxhash64(row_id) — reproducible across refits, so the gate's oracle
+    * re-fit resolves the identical config), measured against the FULL
+    * corpus with one bounded exact top-k pass (the same heap-aggregate
+    * plan search uses; sampleSize·n·d work, ~a 256-query exact batch).
+    *
+    * Why rank-k against the corpus and not within the sample: the r13–r16
+    * anchor (median max-cos WITHIN a 256-row sample) lower-bounds the
+    * corpus neighbor cosine so loosely at scale that the resolver was
+    * forced into few-bit/huge-bucket configs — recall-safe, but the r16
+    * sf100 probe priced it at 506M scored candidates for a 500-query
+    * batch (31k-row buckets × 44 tables). The rank-k cosine against the
+    * full corpus is the similarity the recall target actually defends
+    * (recall@k is over exactly those pairs); the 10th percentile keeps it
+    * conservative across queries. Sample queries are corpus rows, so
+    * rank 1 is the self-match — consistent with the search workload the
+    * gates run. Clamped to [0.2, 0.95]: below, the closed-form would
+    * demand a table count that is a corpus scan in disguise (the fit
     * advisory names IVF as the honest route there); above, near-duplicate
-    * corpora already resolve to cheap high-recall configs. Driver cost is
-    * one 256-row TakeOrdered + 256² dots — O(sample²·d), corpus-free. */
-  private[search] def lshSampleAnchor(pre: org.apache.spark.sql.DataFrame,
-      n: Long, sampleSize: Int = 256): Double = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
+    * corpora already resolve to cheap high-recall configs. */
+  private[search] def lshRankKAnchor(pre: org.apache.spark.sql.DataFrame,
+      n: Long, k: Int = 10, sampleSize: Int = 256): Double = {
+    import org.apache.spark.sql.functions.{broadcast, col, min, xxhash64}
     if (n < 2) return 0.9
-    val vecs = pre
-      .select(col(VEC).cast("array<float>").as("__v"),
-        xxhash64(col(ROW_ID)).as("__h"))
+    val qdf = pre
+      .select(col(ROW_ID).as(QID), col(VEC).as(QVEC), xxhash64(col(ROW_ID)).as("__h"))
       .orderBy(col("__h")).limit(sampleSize)
-      .select(col("__v")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    val k = vecs.length
-    if (k < 2) return 0.9
-    val norms = vecs.map(v => math.sqrt(v.foldLeft(0.0)((s, x) => s + x.toDouble * x)))
-    val maxCos = Array.fill(k)(-1.0)
-    var i = 0
-    while (i < k) {
-      var j = i + 1
-      while (j < k) {
-        val (a, b) = (vecs(i), vecs(j))
-        var dot = 0.0
-        var t = 0
-        while (t < a.length && t < b.length) { dot += a(t).toDouble * b(t); t += 1 }
-        val den = norms(i) * norms(j)
-        val c = if (den > 0) dot / den else -1.0
-        if (c > maxCos(i)) maxCos(i) = c
-        if (c > maxCos(j)) maxCos(j) = c
-        j += 1
-      }
-      i += 1
+      .select(col(QID), col(QVEC))
+    val scored = pre.select(col(ROW_ID), col(VEC))
+      .crossJoin(broadcast(qdf))
+      .withColumn(DIST, graft.functions.VectorFunctions.vec_cosine(col(QVEC), col(VEC)))
+    // rank-k cosine per query = the minimum of its exact top-k (cos:
+    // higher is closer); value-only, so heap tie-breaks don't matter
+    val rankK = TopKAggregate.mergeHits(scored, math.min(k.toLong, n).toInt,
+        ascending = false)
+      .groupBy(col(QID)).agg(min(col(DIST)).as("__rk"))
+      .select(col("__rk")).collect().map(_.getDouble(0)).sorted
+    if (rankK.isEmpty) return 0.9
+    val anchor = rankK(math.min(rankK.length - 1, (rankK.length - 1) / 10))
+    math.min(0.95, math.max(0.2, anchor))
+  }
+
+  /** Per-candidate verify cost relative to one fit-signature bit-op, for
+    * [[autoLshConfigServing]]'s cost model: a candidate row pays the
+    * skinny-pair shuffle + distinct + two joins + a d-dim dot, measured
+    * ~6–9× the pure d-dim signature arithmetic at the r16 sf100 batch
+    * decomposition (equal multiply counts, 20–30 s fit vs ~180 s scoring
+    * of an equal-flop candidate stream). */
+  private[search] val CandidateRowOverhead = 8.0
+
+  /** Joint `(bits, tables)` auto-config for the SEARCHER's `LSH0` path —
+    * the QUERY-SERVING dual of [[graft.dedup.Dedup.autoLshConfig]]. The
+    * dedup resolver prices a corpus SELF-join (every row is a query, so
+    * cost ∝ tables · n · (bits + occupancy)); a search index instead pays
+    * the signature pass once at fit (tables · n · bits) and then
+    * `batchHint` queries per batch, each scoring tables · occupancy
+    * candidate rows at [[CandidateRowOverhead]]× a signature op. A large
+    * batch hint therefore pushes toward MORE bits (smaller buckets) with
+    * the tables to hold recall — the r16 |Q|-blind config was the
+    * few-bit corner of exactly this tradeoff. Same recall floor, bits
+    * range, table cap, and honest-shortfall fallback as the dedup
+    * resolver (formulas shared so they cannot diverge). */
+  private[search] def autoLshConfigServing(n: Long, anchorCos: Double,
+      batchHint: Int, targetRecall: Double = 0.9, maxTables: Int = 64): (Int, Int) = {
+    import graft.dedup.Dedup.{autoLshBits, lshCollisionP, lshRecallEstimate}
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val p = lshCollisionP(anchorCos)
+    val opts = (4 to math.max(4, autoLshBits(n))).map { b =>
+      val pb = math.pow(p, b)
+      val need =
+        if (pb >= 1.0) 1
+        else if (pb <= 0.0) Int.MaxValue
+        else math.min(Int.MaxValue.toDouble,
+          math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pb))).toInt
+      val t = math.max(1, math.min(maxTables, need))
+      val occ = n.toDouble / (1L << math.min(b, 62))
+      val cost = t.toDouble *
+        (n.toDouble * b + batchHint.toDouble * occ * CandidateRowOverhead)
+      (b, t, need <= maxTables, lshRecallEstimate(anchorCos, b, t), cost)
     }
-    val sorted = maxCos.sorted
-    math.min(0.95, math.max(0.2, sorted((k - 1) / 2)))
+    val feasible = opts.filter(_._3)
+    val pick =
+      if (feasible.nonEmpty) feasible.minBy(o => (o._5, o._1))
+      else opts.maxBy(o => (o._4, -o._5, -o._1))
+    (pick._1, pick._2)
   }
 
   /** Compose a SEEDED random orthonormal rotation into a fitted PCA
@@ -835,7 +896,8 @@ object SparkSearcher {
       efSearch = lngOr("efSearch", dflt.efSearch).toInt,
       hnswGraphs = lngOr("hnswGraphs", dflt.hnswGraphs).toInt,
       broadcastThreshold = lngOr("broadcastThreshold", dflt.broadcastThreshold),
-      exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath))
+      exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath),
+      lshBatchHint = lngOr("lshBatchHint", dflt.lshBatchHint).toInt)
     // construct first: the searcher strips any PCA prefix off indexParam,
     // so every strategy dispatch below sees the inner index
     val searcher = new SparkSearcher(encoder, params)
@@ -1673,7 +1735,8 @@ class SearcherModel private[search] (
     import sp.implicits._
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
-        p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold, count, dim,
+        p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold,
+        p.lshBatchHint, count, dim,
         // the strategy actually SERVING the factory string — differs from
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
@@ -1681,7 +1744,8 @@ class SearcherModel private[search] (
         searcher.strategy.toString))
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
-        "exactPath", "broadcastThreshold", "count", "dim", "effectiveIndex")
+        "exactPath", "broadcastThreshold", "lshBatchHint", "count", "dim",
+        "effectiveIndex")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

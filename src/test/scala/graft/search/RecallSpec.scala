@@ -80,7 +80,7 @@ class RecallSpec extends SparkSpec {
     val pinnedBits = recallOf(base.copy(indexParam = "LSH0x8"))
     val old = recallOf(base.copy(indexParam = "LSH12"))
     info(f"LSH0 recall@$K: $auto%.3f; LSH0x8: $pinnedBits%.3f; old LSH12 default: $old%.3f")
-    assert(auto >= 0.5, s"LSH0 joint-auto recall $auto (measured 0.872)")
+    assert(auto >= 0.5, s"LSH0 joint-auto recall $auto (measured 0.958, rank-k anchor)")
     assert(pinnedBits >= 0.5, s"LSH0x8 auto-tables recall $pinnedBits (measured 0.658)")
     assert(auto > old, s"joint auto must beat the fixed-12-table default: $auto vs $old")
   }
