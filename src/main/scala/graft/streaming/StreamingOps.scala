@@ -56,7 +56,11 @@ object StreamingOps {
    * arbitrary-state surface of the engine: per-user sessions close after
    * `gapMinutes` of inactivity (processing-time timeout) and are emitted
    * with their event count and value sum. The state is O(1) per active
-   * user regardless of stream length.
+   * user regardless of stream length — but "active" is never forgotten
+   * here (`NoTimeout` keeps one state row per user EVER seen, and the
+   * processing-time timers are wall-clock, not replay-deterministic).
+   * For long-lived streams with user churn use [[sessionizeBounded]],
+   * whose event-time timers bound state by the watermark horizon.
    */
   def sessionize(events: Dataset[SessionEvent],
       gapMinutes: Int = 30, closeOnIdle: Boolean = true): Dataset[UserSession] = {
@@ -80,21 +84,7 @@ object StreamingOps {
           } else {
             // merge the micro-batch into the open session; close + emit any
             // session whose gap to the next event exceeds gapNs
-            val sorted = rows.toArray.sortBy(e => (e.ts_ns))
-            var closed = List.empty[UserSession]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_ns - s.end > gapNs =>
-                  closed ::= UserSession(userId, s.start, s.end, s.n, s.total)
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
-                case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.end, e.ts_ns),
-                    s.n + 1, s.total + e.value))
-                case None =>
-                  cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
-              }
-            }
+            val (cur, closed) = mergeSession(state.getOption, rows, gapNs)
             cur.foreach { s =>
               state.update(s)
               if (closeOnIdle) state.setTimeoutDuration(s"$gapMinutes minutes")
@@ -102,6 +92,82 @@ object StreamingOps {
             closed.reverseIterator
           }
         })
+  }
+
+  /**
+   * Event-time-bounded sessionization — the UNBOUNDED-stream variant of
+   * [[sessionize]]. The two existing timeout modes both have a scale
+   * hazard on a long-lived stream: `NoTimeout` never evicts (state =
+   * one entry per user EVER SEEN — 1.5M rows over the sf100 month, and
+   * growing with user churn forever), and `ProcessingTimeTimeout` evicts
+   * on wall-clock, which is non-deterministic under replay/backfill (a
+   * fast replay closes nothing; a paused query closes everything).
+   * `EventTimeTimeout` keys eviction to the WATERMARK: a session whose
+   * last event trails the watermark by more than the gap can, by the
+   * watermark contract, never be extended — it closes and its state is
+   * REMOVED. State is bounded by users active within (gap + watermark
+   * delay) of the stream head, independent of total stream length or
+   * lifetime user cardinality, and replay-deterministic.
+   */
+  def sessionizeBounded(events: Dataset[SessionEvent], gapMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): Dataset[UserSession] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    val gapNs = gapMinutes.toLong * 60 * 1000000000L
+    val gapMs = gapMinutes.toLong * 60 * 1000L
+    events
+      .withColumn("event_time", nsToTimestamp(col("ts_ns")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed (last event + gap): no on-time event can
+            // extend this session — close it and FREE the state row
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, s.start, s.end, s.n, s.total))
+          } else {
+            val (cur, closed) = mergeSession(state.getOption, rows, gapNs)
+            cur.foreach { s =>
+              state.update(s)
+              // the eviction clock: fire when the watermark passes the
+              // session's end + gap (ms epoch; must sit strictly above
+              // the current watermark — a session fed only late-ish data
+              // still gets the earliest legal timer)
+              state.setTimeoutTimestamp(math.max(
+                s.end / 1000000L + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.reverseIterator
+          }
+        })
+  }
+
+  /** Shared micro-batch merge for the sessionizers: fold this batch's
+    * events (ts-sorted) into the open session; sessions whose gap to the
+    * next event exceeds `gapNs` close. Returns (open state, closed
+    * sessions newest-first). */
+  private def mergeSession(open: Option[SessionState],
+      rows: Iterator[SessionEvent], gapNs: Long): (Option[SessionState], List[UserSession]) = {
+    val sorted = rows.toArray.sortBy(_.ts_ns)
+    var closed = List.empty[UserSession]
+    var cur = open
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_ns - s.end > gapNs =>
+          closed ::= UserSession(e.user_id, s.start, s.end, s.n, s.total)
+          cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+        case Some(s) =>
+          cur = Some(SessionState(s.start, math.max(s.end, e.ts_ns),
+            s.n + 1, s.total + e.value))
+        case None =>
+          cur = Some(SessionState(e.ts_ns, e.ts_ns, 1, e.value))
+      }
+    }
+    (cur, closed)
   }
 
   /**

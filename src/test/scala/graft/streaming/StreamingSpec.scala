@@ -83,6 +83,78 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionizeBounded: event-time timers close AND EVICT idle sessions") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = sp.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val sessions = StreamingOps.sessionizeBounded(input.toDS(),
+      gapMinutes = 30, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_bounded").start()
+    val min = 60L * 1000000000L
+    val t0 = 1000 * min // epoch-0 events sit ON the initial watermark (dropped as late)
+    // batch 1: user 1 (two events), user 2 (one event)
+    input.addData(
+      StreamingOps.SessionEvent(1, t0 + 0 * min, 1.0),
+      StreamingOps.SessionEvent(1, t0 + 10 * min, 2.0),
+      StreamingOps.SessionEvent(2, t0 + 5 * min, 7.0))
+    q.processAllAvailable()
+    // batch 2: only user 3, far in the future — the watermark advances to
+    // t0+190min, passing user 1's (end 10min + gap 30min) and user 2's
+    // (5+30) timers: both sessions CLOSE via timeout and their state rows
+    // are REMOVED, while user 3's stays open
+    input.addData(StreamingOps.SessionEvent(3, t0 + 200 * min, 9.0))
+    q.processAllAvailable()
+    // one more empty-ish batch so timers registered against the new
+    // watermark actually fire
+    input.addData(StreamingOps.SessionEvent(3, t0 + 201 * min, 1.0))
+    q.processAllAvailable()
+    val closed = spark.table("sessions_bounded")
+      .as[StreamingOps.UserSession].collect().sortBy(_.user_id)
+    assert(closed.map(_.user_id).toSeq === Seq(1L, 2L),
+      s"watermark-passed sessions must close via event-time timeout: ${closed.toSeq}")
+    assert(closed.find(_.user_id == 1).get ===
+      StreamingOps.UserSession(1, t0, t0 + 10 * min, 2, 3.0))
+    assert(closed.find(_.user_id == 2).get ===
+      StreamingOps.UserSession(2, t0 + 5 * min, t0 + 5 * min, 1, 7.0))
+    // eviction is observable in the state-store metrics: rows were removed
+    val removed = q.recentProgress
+      .flatMap(p => p.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed >= 2, s"state rows must be EVICTED on timeout, removed=$removed")
+    // only user 3's open session remains in state
+    val lastTotal = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+    assert(lastTotal === 1, s"state must hold only the open session, total=$lastTotal")
+    q.stop()
+  }
+
+  test("sessionizeBounded: in-batch gap splitting matches the unbounded variant") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = sp.sqlContext
+    val min = 60L * 1000000000L
+    val t0 = 1000 * min
+    val events = Seq(
+      StreamingOps.SessionEvent(1, t0 + 0 * min, 1.0),
+      StreamingOps.SessionEvent(1, t0 + 10 * min, 2.0),
+      StreamingOps.SessionEvent(1, t0 + 80 * min, 5.0), // 70min gap > 30 → split
+      StreamingOps.SessionEvent(2, t0 + 0 * min, 7.0))
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionizeBounded(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_bounded_parity").start()
+    input.addData(events: _*)
+    q.processAllAvailable()
+    val got = spark.table("sessions_bounded_parity")
+      .as[StreamingOps.UserSession].collect()
+    // same in-batch close as sessionize's spec fixture: user 1's first
+    // session; open sessions (user 1's second, user 2's) held in state
+    assert(got.toSeq === Seq(StreamingOps.UserSession(1, t0, t0 + 10 * min, 2, 3.0)))
+    q.stop()
+  }
+
   test("dedupStream: duplicate keys within the watermark are dropped") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = spark.read.parquet(s"$dir/events.parquet")
