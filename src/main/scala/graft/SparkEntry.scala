@@ -1681,6 +1681,52 @@ object SparkEntry {
           col("n"), col("sum_value"))
         .orderBy("hour_us", "event_type")
     }),
+    // STREAMING sessionization, oracle-gated: a real flatMapGroupsWithState
+    // job (file source, AvailableNow) whose CLOSED-session set is
+    // batching-independent — a session closes only when a LATER same-user
+    // event arrives with gap > 30 min, so whatever the micro-batch split,
+    // the final closed set is "every session except each user's last",
+    // which DuckDB reproduces as gaps-and-islands SQL. (sum_value is
+    // deliberately not gated: double accumulation order across the state
+    // merge isn't pinned; boundaries + counts are the session semantics.)
+    "q_sessionize_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sp = s
+      import sp.implicits._
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val schema = batch.schema
+      val src = s"$dir/events.parquet"
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stream =
+        if (fs.getFileStatus(srcPath).isDirectory)
+          s.readStream.schema(schema).parquet(src)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events = stream.select(
+        col("user_id").cast("long").as("user_id"),
+        graft.util.TimeCols.epochNanos(stream, "ts").as("ts_ns"),
+        col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamingOps.SessionEvent]
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamingOps.sessionize(events,
+              gapMinutes = 30, closeOnIdle = false)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("q_sessionize_stream_sink")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination(300000)
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      require(inputRows > 0,
+        s"q_sessionize_stream read zero input rows from $src — source path/layout bug")
+      s.table("q_sessionize_stream_sink")
+        .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+        .orderBy("user_id", "start_ns")
+    }),
     // pure-SQL surface: engine kernels registered on the session and
     // driven entirely from spark.sql — the cluster-SQL-user experience,
     // gated against the same double-precision formulas in DuckDB
@@ -2629,6 +2675,23 @@ object SparkEntry {
       """SELECT epoch_us(ts) // 3600000000 * 3600000000 hour_us, event_type,
         | count(*) n, CAST(sum(CAST(value AS DECIMAL(20,2))) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin.replace("\n", " "),
+    // sessionization as gaps-and-islands: break on >30min gaps, sessions =
+    // islands; each user's LAST session is still open in stream state, so
+    // only the closed ones (grp < max grp) are emitted — the exact
+    // batching-independent contract of the streaming gate
+    "q_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) tns FROM events),
+        |o AS (SELECT user_id, tns, CASE WHEN tns - lag(tns)
+        |  OVER (PARTITION BY user_id ORDER BY tns) > 1800000000000
+        |  THEN 1 ELSE 0 END brk FROM e),
+        |g AS (SELECT user_id, tns, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY tns ROWS UNBOUNDED PRECEDING) grp FROM o),
+        |s AS (SELECT user_id, grp, min(tns) start_ns, max(tns) end_ns,
+        |  count(*) n_events FROM g GROUP BY 1, 2),
+        |l AS (SELECT user_id, max(grp) mg FROM s GROUP BY 1)
+        |SELECT s.user_id, s.start_ns, s.end_ns, s.n_events
+        |FROM s JOIN l ON s.user_id = l.user_id AND s.grp < l.mg
+        |ORDER BY s.user_id, s.start_ns""".stripMargin.replace("\n", " "),
     // sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float) — cast back
     // to BIGINT to match Spark's long sum
     "q_json_extract" ->
