@@ -684,6 +684,25 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // the GRAPH persistence path end-to-end: save → load must preserve
+    // graph co-location (adjacency resolves within a task — load
+    // re-groups by gpart) and serve the identical batch; exhaustive ef
+    // keeps the exact oracle applicable. The realistic-ef amortized
+    // numbers live in BENCH_r17_sf100_loadedbatch_hnsw.json (0.13×
+    // control at ef=64 / 0.901 recall once the one-time fit is paid).
+    "knn_batch_hnsw_loaded" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW32", efSearch = Int.MaxValue))
+        .fit(items)
+      val path = java.nio.file.Files.createTempDirectory("graft-hnswb").toString
+      model.save(path)
+      model.unpersist()
+      val loaded = SparkSearcher.load(s, path, new PassthroughEncoder("embedding"))
+      knnSelect(loaded.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_ip_top5"   -> ((s, dir) => knn(s, dir, "ip", 5)),
     "knn_l2_top5"   -> ((s, dir) => knn(s, dir, "l2", 5)),
     "knn_l1_top5"   -> ((s, dir) => knn(s, dir, "l1", 5)),
@@ -2220,6 +2239,7 @@ object SparkEntry {
     "knn_batch_cos" -> knnOracle("cos", 5, maxQ = 500),
     // exhaustive-ef graph batch is provably exact -> same brute oracle
     "knn_batch_hnsw" -> knnOracle("cos", 5, maxQ = 500),
+    "knn_batch_hnsw_loaded" -> knnOracle("cos", 5, maxQ = 500),
     // static despite being a quantizer gate: fp16 is train-free
     "knn_fp16_cos" -> fp16Oracle(10),
     "knn_ip_top5"   -> knnOracle("ip", 5),

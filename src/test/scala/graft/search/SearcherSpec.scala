@@ -292,6 +292,53 @@ class SearcherSpec extends SparkSpec {
     auto.unpersist(); pinned.unpersist()
   }
 
+  test("joint-auto LSH serving resolver: recall floor, batch-hint direction, anchor bounds") {
+    import graft.dedup.Dedup.lshRecallEstimate
+    // every picked config clears the recall target at the anchor (or is
+    // the documented honest-shortfall maximum under the table cap)
+    for (n <- Seq(1000L, 100000L, 2000000L); a <- Seq(0.3, 0.6, 0.9);
+         q <- Seq(1, 64, 500, 5000)) {
+      val (b, t) = SparkSearcher.autoLshConfigServing(n, a, q)
+      assert(b >= 4 && t >= 1 && t <= 64, s"bounds: n=$n a=$a q=$q -> ($b,$t)")
+      val est = lshRecallEstimate(a, b, t)
+      // feasible region exists at these anchors/sizes — the pick must
+      // clear the 0.9 target (the shortfall branch is for anchors the
+      // fit clamp already floors at 0.2)
+      assert(est >= 0.9 - 1e-9, s"recall floor: n=$n a=$a q=$q -> ($b,$t) est=$est")
+    }
+    // a larger batch hint never picks FEWER bits (bigger buckets): the
+    // serving cost model prices candidate volume linearly in the hint
+    for (n <- Seq(100000L, 2000000L); a <- Seq(0.4, 0.6)) {
+      val picks = Seq(1, 64, 500, 5000).map(q =>
+        SparkSearcher.autoLshConfigServing(n, a, q)._1)
+      assert(picks == picks.sorted,
+        s"bits must be non-decreasing in batchHint: n=$n a=$a -> $picks")
+    }
+    // rank-k anchor: deterministic across refits, clamped to [0.2, 0.95],
+    // and at least the sample's own rank-k similarity structure (exact
+    // values asserted via the fitted planes' config stability below)
+    val emb = sf("embeddings")
+    val pre = emb.select(col("vec_id").as("row_id"),
+      col("embedding").cast("array<float>").as("__vec"))
+    val a1 = SparkSearcher.lshRankKAnchor(pre, emb.count())
+    val a2 = SparkSearcher.lshRankKAnchor(pre, emb.count())
+    assert(a1 === a2, "rank-k anchor must be refit-deterministic")
+    assert(a1 >= 0.2 && a1 <= 0.95)
+    // the hint is persisted and tolerated on load (tuning knob contract)
+    val m = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "LSH0", lshBatchHint = 500)).fit(emb)
+    val path = java.nio.file.Files.createTempDirectory("graft-lshhint").toString
+    m.save(path)
+    val loaded = SparkSearcher.load(spark, path, new PassthroughEncoder("embedding"))
+    assert(loaded.searcher.params.lshBatchHint === 500)
+    // loaded planes identical — the hint changed only the fit-time pick
+    assert(java.util.Arrays.deepEquals(
+      loaded.fittedLshPlanes.get.asInstanceOf[Array[AnyRef]],
+      m.fittedLshPlanes.get.asInstanceOf[Array[AnyRef]]))
+    m.unpersist(); loaded.unpersist()
+  }
+
   test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
     // the shared resolver: ~16-row buckets, floored at 8 bits
     assert(IndexStrategy.resolveBits(Some(6), 1000000L) === 6)
