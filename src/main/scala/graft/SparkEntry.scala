@@ -673,6 +673,25 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // the cost-based access-path fallback (r17): LSH64x3 is DEGENERATE —
+    // 64 tables of 8 buckets expect tables·n/2^bits candidates per query
+    // at 8× a scanned row's cost, ≥ a full exact scan — so with
+    // lshExactFallback the searcher serves the batch through the exact
+    // top-k kernel (recall 1.0) and the brute-force batch oracle applies
+    // EXACTLY. This automates the r17 sf100 boundary: LSH at its 64-table
+    // feasibility ceiling served |Q|=2000 at 11–14× control vs the exact
+    // kernel's 2.7× (BASELINE.md); without the flag the same config only
+    // logs the warning and still serves buckets (knn_lsh_cos et al.)
+    "knn_batch_lsh_fallback" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "LSH64x3",
+          lshExactFallback = true))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 500), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // graph path at the exhaustive-ef EXACT operating point (the same
     // trick as knn_hnsw), so the brute-force batch oracle applies
     "knn_batch_hnsw" -> ((s, dir) => {
@@ -2239,6 +2258,8 @@ object SparkEntry {
     "knn_batch_cos" -> knnOracle("cos", 5, maxQ = 500),
     // exhaustive-ef graph batch is provably exact -> same brute oracle
     "knn_batch_hnsw" -> knnOracle("cos", 5, maxQ = 500),
+    // the degenerate-LSH fallback serves the EXACT kernel by design
+    "knn_batch_lsh_fallback" -> knnOracle("cos", 5, maxQ = 500),
     "knn_batch_hnsw_loaded" -> knnOracle("cos", 5, maxQ = 500),
     // static despite being a quantizer gate: fp16 is train-free
     "knn_fp16_cos" -> fp16Oracle(10),

@@ -69,7 +69,26 @@ final case class SearcherParams(
       * recall). r16's |Q|-blind config scored 506M candidates for a
       * 500-query sf100 batch; the hint is how the fit knows the batch
       * shape. Ignored by every other index family. */
-    lshBatchHint: Int = 64)
+    lshBatchHint: Int = 64,
+    /** Opt-in cost-based access-path fallback for DEGENERATE LSH
+      * configs. A fitted `tables × bits` LSH index expects to verify
+      * `tables · n/2^bits` candidates per query at
+      * [[SparkSearcher.CandidateRowOverhead]]× the cost of a scanned
+      * corpus row — when `tables · overhead ≥ 2^bits` that estimate
+      * meets or exceeds a full exact scan, so the bucket machinery
+      * buys NEGATIVE time at STRICTLY worse recall (sign-LSH loses
+      * neighbors by pruning; the exact kernel loses none). The
+      * crossover is |Q|-independent (both sides scale linearly in the
+      * batch), so it is decidable from fitted state alone —
+      * deterministic, and stable across save/load. With this flag the
+      * searcher serves such configs through the exact top-k kernel
+      * (recall 1.0 ⊇ anything the buckets would return) and logs the
+      * decision; without it (default — faiss semantics: the index you
+      * built is the index that serves) it only logs a warning. The
+      * r17 sf100 boundary this automates: LSH at its 64-table
+      * feasibility ceiling served a 2000-query batch at 11–14× control
+      * vs the exact kernel's 2.7× (BASELINE.md). */
+    lshExactFallback: Boolean = false)
 
 /** Physical access path selected by the faiss-style factory string
   * (faiss_searcher.py:100-107). */
@@ -774,6 +793,16 @@ object SparkSearcher {
     * of an equal-flop candidate stream). */
   private[search] val CandidateRowOverhead = 8.0
 
+  /** Is an exact scan estimated cheaper than serving this fitted
+    * `tables × bits` LSH config? Per query, LSH verifies
+    * `tables · n/2^bits` candidates at [[CandidateRowOverhead]]× a
+    * scanned row; the exact kernel scans `n` rows once. The `n` cancels:
+    * LSH loses whenever `tables · overhead ≥ 2^bits` (ties go to exact —
+    * equal estimated cost at strictly better recall). |Q|-independent,
+    * so the route is a property of the fitted index, not the batch. */
+  private[search] def lshExactCheaper(tables: Int, bits: Int): Boolean =
+    tables * CandidateRowOverhead >= math.pow(2.0, bits)
+
   /** Joint `(bits, tables)` auto-config for the SEARCHER's `LSH0` path —
     * the QUERY-SERVING dual of [[graft.dedup.Dedup.autoLshConfig]]. The
     * dedup resolver prices a corpus SELF-join (every row is a query, so
@@ -897,7 +926,10 @@ object SparkSearcher {
       hnswGraphs = lngOr("hnswGraphs", dflt.hnswGraphs).toInt,
       broadcastThreshold = lngOr("broadcastThreshold", dflt.broadcastThreshold),
       exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath),
-      lshBatchHint = lngOr("lshBatchHint", dflt.lshBatchHint).toInt)
+      lshBatchHint = lngOr("lshBatchHint", dflt.lshBatchHint).toInt,
+      lshExactFallback =
+        if (has("lshExactFallback")) kv.getAs[Boolean]("lshExactFallback")
+        else dflt.lshExactFallback)
     // construct first: the searcher strips any PCA prefix off indexParam,
     // so every strategy dispatch below sees the inner index
     val searcher = new SparkSearcher(encoder, params)
@@ -1045,6 +1077,27 @@ class SearcherModel private[search] (
   /** Fitted model parameters, exposed for data-dependent oracle building
     * (the correctness gate embeds them as SQL literals — they are
     * deterministic functions of the fitted table). */
+  /** [[SparkSearcher.lshExactCheaper]] of the FITTED planes: true when
+    * serving this LSH config is estimated ≥ an exact scan per query
+    * (degenerate config — e.g. the 64-table feasibility ceiling at a
+    * large-corpus anchor). Decides the [[SearcherParams.lshExactFallback]]
+    * route; logged either way so the boundary is visible in production. */
+  private[search] lazy val lshServeExactCheaper: Boolean = lshPlanes.exists { pl =>
+    pl.nonEmpty && SparkSearcher.lshExactCheaper(pl.length, pl(0).length)
+  }
+
+  private def lshRouteLog(routed: Boolean): Unit = {
+    val pl = lshPlanes.get
+    val (t, b) = (pl.length, pl(0).length)
+    val msg = f"LSH$t%dx$b%d: estimated candidate verify " +
+      f"(tables·n/2^bits at ${SparkSearcher.CandidateRowOverhead}%.0f× a " +
+      f"scanned row) ≥ the exact scan — " +
+      (if (routed) "serving through the exact top-k kernel (lshExactFallback)"
+       else "set lshExactFallback=true to serve through the exact kernel " +
+         "(same or better latency, recall 1.0)")
+    org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(msg)
+  }
+
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
   def fittedCentroids: Option[Array[Array[Float]]] = centroids
   def fittedLshPlanes: Option[Array[Array[Array[Float]]]] = lshPlanes
@@ -1280,7 +1333,16 @@ class SearcherModel private[search] (
         scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             col(IvfIndex.CID) +: payloadCols.map(col)): _*)
           .join(probes, IvfIndex.CID)
+      // degenerate-config reroute (see dispatchTopK): a range scan has
+      // the same candidate economics, and the exact branch below returns
+      // a SUPERSET of any bucket-pruned result at lower estimated cost
+      case LshTables(_, _) if params.lshExactFallback && lshServeExactCheaper =>
+        lshRouteLog(routed = true)
+        scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
+            payloadCols.map(col)): _*)
+          .crossJoin(broadcast(qn))
       case LshTables(_, _) =>
+        if (lshServeExactCheaper) lshRouteLog(routed = false)
         // bucket-collision candidates then threshold verify — approximate
         // with LSH's usual recall semantics (a true hit that collides in
         // no table is missed), same contract as the LSH top-k path
@@ -1418,7 +1480,15 @@ class SearcherModel private[search] (
       NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
         .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
         .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
-    case LshTables(_, _) => lshTopK(qn, topK)
+    // cost-based access-path check runs on EVERY LSH serve (the config
+    // may be degenerate — the 64-table feasibility ceiling); the reroute
+    // itself is opt-in because faiss semantics say the index you built
+    // is the index that serves (and the hash gates pin bucket results)
+    case LshTables(_, _) if params.lshExactFallback && lshServeExactCheaper =>
+      lshRouteLog(routed = true); exactTopK(qn, topK)
+    case LshTables(_, _) =>
+      if (lshServeExactCheaper) lshRouteLog(routed = false)
+      lshTopK(qn, topK)
     case PqFlat(_, _)   => pqTopK(qn, topK)
     // queries rotate into the fitted basis, then ordinary ADC — the
     // stored codes already live in rotated space
@@ -1736,7 +1806,7 @@ class SearcherModel private[search] (
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
         p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold,
-        p.lshBatchHint, count, dim,
+        p.lshBatchHint, p.lshExactFallback, count, dim,
         // the strategy actually SERVING the factory string — differs from
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
@@ -1744,8 +1814,8 @@ class SearcherModel private[search] (
         searcher.strategy.toString))
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
-        "exactPath", "broadcastThreshold", "lshBatchHint", "count", "dim",
-        "effectiveIndex")
+        "exactPath", "broadcastThreshold", "lshBatchHint", "lshExactFallback",
+        "count", "dim", "effectiveIndex")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

@@ -339,6 +339,49 @@ class SearcherSpec extends SparkSpec {
     m.unpersist(); loaded.unpersist()
   }
 
+  test("degenerate-LSH exact fallback: crossover rule, route, results, persistence") {
+    import SparkSearcher.lshExactCheaper
+    // |Q|-independent crossover (tables · 8× overhead vs 2^bits bucket
+    // shrink); ties go to exact — equal estimated cost, recall 1.0
+    assert(lshExactCheaper(64, 3))   // 512 ≥ 8: the gate config
+    assert(lshExactCheaper(64, 9))   // 512 ≥ 512: the sf100 feasibility-ceiling tie
+    assert(!lshExactCheaper(64, 10)) // 512 < 1024
+    assert(!lshExactCheaper(12, 8))  // 96 < 256: the regression-pin config serves buckets
+
+    val emb = sf("embeddings")
+    def fitLsh(fallback: Boolean) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "LSH64x3",
+          lshExactFallback = fallback)).fit(emb)
+    val q = emb.filter(col("vec_id") < 20)
+    val routed = fitLsh(fallback = true)
+    val res = routed.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    // the served plan is the exact kernel — no bucket-key join anywhere
+    // (the stored __lsh_buckets column may still print in the cached
+    // relation's schema; the ROUTE marker is the exploded join key)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("__bkt"),
+      s"fallback route must not build bucket candidates:\n$plan")
+    // …and bit-identical to the Flat searcher (recall 1.0 by construction)
+    val exact = embModel().search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(res.collect().toSet === exact.collect().toSet)
+    // same config WITHOUT the flag still serves buckets (faiss semantics,
+    // warn-only) — the bucket join is in the plan
+    val warned = fitLsh(fallback = false)
+    val bres = warned.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(bres.queryExecution.executedPlan.toString.contains("__bkt"))
+    // the flag persists: a reloaded model keeps the exact route
+    val path = java.nio.file.Files.createTempDirectory("graft-lshfb").toString
+    routed.save(path)
+    val loaded = SparkSearcher.load(spark, path, new PassthroughEncoder("embedding"))
+    assert(loaded.searcher.params.lshExactFallback)
+    val lres = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(!lres.queryExecution.executedPlan.toString.contains("__bkt"))
+    assert(lres.collect().toSet === exact.collect().toSet)
+    routed.unpersist(); warned.unpersist(); loaded.unpersist()
+  }
+
   test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
     // the shared resolver: ~16-row buckets, floored at 8 bits
     assert(IndexStrategy.resolveBits(Some(6), 1000000L) === 6)
