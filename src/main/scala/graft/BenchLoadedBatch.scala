@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
  * Usage (env knobs as graft.Bench):
  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf100 SPARK_GRAFT_CPUS=32 \
  *     sbt "runMain graft.BenchLoadedBatch IVF0 500"
- * args: [indexParam] [batchSize] — default IVF0 500.
+ * args: [indexParam] [batchSize] [fallback] — default IVF0 500; the
+ * literal third arg "fallback" sets lshExactFallback=true (the r17
+ * degenerate-LSH exact reroute), so the probe measures what a user at
+ * the documented |Q|≥2000 boundary actually gets with the flag on.
  */
 object BenchLoadedBatch {
   def main(args: Array[String]): Unit = {
@@ -25,6 +28,7 @@ object BenchLoadedBatch {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val indexParam = if (args.length > 0) args(0) else "IVF0"
     val batch = if (args.length > 1) args(1).toInt else 500
+    val fallback = args.contains("fallback")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -60,7 +64,7 @@ object BenchLoadedBatch {
       val m = new SparkSearcher(new PassthroughEncoder("embedding"),
         SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
           measurement = "cos", indexParam = indexParam, nprobe = 0,
-          lshBatchHint = batch)).fit(emb)
+          lshBatchHint = batch, lshExactFallback = fallback)).fit(emb)
       val path = java.nio.file.Files.createTempDirectory("graft-loadbatch").toString
       m.save(path)
       m.unpersist()
@@ -82,7 +86,7 @@ object BenchLoadedBatch {
 
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ")
-    println(f"""{"metric":"loaded_batch","index":"$indexParam","batch":$batch,"sf":"$sfDir","control_bm25":$controlSec%.3f,"fit_save_once_sec":$fitSaveSec%.3f,"load_sec":$loadSec%.3f,"first_batch_sec":$firstBatchSec%.3f,"steady_batch_sec":$steadySec%.3f,"ratio_first":${firstBatchSec / controlSec}%.3f,"ratio_steady":${steadySec / controlSec}%.3f,"rows":$n1,"loadavg":"$load"}""")
+    println(f"""{"metric":"loaded_batch","index":"$indexParam","batch":$batch,"fallback":$fallback,"sf":"$sfDir","control_bm25":$controlSec%.3f,"fit_save_once_sec":$fitSaveSec%.3f,"load_sec":$loadSec%.3f,"first_batch_sec":$firstBatchSec%.3f,"steady_batch_sec":$steadySec%.3f,"ratio_first":${firstBatchSec / controlSec}%.3f,"ratio_steady":${steadySec / controlSec}%.3f,"rows":$n1,"loadavg":"$load"}""")
     spark.stop()
   }
 }
