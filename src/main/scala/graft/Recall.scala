@@ -53,6 +53,10 @@ object Recall {
       Cfg("HNSW32 efSearch=16", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 16)),
       Cfg("HNSW32 efSearch=64", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 64)),
       Cfg("HNSW32 efSearch=256", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 256)),
+      // r17 auto (efSearch=0): hold the beam FRACTION per graph
+      // (per-graph rows / 256, floor 64) — the graph dual of IVF's
+      // auto-nprobe; a fixed beam decays as the corpus grows
+      Cfg("HNSW32 efSearch=auto", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 0)),
       Cfg("IVF0(auto) nprobe=1", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 1)),
       Cfg("IVF0(auto) nprobe=4", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 4)),
       Cfg("IVF0(auto) nprobe=16", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 16)),
@@ -76,7 +80,23 @@ object Recall {
       Cfg("PQ8 (byte codes)", "pq", base.copy(indexParam = "PQ8")),
       Cfg("PQ8x4 (nibble codes)", "pq", base.copy(indexParam = "PQ8x4")),
       Cfg("OPQ8,PQ8", "opq", base.copy(indexParam = "OPQ8,PQ8")),
-      Cfg("PQ8,RFlat (refine x4)", "refine", base.copy(indexParam = "PQ8,RFlat")))
+      Cfg("PQ8,RFlat (refine x4)", "refine", base.copy(indexParam = "PQ8,RFlat")),
+      // r17 refineKFactor sweep: the pool knob vs corpus growth — the
+      // fixed ×4 pool decays with n (0.336 recall@10 at 2M); these
+      // points measure what raising the override buys, and what it costs
+      Cfg("PQ8,RFlat (refine x16)", "refine",
+        base.copy(indexParam = "PQ8,RFlat", refineKFactor = 16)),
+      Cfg("PQ8,RFlat (refine x64)", "refine",
+        base.copy(indexParam = "PQ8,RFlat", refineKFactor = 64)),
+      Cfg("PQ8,RFlat (refine x256)", "refine",
+        base.copy(indexParam = "PQ8,RFlat", refineKFactor = 256)))
+      // optional family subset (comma-separated) and name-substring
+      // filters, so a single-config probe at an expensive scale doesn't
+      // pay the whole frontier
+      .filter(c => sys.env.get("SPARK_GRAFT_RECALL_FAMILY")
+        .forall(_.split(",").contains(c.family)))
+      .filter(c => sys.env.get("SPARK_GRAFT_RECALL_NAME")
+        .forall(c.name.contains))
 
     def clearState(): Unit = {
       spark.catalog.clearCache()

@@ -856,6 +856,19 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // refineKFactor override twin (r17): the ×16 pool through the same
+    // two-stage plan — the scale knob RECALL.md recommends (the fixed ×4
+    // pool's recall decays to 0.336 at 2M vectors) is oracle-gated, with
+    // the widened candidate rank reproduced in the SQL
+    "knn_refine_k16" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "PQ8,RFlat", refineKFactor = 16))
+        .fit(items)
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     "knn_pq_cos" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -3259,7 +3272,8 @@ object SparkEntry {
     * k·4 candidates, same tie-breaks as the engine's TopKBuffer), stage 2
     * re-scores candidates with the EXACT cosine over the kept normalized
     * floats ([[graft.search.SparkSearcher.VEC]]) and takes the true top-k. */
-  private def refineOracle(s: SparkSession, dir: String, k: Int): String = {
+  private def refineOracle(s: SparkSession, dir: String, k: Int,
+      kFactor: Int = 4): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = "cos", indexParam = "PQ8,RFlat"))
@@ -3267,7 +3281,7 @@ object SparkEntry {
     val cbs = model.fittedCodebooks.get
     model.unpersist()
     val dsub = cbs(0)(0).length
-    val kf = k * 4
+    val kf = k * kFactor
     s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
        |$normCtes,
        |${pqCodesCte(dsub)},
@@ -3787,6 +3801,7 @@ object SparkEntry {
         "knn_pq_l1" -> (() => pqOracle(s, dir, "l1", 10)),
         "knn_opq_cos" -> (() => opqOracle(s, dir, 10)),
         "knn_refine_cos" -> (() => refineOracle(s, dir, 10)),
+        "knn_refine_k16" -> (() => refineOracle(s, dir, 10, kFactor = 16)),
         "knn_ivfpq_cos" -> (() => ivfPqOracle(s, dir, 10)),
         "knn_sq8_cos" -> (() => sqOracle(s, dir, 10)),
         "knn_sq4_cos" -> (() => sq4Oracle(s, dir, 10)),

@@ -34,7 +34,13 @@ import graft.functions.VectorFunctions.Metric
  * @param nprobe    IVF probes per query (ANN recall knob)
  * @param efSearch  HNSW beam width per graph (graph-ANN recall knob; faiss
  *                  `efSearch`). A value ≥ the per-graph row count makes the
- *                  graph search provably exact (see [[NswGraph]])
+ *                  graph search provably exact (see [[NswGraph]]). 0 = auto:
+ *                  hold the beam FRACTION of each graph (per-graph rows /
+ *                  256, floor 64) — the graph-ANN dual of IVF's auto-nprobe
+ *                  scanned-fraction rule. A FIXED beam decays as the corpus
+ *                  grows (RECALL.md: ef=16 saturates at 20k vectors; ef=64
+ *                  reads 0.901 at 2M where ef=256 reads 0.996); the auto
+ *                  lands ef≈245 at 2M×32 graphs — the certified point
  * @param hnswGraphs number of partition-local NSW graphs; 0 (default) =
  *                  the cluster's default parallelism — graph size is then
  *                  corpus/parallelism, bounded per executor
@@ -88,7 +94,19 @@ final case class SearcherParams(
       * r17 sf100 boundary this automates: LSH at its 64-table
       * feasibility ceiling served a 2000-query batch at 11–14× control
       * vs the exact kernel's 2.7× (BASELINE.md). */
-    lshExactFallback: Boolean = false)
+    lshExactFallback: Boolean = false,
+    /** Refine pool multiplier for the `…,RFlat` stage: the inner
+      * code-based index proposes `topK · refineKFactor` candidates, the
+      * kept float vectors re-rank them exactly. 0 (default) = the
+      * factory default (×4 — faiss-ish). The pool requirement GROWS
+      * with the corpus: quantization noise is scale-free, so the number
+      * of distractors inside the noise band of the true rank-k distance
+      * grows with n — RECALL.md measured PQ8,RFlat@×4 recall@10 decay
+      * 0.817 → 0.635 → 0.336 across sf0.1/sf1/sf100 (2k → 20k → 2M
+      * vectors). This knob is how a user at scale holds recall without
+      * abandoning the compressed scan (the alternative: IVF-auto/HNSW,
+      * RECALL.md guidance); an explicit value persists via save/load. */
+    refineKFactor: Int = 0)
 
 /** Physical access path selected by the faiss-style factory string
   * (faiss_searcher.py:100-107). */
@@ -803,6 +821,17 @@ object SparkSearcher {
   private[search] def lshExactCheaper(tables: Int, bits: Int): Boolean =
     tables * CandidateRowOverhead >= math.pow(2.0, bits)
 
+  /** `efSearch = 0` (auto) resolution: hold the beam FRACTION of each
+    * graph — per-graph rows / 256, floored at the 64 default — instead
+    * of a fixed width that decays as the corpus grows (RECALL.md: ef=64
+    * reads 0.901 recall@10 at 2M vectors; the fraction rule lands ~245
+    * there, the certified ≥0.99 regime). Explicit values pass through
+    * untouched, including the `≥ group size ⇒ exact` escape hatch. */
+  private[search] def resolveEf(efSearch: Int, count: Long, graphs: Int): Int =
+    if (efSearch > 0) efSearch
+    else math.max(SearcherParams().efSearch,
+      math.ceil(count.toDouble / math.max(1, graphs) / 256.0).toInt)
+
   /** Joint `(bits, tables)` auto-config for the SEARCHER's `LSH0` path —
     * the QUERY-SERVING dual of [[graft.dedup.Dedup.autoLshConfig]]. The
     * dedup resolver prices a corpus SELF-join (every row is a query, so
@@ -929,7 +958,8 @@ object SparkSearcher {
       lshBatchHint = lngOr("lshBatchHint", dflt.lshBatchHint).toInt,
       lshExactFallback =
         if (has("lshExactFallback")) kv.getAs[Boolean]("lshExactFallback")
-        else dflt.lshExactFallback)
+        else dflt.lshExactFallback,
+      refineKFactor = lngOr("refineKFactor", dflt.refineKFactor).toInt)
     // construct first: the searcher strips any PCA prefix off indexParam,
     // so every strategy dispatch below sees the inner index
     val searcher = new SparkSearcher(encoder, params)
@@ -1084,6 +1114,23 @@ class SearcherModel private[search] (
     * route; logged either way so the boundary is visible in production. */
   private[search] lazy val lshServeExactCheaper: Boolean = lshPlanes.exists { pl =>
     pl.nonEmpty && SparkSearcher.lshExactCheaper(pl.length, pl(0).length)
+  }
+
+  /** Fitted graph count — `max(__gpart) + 1` over the cached index (one
+    * bounded agg, computed once per model). Derived from the DATA, not
+    * re-estimated from parallelism: a loaded index keeps the graph count
+    * it was fitted with even when the serving cluster differs. */
+  private lazy val hnswGraphCount: Int =
+    indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+
+  /** [[SparkSearcher.resolveEf]] over the fitted state (efSearch=0 ⇒
+    * beam-fraction auto; explicit values untouched). */
+  private[search] def effectiveEf: Int = {
+    val ef = SparkSearcher.resolveEf(params.efSearch, count, hnswGraphCount)
+    if (params.efSearch <= 0)
+      org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
+        s"HNSW auto efSearch: $count rows / $hnswGraphCount graphs -> ef=$ef")
+    ef
   }
 
   private def lshRouteLog(routed: Boolean): Unit = {
@@ -1477,7 +1524,7 @@ class SearcherModel private[search] (
     case ExactFlat      => exactTopK(qn, topK)
     case IvfFlat(_)     => IvfIndex.ivfTopK(this, qn, topK, searcher.effectiveNprobe)
     case HnswGraph(_)   =>
-      NswGraph.topK(indexed, qn, topK, params.efSearch, metric.name, params.metricArg)
+      NswGraph.topK(indexed, qn, topK, effectiveEf, metric.name, params.metricArg)
         .join(broadcast(qn.select(col(QID), col(SourceItem))), QID)
         .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
     // cost-based access-path check runs on EVERY LSH serve (the config
@@ -1510,7 +1557,20 @@ class SearcherModel private[search] (
     // float vectors re-score them EXACTLY, top-k of the exact scores wins.
     // Candidate misses are the only recall loss left — quantization error
     // no longer reorders the final ranking
-    case Refined(inner, kFactor) =>
+    case Refined(inner, kFactor0) =>
+      // params.refineKFactor (>0) overrides the factory ×4 — the pool a
+      // FIXED factor proposes stops covering rank k as the corpus grows
+      // (RECALL.md: 0.336 recall@10 at 2M); warn at the scale where the
+      // measured decay is material so users learn the knob before
+      // production does
+      val kFactor = if (params.refineKFactor > 0) params.refineKFactor
+        else kFactor0
+      if (params.refineKFactor <= 0 && count >= 100000L)
+        org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(
+          s"RFlat refine at the default x$kFactor pool over $count rows: " +
+            "the fixed pool's recall decays with corpus growth " +
+            "(RECALL.md: 0.635 @ 20k, 0.336 @ 2M) — raise " +
+            "SearcherParams.refineKFactor, or serve IVF-auto/HNSW")
       val cand = dispatchTopK(inner, qn, topK * kFactor)
       val exact = cand.select(col(QID), col(ROW_ID))
         .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)
@@ -1806,7 +1866,7 @@ class SearcherModel private[search] (
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
         p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold,
-        p.lshBatchHint, p.lshExactFallback, count, dim,
+        p.lshBatchHint, p.lshExactFallback, p.refineKFactor, count, dim,
         // the strategy actually SERVING the factory string — differs from
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
@@ -1815,7 +1875,7 @@ class SearcherModel private[search] (
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
         "exactPath", "broadcastThreshold", "lshBatchHint", "lshExactFallback",
-        "count", "dim", "effectiveIndex")
+        "refineKFactor", "count", "dim", "effectiveIndex")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

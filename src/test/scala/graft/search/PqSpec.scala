@@ -411,6 +411,44 @@ class PqSpec extends SparkSpec {
     ref.unpersist(); loaded.unpersist(); grown.unpersist()
   }
 
+  test("refineKFactor: pool override honored, recall monotone, exhaustive pool ≡ exact, persists") {
+    val emb = sf("embeddings")
+    val n = emb.count()
+    val q = emb.filter(col("vec_id") < 20)
+    def fitK(kf: Int) = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "PQ8,RFlat", refineKFactor = kf))
+      .fit(emb)
+    def hits(m: SearcherModel) = m.search(q, 10, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "sim_item").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sim_item"))).toSet
+    val exact = hits(new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb))
+    // default (0) ≡ the factory ×4 — the knob's zero value changes nothing
+    val dflt = fitK(0); val x4 = fitK(4)
+    assert(hits(dflt) === hits(x4))
+    // a pool covering the whole corpus makes refine EXACT by construction
+    // (candidates ⊇ corpus, exact re-rank of everything = brute force)
+    val wide = fitK(math.ceil(n / 10.0).toInt + 1)
+    assert(hits(wide) === exact)
+    // recall is monotone in the pool: every kf-pool is a PREFIX of a
+    // larger kf's pool under the same inner ADC ranking
+    def recall(h: Set[(Long, Long)]) = exact.count(h.contains).toDouble / exact.size
+    val r1 = recall(hits(fitK(1))); val r4 = recall(hits(x4))
+    info(f"refine recall@10 — kf=1: $r1%.3f, kf=4: $r4%.3f, exhaustive: 1.000")
+    assert(r1 <= r4 + 1e-12)
+    // the override persists through save/load and serves identically
+    val kf8 = fitK(8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rkf").toString
+    kf8.save(dir)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.searcher.params.refineKFactor === 8)
+    assert(hits(loaded) === hits(kf8))
+    Seq(dflt, x4, wide, kf8, loaded).foreach(_.unpersist())
+  }
+
   test("unsupported scalar quantizers raise — never silently uncompressed") {
     // 'IVF16,SQ6' must NOT fall through to the IVF(16) catch-all and
     // serve exact floats when the caller asked for compression
