@@ -753,6 +753,40 @@ class SearcherSpec extends SparkSpec {
     full.unpersist()
   }
 
+  test("HNSW auto efSearch (0): beam-fraction rule, floor, fitted-graph resolution, persists") {
+    import SparkSearcher.resolveEf
+    assert(resolveEf(16, 2000000L, 32) === 16)  // explicit values untouched
+    assert(resolveEf(0, 2000L, 32) === 64)      // small graphs: the 64 floor
+    assert(resolveEf(0, 2000000L, 32) === 245)  // 62.5k-row graphs → the certified ≥0.99 regime
+    assert(resolveEf(0, 0L, 0) === 64)          // degenerate-safe
+
+    val emb = sf("embeddings")
+    def fitEf(ef: Int) = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW32", efSearch = ef,
+        hnswGraphs = 4)).fit(emb)
+    val auto = fitEf(0)
+    // resolution uses the FITTED graph count (max gpart + 1), not a
+    // parallelism re-estimate — a loaded index keeps its layout
+    assert(auto.effectiveEf === 64)
+    val q = emb.filter(col("vec_id") < 10)
+    def res(m: SearcherModel) = m.search(q, 5, keepRankNo = true,
+        queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item").collect().map(_.toSeq).toSet
+    // auto ≡ its resolved pin — same graphs, same beam, same traversal
+    val pinned = fitEf(64)
+    assert(res(auto) === res(pinned))
+    // efSearch=0 persists: the loaded model stays auto (and re-resolves
+    // from its own fitted graphs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-efauto").toString
+    auto.save(dir)
+    val loaded = SparkSearcher.load(spark, dir, new PassthroughEncoder("embedding"))
+    assert(loaded.searcher.params.efSearch === 0)
+    assert(loaded.effectiveEf === 64)
+    assert(res(loaded) === res(auto))
+    auto.unpersist(); pinned.unpersist(); loaded.unpersist()
+  }
+
   test("HNSW guards: remove() rejects (faiss parity); quantizer suffixes never swallowed") {
     // faiss raises 'remove_ids not implemented' for IndexHNSW — deleting
     // nodes would break the adjacency their neighbors route through
