@@ -1778,6 +1778,53 @@ object SparkEntry {
         .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
         .orderBy("user_id", "start_ns")
     }),
+    // STREAM-STREAM interval join, oracle-gated: two file-source streams
+    // over the same events table (view stream → click stream), inner
+    // join on user within a 10-minute lag window. Watermark + the
+    // event-time range condition bound the symmetric hash join's state
+    // to the horizon, not the stream length; inner matches emit in
+    // append mode as they form, so the final set is the plain batch
+    // interval join DuckDB reproduces directly
+    "q_stream_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s"$dir/events.parquet"
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // layout-agnostic source (the r16 zero-rows fix shape), one stream
+      // per join side
+      def stream() =
+        if (fs.getFileStatus(srcPath).isDirectory)
+          s.readStream.schema(schema).parquet(src)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamingOps.attributeStream(views, clicks,
+              "user_id", "view_ts", "click_ts", maxLagMinutes = 240)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("q_stream_attribution_sink")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination(300000)
+      val inputRows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      require(inputRows > 0,
+        s"q_stream_attribution read zero input rows from $src — source path/layout bug")
+      val out = s.table("q_stream_attribution_sink")
+      out.select(col("user_id"), col("view_id"), col("click_id"),
+          (graft.util.TimeCols.epochNanos(out, "click_ts") -
+            graft.util.TimeCols.epochNanos(out, "view_ts")).as("lag_ns"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
     // pure-SQL surface: engine kernels registered on the session and
     // driven entirely from spark.sql — the cluster-SQL-user experience,
     // gated against the same double-precision formulas in DuckDB
@@ -2746,6 +2793,15 @@ object SparkEntry {
         |SELECT s.user_id, s.start_ns, s.end_ns, s.n_events
         |FROM s JOIN l ON s.user_id = l.user_id AND s.grp < l.mg
         |ORDER BY s.user_id, s.start_ns""".stripMargin.replace("\n", " "),
+    // the stream-stream interval join's inner-match set IS the batch
+    // interval join (inclusive bounds both ends, 4-hour lag window)
+    "q_stream_attribution" ->
+      """SELECT v.user_id, v.event_id view_id, c.event_id click_id,
+        | epoch_ns(c.ts) - epoch_ns(v.ts) lag_ns
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin.replace("\n", " "),
     // sum(BIGINT) is HUGEINT in DuckDB (pandas renders it float) — cast back
     // to BIGINT to match Spark's long sum
     "q_json_extract" ->

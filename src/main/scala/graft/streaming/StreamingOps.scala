@@ -45,6 +45,39 @@ object StreamingOps {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /**
+   * Stream-STREAM event attribution — the canonical two-stream interval
+   * join (left "view" → right "click" on the same key within a lag
+   * window). Both sides are watermarked AND the join carries the
+   * event-time range condition, so Spark's symmetric stream-stream hash
+   * join can EVICT buffered rows the moment they can no longer match:
+   * state ∝ rows inside the (watermark + lag) horizon, not stream
+   * length — the bound that matters at 100 TB. Inner join only, so
+   * matches emit in append mode as they form; the result set is
+   * batching-independent unless input arrives later than the watermark
+   * (unordered file replay shares [[sessionizeBounded]]'s documented
+   * loss bound; ordered production arrival bounds it by the delay).
+   *
+   * The two sides must carry DISJOINT column names apart from `keyCol`
+   * (project/rename before calling); each side's ts column may be
+   * epoch-nanos long or timestamp ([[graft.util.TimeCols]] contract).
+   */
+  def attributeStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, maxLagMinutes: Int = 10,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withColumn("__l_time", eventTimeOf(left, leftTs))
+      .withWatermark("__l_time", watermark)
+    val rr = right.withColumnRenamed(keyCol, "__r_key")
+    val r = rr.withColumn("__r_time", eventTimeOf(rr, rightTs))
+      .withWatermark("__r_time", watermark)
+    l.join(r,
+        col(keyCol) === col("__r_key") &&
+          col("__r_time") >= col("__l_time") &&
+          col("__r_time") <= col("__l_time") +
+            expr(s"INTERVAL $maxLagMinutes MINUTES"))
+      .drop("__r_key", "__l_time", "__r_time")
+  }
+
   /** Input/output rows for stateful sessionization. */
   case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
   case class UserSession(user_id: Long, start_ns: Long, end_ns: Long,

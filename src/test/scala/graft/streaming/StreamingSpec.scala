@@ -58,6 +58,37 @@ class StreamingSpec extends SparkSpec {
       want.map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq)
   }
 
+  test("attributeStream: stream-stream interval join equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    def src() = spark.readStream.schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def shape(df: org.apache.spark.sql.DataFrame, tpe: String,
+        idAs: String, tsAs: String) =
+      df.filter(col("event_type") === tpe).select(col("user_id"),
+        col("event_id").as(idAs), col("ts").as(tsAs))
+    val q = StreamingOps.attributeStream(
+        shape(src(), "view", "view_id", "view_ts"),
+        shape(src(), "click", "click_id", "click_ts"),
+        "user_id", "view_ts", "click_ts", maxLagMinutes = 10)
+      .writeStream.outputMode("append").format("memory").queryName("attr")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "view_id", "click_id")
+        .orderBy("user_id", "view_id", "click_id").collect().toSeq
+    val got = rows(spark.table("attr"))
+    // batch twin: the same operator over batch frames (withWatermark is
+    // a no-op in batch) — the inner interval join is batching-independent
+    val want = rows(StreamingOps.attributeStream(
+      shape(batch, "view", "view_id", "view_ts"),
+      shape(batch, "click", "click_id", "click_ts"),
+      "user_id", "view_ts", "click_ts", maxLagMinutes = 10))
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("sessionize: custom state via flatMapGroupsWithState closes sessions on gaps") {
     val sp = spark
     import sp.implicits._
