@@ -47,22 +47,30 @@ object BenchStreamState {
     def loadavg() = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ")
 
-    def runProbe(name: String, build: org.apache.spark.sql.DataFrame
-        => org.apache.spark.sql.Dataset[_]): Unit = {
+    /** One layout-agnostic file-stream over the events table; callable
+      * more than once so two-stream operators (stream-stream joins) can
+      * build both sides from the same source. */
+    def eventsStream(): org.apache.spark.sql.DataFrame = {
       val src = s"$sfDir/events.parquet"
       val schema = spark.read.parquet(src).schema
       val srcPath = new org.apache.hadoop.fs.Path(src)
       val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val stream =
-        if (fs.getFileStatus(srcPath).isDirectory)
-          spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", maxFiles).parquet(src)
-        else spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", maxFiles)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(new org.apache.hadoop.fs.Path(src).getParent.toString)
+      if (fs.getFileStatus(srcPath).isDirectory)
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFiles).parquet(src)
+      else spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFiles)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(srcPath.getParent.toString)
+    }
+
+    def runProbe(name: String, build: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.Dataset[_]): Unit =
+      runProbeOn(name, () => build(eventsStream()))
+
+    def runProbeOn(name: String, build: () => org.apache.spark.sql.Dataset[_]): Unit = {
       val t0 = System.nanoTime()
-      val q = build(stream).writeStream.outputMode("append")
+      val q = build().writeStream.outputMode("append")
         .format("noop").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(1800000)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -91,6 +99,22 @@ object BenchStreamState {
     runProbe("sessionize_bounded", df =>
       graft.streaming.StreamingOps.sessionizeBounded(toSessions(df),
         gapMinutes = 30, watermarkDelay = "1 hour"))
+
+    // stream-stream interval join (r17): each side buffers only rows
+    // inside the (watermark + lag) eligibility horizon — the probe
+    // measures that buffer directly (and its eviction) at 100M events
+    runProbeOn("attribution_join", () => {
+      def shape(tpe: String, idAs: String, tsAs: String) = {
+        val s = eventsStream()
+        s.filter(col("event_type") === tpe).select(col("user_id"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+      }
+      graft.streaming.StreamingOps.attributeStream(
+        shape("view", "view_id", "view_ts"),
+        shape("click", "click_id", "click_ts"),
+        "user_id", "view_ts", "click_ts", maxLagMinutes = 240,
+        watermark = "30 minutes")
+    })
 
     // standing-query top-k: state O(k) per query, proven flat across batches
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
