@@ -1461,11 +1461,23 @@ class SearcherModel private[search] (
 
     val hits = dispatchTopK(searcher.strategy, qn, topK)
 
-    // payload gather-join (the reference's iloc, faiss_searcher.py:146-147)
+    // payload gather-join (the reference's iloc, faiss_searcher.py:146-147).
+    // The broadcast decision is row-count AND byte guarded: the row
+    // threshold alone is byte-blind — 2M rows of 10 KB documents is a
+    // ~20 GB broadcast that OOMs every executor at exactly the corpus
+    // scale the row check still admits. Bytes come from the CACHED
+    // relation's real stats (the index is persisted + counted at fit),
+    // conservatively: column pruning doesn't shrink non-CBO stats, so
+    // the estimate includes the vector column and errs toward the
+    // shuffle join — correct either way, never an executor OOM.
     val payloadSide = indexed.select(
       (col(ROW_ID) +: col(ITEM) +: payloadCols.map(col)): _*)
+    val payloadBytes =
+      payloadSide.queryExecution.optimizedPlan.stats.sizeInBytes
     val joined = hits.join(
-      if (count <= params.broadcastThreshold) broadcast(payloadSide) else payloadSide,
+      if (count <= params.broadcastThreshold &&
+          payloadBytes <= BigInt(payloadByteCap)) broadcast(payloadSide)
+      else payloadSide,
       ROW_ID)
 
     val base = Seq(
@@ -1617,6 +1629,14 @@ class SearcherModel private[search] (
   private def windowByteCap: Long =
     indexed.sparkSession.conf
       .get("graft.search.windowBroadcastByteCap",
+        SparkSearcher.WindowBroadcastByteCap.toString).toLong
+
+  /** Session-overridable byte cap for the payload gather-join's
+    * broadcast (`graft.search.payloadBroadcastByteCap`) — same 2 GB
+    * default as the window path's cap. */
+  private def payloadByteCap: Long =
+    indexed.sparkSession.conf
+      .get("graft.search.payloadBroadcastByteCap",
         SparkSearcher.WindowBroadcastByteCap.toString).toLong
 
   private def exactTopK(q: DataFrame, topK: Int): DataFrame =

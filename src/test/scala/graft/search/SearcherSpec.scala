@@ -339,6 +339,41 @@ class SearcherSpec extends SparkSpec {
     m.unpersist(); loaded.unpersist()
   }
 
+  test("payload broadcast is byte-guarded: a tiny cap falls back to the shuffle join, same results") {
+    val emb = sf("embeddings")
+    val model = embModel()
+    val q = emb.filter(col("vec_id") < 5)
+    def run() = model.search(q, 3, keepRankNo = true, queryIdCol = Some("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "rank_no", "sim_item", "label")
+        .collect().map(_.toSeq).toSet
+    val want = rows(run())
+    // isolate the ENGINE's hint from Spark's own byte-aware auto
+    // broadcast (10 MB default — at spec scale it would broadcast the
+    // payload side with or without the hint)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the default cap the engine FORCES the broadcast (the
+      // row threshold admits the corpus, cached stats sit under 2 GB)
+      val forced = run()
+      assert(!forced.queryExecution.sparkPlan.toString.contains("SortMergeJoin"))
+      // a 1-byte cap rejects the force by BYTES even though the row
+      // check passes — the scale hole this guards: 2M rows × 10 KB docs
+      // is a ~20 GB broadcast the row threshold alone waves through
+      spark.conf.set("graft.search.payloadBroadcastByteCap", "1")
+      val capped = run()
+      val plan = capped.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"byte-capped payload join must not broadcast:\n$plan")
+      assert(rows(capped) === want)
+      assert(rows(forced) === want)
+    } finally {
+      spark.conf.unset("graft.search.payloadBroadcastByteCap")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    model.unpersist()
+  }
+
   test("degenerate-LSH exact fallback: crossover rule, route, results, persistence") {
     import SparkSearcher.lshExactCheaper
     // |Q|-independent crossover (tables · 8× overhead vs 2^bits bucket
