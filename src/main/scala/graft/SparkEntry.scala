@@ -3329,15 +3329,18 @@ object SparkEntry {
     * re-scores candidates with the EXACT cosine over the kept normalized
     * floats ([[graft.search.SparkSearcher.VEC]]) and takes the true top-k. */
   private def refineOracle(s: SparkSession, dir: String, k: Int,
-      kFactor: Int = 4): String = {
+      kFactor: Int = 0): String = {
     val model = new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = "cos", indexParam = "PQ8,RFlat"))
       .fit(table(s, dir, "embeddings"))
     val cbs = model.fittedCodebooks.get
+    val n = model.count
     model.unpersist()
     val dsub = cbs(0)(0).length
-    val kf = k * kFactor
+    // SAME pool resolution as the engine (0 = scale-aware auto) — the
+    // oracle can never diverge from the served kFactor at any sf
+    val kf = k * graft.search.SparkSearcher.resolveRefineKFactor(kFactor, n)
     s"""WITH cb(s, c, cent) AS (VALUES ${cbValues(cbs)}),
        |$normCtes,
        |${pqCodesCte(dsub)},

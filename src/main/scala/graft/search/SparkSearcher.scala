@@ -97,15 +97,17 @@ final case class SearcherParams(
     lshExactFallback: Boolean = false,
     /** Refine pool multiplier for the `…,RFlat` stage: the inner
       * code-based index proposes `topK · refineKFactor` candidates, the
-      * kept float vectors re-rank them exactly. 0 (default) = the
-      * factory default (×4 — faiss-ish). The pool requirement GROWS
-      * with the corpus: quantization noise is scale-free, so the number
-      * of distractors inside the noise band of the true rank-k distance
-      * grows with n — RECALL.md measured PQ8,RFlat@×4 recall@10 decay
-      * 0.817 → 0.635 → 0.336 across sf0.1/sf1/sf100 (2k → 20k → 2M
-      * vectors). This knob is how a user at scale holds recall without
-      * abandoning the compressed scan (the alternative: IVF-auto/HNSW,
-      * RECALL.md guidance); an explicit value persists via save/load. */
+      * kept float vectors re-rank them exactly. 0 (default) = AUTO —
+      * quadruple the ×4 faiss-ish base per corpus decade above 2k rows
+      * ([[SparkSearcher.resolveRefineKFactor]]). The pool requirement
+      * GROWS with the corpus: quantization noise is scale-free, so the
+      * number of distractors inside the noise band of the true rank-k
+      * distance grows with n — RECALL.md measured the FIXED ×4 pool's
+      * recall@10 decay 0.817 → 0.470 → 0.347 across 2k/200k/2M vectors,
+      * and the auto's operating points at 0.900 (×64 at 200k) / 0.929
+      * (×256 at 2M) with the widened rescore still FASTER than the
+      * exact scan (the ADC byte pass dominates). Explicit values pass
+      * through untouched and persist via save/load. */
     refineKFactor: Int = 0)
 
 /** Physical access path selected by the faiss-style factory string
@@ -831,6 +833,21 @@ object SparkSearcher {
     if (efSearch > 0) efSearch
     else math.max(SearcherParams().efSearch,
       math.ceil(count.toDouble / math.max(1, graphs) / 256.0).toInt)
+
+  /** `refineKFactor = 0` (auto) resolution: quadruple the ×4 base per
+    * corpus decade above 2k rows — `4 · 4^(log10(n/2000))`, floor 4.
+    * Lands on the measured RECALL_r17_refine*.json ladder exactly: ×4
+    * at ≤2k (0.817 recall@10), ×64 at 200k (0.900), ×256 at 2M (0.929,
+    * still searching faster than the exact scan — the ADC byte pass
+    * dominates, the widened float rescore is ~k·kf rows/query). A FIXED
+    * pool decays with n because the distractor count inside the
+    * quantization-noise band of the true rank-k distance grows with n.
+    * Shared by the engine and the gate's oracle builder so the two
+    * can never diverge on the formula. */
+  private[graft] def resolveRefineKFactor(kf: Int, n: Long): Int =
+    if (kf > 0) kf
+    else math.max(4, math.ceil(
+      4.0 * math.pow(4.0, math.log10(math.max(1.0, n / 2000.0)))).toInt)
 
   /** Joint `(bits, tables)` auto-config for the SEARCHER's `LSH0` path —
     * the QUERY-SERVING dual of [[graft.dedup.Dedup.autoLshConfig]]. The
@@ -1569,20 +1586,21 @@ class SearcherModel private[search] (
     // float vectors re-score them EXACTLY, top-k of the exact scores wins.
     // Candidate misses are the only recall loss left — quantization error
     // no longer reorders the final ranking
-    case Refined(inner, kFactor0) =>
-      // params.refineKFactor (>0) overrides the factory ×4 — the pool a
-      // FIXED factor proposes stops covering rank k as the corpus grows
-      // (RECALL.md: 0.336 recall@10 at 2M); warn at the scale where the
-      // measured decay is material so users learn the knob before
-      // production does
-      val kFactor = if (params.refineKFactor > 0) params.refineKFactor
-        else kFactor0
-      if (params.refineKFactor <= 0 && count >= 100000L)
-        org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(
-          s"RFlat refine at the default x$kFactor pool over $count rows: " +
-            "the fixed pool's recall decays with corpus growth " +
-            "(RECALL.md: 0.635 @ 20k, 0.336 @ 2M) — raise " +
-            "SearcherParams.refineKFactor, or serve IVF-auto/HNSW")
+    case Refined(inner, _) =>
+      // refineKFactor = 0 (default) scales the pool with the corpus
+      // (quadruple per decade, the measured ladder — resolveRefineKFactor);
+      // an explicit value passes through, with a warning when it is a
+      // small fixed pool at the scale where the measured decay is
+      // material (RECALL.md: x4 reads 0.470 @ 200k, 0.347 @ 2M)
+      val kFactor = SparkSearcher.resolveRefineKFactor(params.refineKFactor, count)
+      val rlog = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
+      if (params.refineKFactor <= 0)
+        rlog.info(s"RFlat auto pool: $count rows -> kFactor=$kFactor")
+      else if (params.refineKFactor <= 4 && count >= 100000L)
+        rlog.warn(s"RFlat refine pinned at x$kFactor over $count rows: a " +
+          "fixed pool's recall decays with corpus growth (RECALL.md: x4 " +
+          "reads 0.470 @ 200k, 0.347 @ 2M) — set refineKFactor=0 (auto) " +
+          "or raise it, or serve IVF-auto/HNSW")
       val cand = dispatchTopK(inner, qn, topK * kFactor)
       val exact = cand.select(col(QID), col(ROW_ID))
         .join(indexed.select(col(ROW_ID), col(VEC)), ROW_ID)

@@ -426,7 +426,16 @@ class PqSpec extends SparkSpec {
     val exact = hits(new SparkSearcher(new PassthroughEncoder("embedding"),
       SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
         measurement = "cos")).fit(emb))
-    // default (0) ≡ the factory ×4 — the knob's zero value changes nothing
+    // the auto resolution (0): quadruple the ×4 base per corpus decade
+    // above 2k rows — exact at the measured RECALL ladder points
+    import graft.search.SparkSearcher.resolveRefineKFactor
+    assert(resolveRefineKFactor(0, 500L) === 4)
+    assert(resolveRefineKFactor(0, 2000L) === 4)
+    assert(resolveRefineKFactor(0, 200000L) === 64)
+    assert(resolveRefineKFactor(0, 2000000L) === 256)
+    assert(resolveRefineKFactor(8, 2000000L) === 8) // explicit untouched
+    // at the spec corpus the auto lands on ×4 — default ≡ the old fixed
+    // pool at every gate/bench scale (results pinned unchanged)
     val dflt = fitK(0); val x4 = fitK(4)
     assert(hits(dflt) === hits(x4))
     // a pool covering the whole corpus makes refine EXACT by construction
