@@ -100,6 +100,14 @@ object BenchStreamState {
       graft.streaming.StreamingOps.sessionizeBounded(toSessions(df),
         gapMinutes = 30, watermarkDelay = "1 hour"))
 
+    // ingest dedup (dropDuplicatesWithinWatermark): state = distinct
+    // keys within the watermark horizon; user_id at 1.5M lifetime /
+    // bounded active cardinality is the interesting key (event_id would
+    // be all-distinct and measure nothing but the horizon row count)
+    runProbe("dedup_stream", df =>
+      graft.streaming.StreamingOps.dedupStream(df, Seq("user_id"),
+        watermark = "1 hour"))
+
     // stream-stream interval join (r17): each side buffers only rows
     // inside the (watermark + lag) eligibility horizon — the probe
     // measures that buffer directly (and its eviction) at 100M events
