@@ -1162,6 +1162,41 @@ class SearcherModel private[search] (
     org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(msg)
   }
 
+  /** One-row introspection of the FITTED operating point: every auto
+    * the engine resolved, as the values that will actually serve — the
+    * faiss "index properties" analog for ops dashboards and config
+    * review. Family-irrelevant columns are null. Deterministic given
+    * the fitted model (auto resolutions are functions of fitted state
+    * only), so a dashboard diff catches a changed operating point. */
+  def describe: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val eff = IndexStrategy.effective(searcher.strategy)
+    val nprobeRes = centroids.map(c =>
+      IndexStrategy.resolveNprobe(searcher.effectiveNprobe, c.length))
+    val efRes = eff match {
+      case HnswGraph(_) => Some(effectiveEf)
+      case _            => None
+    }
+    val kfRes = searcher.strategy match {
+      case Refined(_, _) =>
+        Some(SparkSearcher.resolveRefineKFactor(params.refineKFactor, count))
+      case _ => None
+    }
+    val (lshT, lshB) = lshPlanes match {
+      case Some(pl) if pl.nonEmpty => (Some(pl.length), Some(pl(0).length))
+      case _                       => (None, None)
+    }
+    Seq((params.indexParam, searcher.strategy.toString, count, dim,
+        nprobeRes, efRes, kfRes, lshT, lshB,
+        if (lshT.isDefined) Some(lshServeExactCheaper) else None,
+        params.measurement, params.metricArg))
+      .toDF("index_param", "effective_index", "count", "dim",
+        "resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
+        "lsh_tables", "lsh_bits", "lsh_exact_cheaper",
+        "measurement", "metric_arg")
+  }
+
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
   def fittedCentroids: Option[Array[Array[Float]]] = centroids
   def fittedLshPlanes: Option[Array[Array[Array[Float]]]] = lshPlanes

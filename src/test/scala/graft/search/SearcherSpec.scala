@@ -339,6 +339,37 @@ class SearcherSpec extends SparkSpec {
     m.unpersist(); loaded.unpersist()
   }
 
+  test("describe: the fitted operating point, resolved autos, family-null columns") {
+    val emb = sf("embeddings")
+    def fit(p: SearcherParams) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        p.copy(itemCol = Some("vec_id"), idCol = Some("vec_id"))).fit(emb)
+    def row(m: SearcherModel) = m.describe.head()
+    // degenerate LSH: tables/bits + the crossover verdict surface
+    val lsh = fit(SearcherParams(measurement = "cos", indexParam = "LSH64x3"))
+    val lr = row(lsh)
+    assert(lr.getAs[Int]("lsh_tables") === 64)
+    assert(lr.getAs[Int]("lsh_bits") === 3)
+    assert(lr.getAs[Boolean]("lsh_exact_cheaper"))
+    assert(lr.isNullAt(lr.fieldIndex("resolved_nprobe")))
+    // HNSW auto: the resolved beam is the value that will serve
+    val hnsw = fit(SearcherParams(measurement = "cos", indexParam = "HNSW32",
+      efSearch = 0, hnswGraphs = 4))
+    assert(row(hnsw).getAs[Int]("resolved_ef_search") === 64)
+    // refine auto: the spec-corpus pool is the ×4 floor
+    val ref = fit(SearcherParams(measurement = "cos", indexParam = "PQ8,RFlat"))
+    assert(row(ref).getAs[Int]("resolved_refine_kfactor") === 4)
+    // exact: family columns all null, identity columns present
+    val flat = fit(SearcherParams(measurement = "cos"))
+    val fr = row(flat)
+    assert(fr.getAs[String]("effective_index") === "ExactFlat")
+    assert(fr.getAs[Long]("count") === emb.count())
+    Seq("resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
+      "lsh_tables", "lsh_bits", "lsh_exact_cheaper")
+      .foreach(c => assert(fr.isNullAt(fr.fieldIndex(c)), c))
+    Seq(lsh, hnsw, ref, flat).foreach(_.unpersist())
+  }
+
   test("payload broadcast is byte-guarded: a tiny cap falls back to the shuffle join, same results") {
     val emb = sf("embeddings")
     val model = embModel()
