@@ -1620,11 +1620,25 @@ object SparkEntry {
       val li = table(s, dir, "lineitem")
       val o = table(s, dir, "orders")
       val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("c_name"))
+      // REDUCING join first: broadcast the filtered dim into orders
+      // BEFORE the big fact shuffle — the BUILDING segment keeps ~1/5 of
+      // customers, so the li⋈o shuffle's build side shrinks 5× (inner
+      // joins commute; the r17 sf100 family probe measured the
+      // li-first order at 5.9× control with 29.5 GB spill — exactly the
+      // join-reorder CBO would make with stats, made structural here)
+      val oc = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // aggregate BELOW the join: revenue sums only lineitem columns and
+      // (o_orderkey, c_name) is functionally determined by the order key,
+      // so the per-orderkey partial sum commutes with the join — the
+      // map-side combine shrinks the fact shuffle 60M → ~15M narrow rows
+      // and the post-join re-agg disappears (one row per key). Decimal
+      // partial sums are associative, so the hash is bit-identical
+      val liAgg = li.groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
+          .cast(DecimalType(24, 4))).as("__rev"))
+      liAgg.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("c_name"),
+          col("__rev").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -1964,8 +1978,14 @@ object SparkEntry {
     // join, which is exactly what the oracle checks. 4 buckets: enough to
     // demonstrate/spread a hot key while halving the build-side
     // replication premium of the 8-bucket round-2 demo
+    // PRUNE BEFORE SALTING: the deterministic salt hashes every input
+    // column, so any width you pass is width the 4×-replicated shuffle
+    // carries — the unpruned shape spilled 51.7 GB at sf100 (r17 family
+    // probe) for a 3-column aggregate
     "q_salted_join" -> ((s, dir) => graft.operators.Relational.saltedEquiJoin(
-      table(s, dir, "lineitem"), table(s, dir, "orders"),
+      table(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
       "l_orderkey", "o_orderkey", saltBuckets = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -2266,15 +2286,20 @@ object SparkEntry {
       }
       // pre-partition ON the bucket hash (repartition(n, key) IS Spark's
       // bucket assignment): each write task then holds exactly one bucket —
-      // 8 files instead of tasks × buckets, one sorted run per task
+      // n files instead of tasks × buckets, one sorted run per task.
+      // Bucket count scales with parallelism (output-invariant): a fixed
+      // 8 means 8 tasks sort the WHOLE fact table however big it grows —
+      // at sf100 that was 7.5M rows/task and 20 GB of sort spill (r17
+      // family probe); at 100 TB it would be the only thing running
+      val buckets = math.max(8, s.sparkContext.defaultParallelism)
       table(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-        .repartition(8, col("l_orderkey"))
+        .repartition(buckets, col("l_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
       table(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-        .repartition(8, col("o_orderkey"))
+        .repartition(buckets, col("o_orderkey"))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
       s.table("li_bucketed").hint("merge")
         .join(s.table("ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))

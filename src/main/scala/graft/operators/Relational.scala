@@ -383,10 +383,25 @@ object Relational {
     // duplicating/dropping rows vs the plain join. Hash the full row content
     // instead — identical rows share a salt, which is harmless (they carry
     // the same join key anyway), and recomputes are stable.
+    // SCALE NOTE: because the salt hashes EVERY input column, column
+    // pruning cannot reach below this operator — select only the columns
+    // you need BEFORE salting, or the 4×-replicated shuffle carries the
+    // full row width (the unpruned q_salted_join gate spilled 51.7 GB at
+    // sf100 for a 3-column aggregate; pruned, the salt still spreads hot
+    // keys — per-row values differ — and the output set is identical).
     val salted = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
+    // Deliberately sort-merge, NOT hint("shuffle_hash"): the hash shape
+    // looks right on paper (the replicated side is the smaller one, and
+    // SMJ sorts 60M big-side rows it never needs ordered — 51.7 GB of
+    // sort spill at sf100), but Spark's shuffled-hash build map cannot
+    // spill, and the r17 A/B measured it OOM-ing ("not enough memory to
+    // build hash map") at exactly the 60M-replicated-rows scale that
+    // motivated it. SMJ's sorts spill gracefully; a salted join exists
+    // for skewed BIG data, so the robust shape wins over the fast-until-
+    // it-dies one.
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
           col(bigKey) === col(smallKey))
