@@ -2277,12 +2277,19 @@ object SparkEntry {
     // (rollup/cube's explicit form), driven through the SQL surface
     "q_grouping_sets" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      // same pre-agg-below-Expand shape as q_cube/q_rollup: the sets all
+      // derive from the (rf, ls) base aggregate, so Expand multiplies ~6
+      // rows instead of the fact table (additive aggregates commute)
       s.sql("""
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus, count(*) n,
+                 sum(CAST(l_quantity AS DECIMAL(20,2))) sq
+          FROM li_gs GROUP BY 1, 2)
         SELECT coalesce(l_returnflag, 'ALL') rf,
                coalesce(l_linestatus, 'ALL') ls,
-               count(*) n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) sum_qty
-        FROM li_gs
+               CAST(sum(n) AS BIGINT) n,
+               CAST(sum(sq) AS DOUBLE) sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         ORDER BY rf, ls""")
     }),
