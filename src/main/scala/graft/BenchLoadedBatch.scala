@@ -26,9 +26,13 @@ object BenchLoadedBatch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val indexParam = if (args.length > 0) args(0) else "IVF0"
-    val batch = if (args.length > 1) args(1).toInt else 500
+    // "fallback" is a flag, not positional — strip it before positional
+    // parsing so `BenchLoadedBatch LSH64x3 fallback` (batch omitted)
+    // gets the 500 default instead of a NumberFormatException
     val fallback = args.contains("fallback")
+    val pos = args.filterNot(_ == "fallback")
+    val indexParam = if (pos.length > 0) pos(0) else "IVF0"
+    val batch = if (pos.length > 1) pos(1).toInt else 500
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

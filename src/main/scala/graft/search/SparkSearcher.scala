@@ -130,9 +130,10 @@ final case class HnswGraph(m: Int) extends IndexStrategy
 final case class OpqPq(m: Int) extends IndexStrategy
 /** faiss `IndexRefineFlat` (factory suffix `,RFlat`): the inner code-based
   * index proposes `k·kFactor` candidates, kept float vectors re-score them
-  * exactly. faiss's `k_factor` defaults to 1 (reorder only); 4 recovers
-  * candidates quantization pushed just past rank k — the usual setting. */
-final case class Refined(inner: IndexStrategy, kFactor: Int) extends IndexStrategy
+  * exactly. The pool width is resolved from `SearcherParams.refineKFactor`
+  * at dispatch (0 = corpus-scaled auto), so the strategy carries only the
+  * inner index — a width here would be dead state that could drift. */
+final case class Refined(inner: IndexStrategy) extends IndexStrategy
 
 object IndexStrategy {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.search.IndexStrategy")
@@ -163,14 +164,14 @@ object IndexStrategy {
     * kernel exists once the floats are dropped). */
   def codesOnly(s: IndexStrategy): Boolean = s match {
     case PqFlat(_, _) | IvfPq(_, _, _) | SqFlat(_) | IvfSq(_, _) | OpqPq(_) => true
-    case Refined(inner, _) => codesOnly(inner)
+    case Refined(inner) => codesOnly(inner)
     case _ => false
   }
 
   /** The strategy whose quantizers/codes drive fit and persistence — a
     * refine wrapper delegates everything except the kept float vectors. */
   def effective(s: IndexStrategy): IndexStrategy = s match {
-    case Refined(inner, _) => inner
+    case Refined(inner) => inner
     case other => other
   }
   /** Parse the reference's index_param. `HNSWm` (the graph ANN faiss
@@ -198,7 +199,7 @@ object IndexStrategy {
         s"index_param '$p': RFlat refine applies once, to a code-based " +
           "index (PQ/SQ/OPQ families) — a float-scoring inner index " +
           "needs no refine, and refine-of-refine is meaningless")
-      Refined(inner, kFactor = 4)
+      Refined(inner)
     case IvfWithPq(n, m, b) => IvfPq(n.toInt, m.toInt, pqWidth(param, b))
     case IvfWithSq(n, b) => IvfSq(n.toInt, sqWidth(param, b))
     case OpqWithPq(mo, mp) =>
@@ -451,11 +452,11 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     // a Refined wrapper fits exactly like its inner strategy but KEEPS the
     // float vectors next to the codes (faiss IndexRefineFlat stores both):
     // memory = floats + codes, search = cheap code scan + exact re-rank
-    val keepVec = strategy match { case Refined(_, _) => true; case _ => false }
+    val keepVec = strategy match { case Refined(_) => true; case _ => false }
     def dropVecUnlessKept(df: DataFrame): DataFrame =
       if (keepVec) df else df.drop(VEC)
     val fitted = IndexStrategy.effective(strategy) match {
-      case Refined(_, _) => throw new IllegalStateException("nested refine")
+      case Refined(_) => throw new IllegalStateException("nested refine")
       case ExactFlat =>
         val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
@@ -664,6 +665,18 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
               f"${graft.dedup.Dedup.lshRecallEstimate(anchor, b, t)}%.3f, " +
               f"~${t.toLong * math.max(1L, n >> math.min(b, 62))}%d " +
               "candidates/query)")
+            // r18: a joint-auto pick can still be degenerate (the cost
+            // model compares LSH configs to each other; at small n or a
+            // low anchor even the best loses to the exact scan). The
+            // fitted model will refuse to serve it ([[SearcherModel
+            // .lshServeExact]]) — say so at fit, where the user tunes
+            if (bitsOpt.isEmpty && SparkSearcher.lshExactCheaper(t, b))
+              lshLog.warn(f"LSH joint-auto: LSH$t%dx$b%d is degenerate " +
+                f"(tables·${SparkSearcher.CandidateRowOverhead}%.0f ≥ " +
+                f"2^bits — candidate verify ≥ the exact scan); serving " +
+                "will route through the exact top-k kernel (recall 1.0). " +
+                "Buckets stay fitted/saved for introspection; an explicit " +
+                s"LSH${t}x$b spelling keeps bucket semantics")
             (t, b)
           }
         // recall advisory (no semantics change): LSH recall loss is
@@ -820,7 +833,7 @@ object SparkSearcher {
     * LSH loses whenever `tables · overhead ≥ 2^bits` (ties go to exact —
     * equal estimated cost at strictly better recall). |Q|-independent,
     * so the route is a property of the fitted index, not the batch. */
-  private[search] def lshExactCheaper(tables: Int, bits: Int): Boolean =
+  private[graft] def lshExactCheaper(tables: Int, bits: Int): Boolean =
     tables * CandidateRowOverhead >= math.pow(2.0, bits)
 
   /** `efSearch = 0` (auto) resolution: hold the beam FRACTION of each
@@ -1133,16 +1146,40 @@ class SearcherModel private[search] (
     pl.nonEmpty && SparkSearcher.lshExactCheaper(pl.length, pl(0).length)
   }
 
+  /** Should LSH serving route through the exact kernel? Two ways in:
+    * the explicit opt-in flag (any spelling), or — r18 — a JOINT-AUTO
+    * config (`LSH`/`LSH0`, no user-written tables or bits) that resolved
+    * degenerate: an auto config carries no faiss bucket-semantics
+    * obligation (nobody wrote the tables×bits that would be served), so
+    * refusing to serve a config the fit's own cost model prices at ≥ an
+    * exact scan is strictly better — same results or better (recall 1.0)
+    * at lower estimated cost. Explicit `LSHtxb` — and `LSH0xb`, where
+    * the user pinned the width — stay bucket-faithful without the flag,
+    * logging the crossover warning as before. Deterministic from fitted
+    * state, so a loaded model routes identically to the fit that saved
+    * it, and the correctness oracle can re-derive the decision. */
+  private[search] lazy val lshServeExact: Boolean = lshServeExactCheaper &&
+    (params.lshExactFallback || (searcher.strategy match {
+      case LshTables(0, None) => true
+      case _                  => false
+    }))
+
   /** Fitted graph count — `max(__gpart) + 1` over the cached index (one
     * bounded agg, computed once per model). Derived from the DATA, not
     * re-estimated from parallelism: a loaded index keeps the graph count
     * it was fitted with even when the serving cluster differs. */
-  private lazy val hnswGraphCount: Int =
-    indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+  private lazy val hnswGraphCount: Int = {
+    // null-safe: max() over an EMPTY fitted index is null — fall back to
+    // one graph instead of an NPE from describe/effectiveEf
+    val row = indexed.agg(max(col(NswGraph.GPART))).head()
+    if (row.isNullAt(0)) 1 else row.getInt(0) + 1
+  }
 
   /** [[SparkSearcher.resolveEf]] over the fitted state (efSearch=0 ⇒
-    * beam-fraction auto; explicit values untouched). */
-  private[search] def effectiveEf: Int = {
+    * beam-fraction auto; explicit values untouched). Lazy: the auto
+    * resolution is a function of fitted state, resolved — and logged —
+    * once per model, not on every search call. */
+  private[search] lazy val effectiveEf: Int = {
     val ef = SparkSearcher.resolveEf(params.efSearch, count, hnswGraphCount)
     if (params.efSearch <= 0)
       org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
@@ -1156,7 +1193,12 @@ class SearcherModel private[search] (
     val msg = f"LSH$t%dx$b%d: estimated candidate verify " +
       f"(tables·n/2^bits at ${SparkSearcher.CandidateRowOverhead}%.0f× a " +
       f"scanned row) ≥ the exact scan — " +
-      (if (routed) "serving through the exact top-k kernel (lshExactFallback)"
+      (if (routed && params.lshExactFallback)
+        "serving through the exact top-k kernel (lshExactFallback)"
+       else if (routed)
+        "auto config refused for serving; routing through the exact " +
+          "top-k kernel (recall 1.0 — an auto spelling carries no bucket " +
+          "obligation)"
        else "set lshExactFallback=true to serve through the exact kernel " +
          "(same or better latency, recall 1.0)")
     org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(msg)
@@ -1179,7 +1221,7 @@ class SearcherModel private[search] (
       case _            => None
     }
     val kfRes = searcher.strategy match {
-      case Refined(_, _) =>
+      case Refined(_) =>
         Some(SparkSearcher.resolveRefineKFactor(params.refineKFactor, count))
       case _ => None
     }
@@ -1190,10 +1232,12 @@ class SearcherModel private[search] (
     Seq((params.indexParam, searcher.strategy.toString, count, dim,
         nprobeRes, efRes, kfRes, lshT, lshB,
         if (lshT.isDefined) Some(lshServeExactCheaper) else None,
+        if (lshT.isDefined) Some(if (lshServeExact) "exact" else "buckets")
+        else None,
         params.measurement, params.metricArg))
       .toDF("index_param", "effective_index", "count", "dim",
         "resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
-        "lsh_tables", "lsh_bits", "lsh_exact_cheaper",
+        "lsh_tables", "lsh_bits", "lsh_exact_cheaper", "lsh_route",
         "measurement", "metric_arg")
   }
 
@@ -1269,7 +1313,7 @@ class SearcherModel private[search] (
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get))
           .drop(VEC)
       // refine wrapper: codes under the fitted quantizers + the floats kept
-      case Refined(inner, _) => inner match {
+      case Refined(inner) => inner match {
         case PqFlat(_, nb) =>
           base.withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), pqCodebooks.get, nb))
         case OpqPq(_) =>
@@ -1435,7 +1479,7 @@ class SearcherModel private[search] (
       // degenerate-config reroute (see dispatchTopK): a range scan has
       // the same candidate economics, and the exact branch below returns
       // a SUPERSET of any bucket-pruned result at lower estimated cost
-      case LshTables(_, _) if params.lshExactFallback && lshServeExactCheaper =>
+      case LshTables(_, _) if lshServeExact =>
         lshRouteLog(routed = true)
         scanBase.select((col(ROW_ID) +: col(ITEM) +: col(VEC) +:
             payloadCols.map(col)): _*)
@@ -1593,9 +1637,10 @@ class SearcherModel private[search] (
         .select(col(QID), col(SourceItem), col(ROW_ID), col(DIST), col(RANK))
     // cost-based access-path check runs on EVERY LSH serve (the config
     // may be degenerate — the 64-table feasibility ceiling); the reroute
-    // itself is opt-in because faiss semantics say the index you built
-    // is the index that serves (and the hash gates pin bucket results)
-    case LshTables(_, _) if params.lshExactFallback && lshServeExactCheaper =>
+    // is automatic for joint-auto spellings (no bucket obligation) and
+    // opt-in for explicit ones, where faiss semantics say the index you
+    // built is the index that serves (the hash gates pin bucket results)
+    case LshTables(_, _) if lshServeExact =>
       lshRouteLog(routed = true); exactTopK(qn, topK)
     case LshTables(_, _) =>
       if (lshServeExactCheaper) lshRouteLog(routed = false)
@@ -1621,7 +1666,7 @@ class SearcherModel private[search] (
     // float vectors re-score them EXACTLY, top-k of the exact scores wins.
     // Candidate misses are the only recall loss left — quantization error
     // no longer reorders the final ranking
-    case Refined(inner, _) =>
+    case Refined(inner) =>
       // refineKFactor = 0 (default) scales the pool with the corpus
       // (quadruple per decade, the measured ladder — resolveRefineKFactor);
       // an explicit value passes through, with a warning when it is a

@@ -208,7 +208,7 @@ class Fp16Spec extends SparkSpec {
     assert(IndexStrategy.parse("SQfp16") === SqFlat(16))
     assert(IndexStrategy.parse("IVF16,SQfp16") === IvfSq(16, 16))
     assert(IndexStrategy.parse("IDMap,SQfp16") === SqFlat(16))
-    assert(IndexStrategy.parse("SQfp16,RFlat") === Refined(SqFlat(16), 4))
+    assert(IndexStrategy.parse("SQfp16,RFlat") === Refined(SqFlat(16)))
     intercept[IllegalArgumentException](IndexStrategy.parse("SQ6"))
     intercept[IllegalArgumentException](IndexStrategy.parse("SQfp8"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF16,SQ6"))

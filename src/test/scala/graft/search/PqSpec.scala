@@ -385,7 +385,7 @@ class PqSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-rflat").toString
     ref.save(dir)
     val loaded = SparkSearcher.load(spark, dir)
-    assert(loaded.searcher.strategy === Refined(PqFlat(8), 4))
+    assert(loaded.searcher.strategy === Refined(PqFlat(8)))
     val after = loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
       .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
     assert(after === before)
@@ -404,7 +404,7 @@ class PqSpec extends SparkSpec {
       col("sim_item").cast("long") === col("vec_id")).count() === 5)
     // refine over OPQ composes; refine over float-storing indexes and
     // refine-of-refine reject AT PARSE (not as a late fit-time error)
-    assert(IndexStrategy.parse("OPQ8,PQ8,RFlat") === Refined(OpqPq(8), 4))
+    assert(IndexStrategy.parse("OPQ8,PQ8,RFlat") === Refined(OpqPq(8)))
     intercept[IllegalArgumentException](IndexStrategy.parse("Flat,RFlat"))
     intercept[IllegalArgumentException](IndexStrategy.parse("IVF8,RFlat"))
     intercept[IllegalArgumentException](IndexStrategy.parse("PQ8,RFlat,RFlat"))
@@ -544,7 +544,7 @@ class PqSpec extends SparkSpec {
     val emb = sf("embeddings")
     val q = emb.filter(col("vec_id") < 5)
     assert(IndexStrategy.parse("IDMap,PQ8x4") === PqFlat(8, 4))
-    assert(IndexStrategy.parse("PQ8x4,RFlat") === Refined(PqFlat(8, 4), 4))
+    assert(IndexStrategy.parse("PQ8x4,RFlat") === Refined(PqFlat(8, 4)))
     // refine over the coarser 4-bit codes: exact re-rank on kept floats —
     // self-retrieval must be PERFECT (true cosine of self = 1.0, maximal)
     val ref = new SparkSearcher(new PassthroughEncoder("embedding"),

@@ -351,7 +351,15 @@ class SearcherSpec extends SparkSpec {
     assert(lr.getAs[Int]("lsh_tables") === 64)
     assert(lr.getAs[Int]("lsh_bits") === 3)
     assert(lr.getAs[Boolean]("lsh_exact_cheaper"))
+    // explicit spelling stays bucket-faithful even though exact is cheaper
+    assert(lr.getAs[String]("lsh_route") === "buckets")
     assert(lr.isNullAt(lr.fieldIndex("resolved_nprobe")))
+    // joint-auto at spec scale resolves degenerate -> the resolver
+    // refuses to serve it: route reads "exact" without the opt-in flag
+    val lshAuto = fit(SearcherParams(measurement = "cos", indexParam = "LSH0"))
+    assert(row(lshAuto).getAs[Boolean]("lsh_exact_cheaper"))
+    assert(row(lshAuto).getAs[String]("lsh_route") === "exact")
+    lshAuto.unpersist()
     // HNSW auto: the resolved beam is the value that will serve
     val hnsw = fit(SearcherParams(measurement = "cos", indexParam = "HNSW32",
       efSearch = 0, hnswGraphs = 4))
@@ -365,7 +373,7 @@ class SearcherSpec extends SparkSpec {
     assert(fr.getAs[String]("effective_index") === "ExactFlat")
     assert(fr.getAs[Long]("count") === emb.count())
     Seq("resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
-      "lsh_tables", "lsh_bits", "lsh_exact_cheaper")
+      "lsh_tables", "lsh_bits", "lsh_exact_cheaper", "lsh_route")
       .foreach(c => assert(fr.isNullAt(fr.fieldIndex(c)), c))
     Seq(lsh, hnsw, ref, flat).foreach(_.unpersist())
   }
@@ -384,18 +392,38 @@ class SearcherSpec extends SparkSpec {
     // payload side with or without the hint)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
+      // assert on the PAYLOAD join specifically (the join keyed on
+      // row_id), not on whole-plan substrings — the search plan carries
+      // other joins (top-k agg paths) whose physical pick is Spark's
+      // business and shifts across versions
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+        ShuffledHashJoinExec, SortMergeJoinExec}
+      def rowIdJoins(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.sparkPlan.collect {
+          case j: SortMergeJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "row_id")) =>
+            ("smj", j: org.apache.spark.sql.execution.SparkPlan)
+          case j: ShuffledHashJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "row_id")) =>
+            ("shj", j)
+          case j: BroadcastHashJoinExec
+            if j.leftKeys.exists(_.references.exists(_.name == "row_id")) =>
+            ("bhj", j)
+        }.map(_._1)
       // under the default cap the engine FORCES the broadcast (the
       // row threshold admits the corpus, cached stats sit under 2 GB)
       val forced = run()
-      assert(!forced.queryExecution.sparkPlan.toString.contains("SortMergeJoin"))
+      val forcedJoins = rowIdJoins(forced)
+      assert(forcedJoins.nonEmpty && forcedJoins.forall(_ == "bhj"),
+        s"forced payload join must broadcast, saw: $forcedJoins")
       // a 1-byte cap rejects the force by BYTES even though the row
       // check passes — the scale hole this guards: 2M rows × 10 KB docs
       // is a ~20 GB broadcast the row threshold alone waves through
       spark.conf.set("graft.search.payloadBroadcastByteCap", "1")
       val capped = run()
-      val plan = capped.queryExecution.sparkPlan.toString
-      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"byte-capped payload join must not broadcast:\n$plan")
+      val cappedJoins = rowIdJoins(capped)
+      assert(cappedJoins.exists(_ != "bhj"),
+        s"byte-capped payload join must not broadcast, saw: $cappedJoins")
       assert(rows(capped) === want)
       assert(rows(forced) === want)
     } finally {
@@ -446,6 +474,38 @@ class SearcherSpec extends SparkSpec {
     assert(!lres.queryExecution.executedPlan.toString.contains("__bkt"))
     assert(lres.collect().toSet === exact.collect().toSet)
     routed.unpersist(); warned.unpersist(); loaded.unpersist()
+  }
+
+  test("joint-auto LSH refuses degenerate configs: exact route without the flag; pinned bits stay bucket-faithful") {
+    val emb = sf("embeddings")
+    def fit(param: String) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = param)).fit(emb)
+    val q = emb.filter(col("vec_id") < 20)
+    // LSH0 at spec scale resolves degenerate (tiny corpus: every bucket
+    // is a big corpus fraction) — the resolver refuses it: exact route
+    // WITHOUT lshExactFallback, results bit-identical to Flat
+    val auto = fit("LSH0")
+    assert(auto.lshServeExact, "joint-auto degenerate config must reroute")
+    val res = auto.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(!res.queryExecution.executedPlan.toString.contains("__bkt"))
+    val exact = embModel().search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(res.collect().toSet === exact.collect().toSet)
+    // the route survives save -> load (deterministic from fitted state)
+    val path = java.nio.file.Files.createTempDirectory("graft-lshauto").toString
+    auto.save(path)
+    val loaded = SparkSearcher.load(spark, path, new PassthroughEncoder("embedding"))
+    assert(loaded.lshServeExact)
+    assert(loaded.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .collect().toSet === exact.collect().toSet)
+    // pinned-width auto (`LSH0x8`): user wrote the bits — bucket-faithful
+    // even when exact is estimated cheaper
+    val pinned = fit("LSH0x8")
+    assert(!pinned.lshServeExact)
+    val pres = pinned.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+    assert(pres.queryExecution.executedPlan.toString.contains("__bkt"))
+    auto.unpersist(); loaded.unpersist(); pinned.unpersist()
   }
 
   test("LSH auto-bits: occupancy formula, fit resolution, explicit width untouched") {
