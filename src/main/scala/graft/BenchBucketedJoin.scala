@@ -81,10 +81,15 @@ object BenchBucketedJoin {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double").as("sum_qty"))
       .orderBy("o_orderpriority")
-    // assert the shape the probe claims: zero exchanges in the join plan
+    // assert the shape the probe claims: zero exchanges BELOW the join —
+    // both sides feed the SMJ straight from the bucketed scans. (The
+    // final 5-group aggregate above the join keeps its one-row-per-task
+    // exchange; that is not what bucketing exists to remove.) The plan
+    // prints top-down, so the join's subtree is everything after its line.
     val plan = joinOnly.queryExecution.executedPlan.toString
-    require(!plan.contains("Exchange"),
-      s"bucketed join plan is not exchange-free:\n$plan")
+    val joinAt = plan.indexOf("SortMergeJoin")
+    require(joinAt >= 0 && !plan.substring(joinAt).contains("Exchange"),
+      s"bucketed join sides are not exchange-free:\n$plan")
     val runs = (1 to joinRuns).map(_ => timed(drain(joinOnly))._2)
     val joinSec = runs.min
     val rows = drain(joinOnly)

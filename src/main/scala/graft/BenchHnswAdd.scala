@@ -46,9 +46,13 @@ object BenchHnswAdd {
     import graft.encoders.PassthroughEncoder
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = emb.count()
-    val cut = (n * (1.0 - addFrac)).toLong
+    // split on the id QUANTILE, not n·frac — scale-generated corpora
+    // spread vec_id over a sparse range (sf100 max id ≈ 1e12 for 2M
+    // rows), so a dense-id cut would select a sliver
+    val cut = emb.stat.approxQuantile("vec_id", Array(1.0 - addFrac), 0.0001).head
     val oldRows = emb.filter(col("vec_id") < cut)
     val newRows = emb.filter(col("vec_id") >= cut)
+    val (nOld, nNew) = (oldRows.count(), newRows.count())
     def params = SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
       measurement = "cos", indexParam = "HNSW32", efSearch = 0)
     def searcher = new SparkSearcher(new PassthroughEncoder("embedding"), params)
@@ -96,7 +100,7 @@ object BenchHnswAdd {
 
     val load = scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       .split(" ").take(3).mkString(" ")
-    println(f"""{"metric":"hnsw_add_vs_refit","sf":"$sfDir","n":$n,"add_fraction":$addFrac,"n_queries":$nQ,"fit90_sec":$fit90Sec%.3f,"load_sec":$loadSec%.3f,"add_sec":$addSec%.3f,"refit_sec":$refitSec%.3f,"grown_recall_at10":$grownRecall%.4f,"refit_recall_at10":$refitRecall%.4f,"grown_search_sec":$grownSearchSec%.3f,"refit_search_sec":$refitSearchSec%.3f,"loadavg":"$load"}""")
+    println(f"""{"metric":"hnsw_add_vs_refit","sf":"$sfDir","n":$n,"n_old":$nOld,"n_new":$nNew,"add_fraction":$addFrac,"n_queries":$nQ,"fit90_sec":$fit90Sec%.3f,"load_sec":$loadSec%.3f,"add_sec":$addSec%.3f,"refit_sec":$refitSec%.3f,"grown_recall_at10":$grownRecall%.4f,"refit_recall_at10":$refitRecall%.4f,"grown_search_sec":$grownSearchSec%.3f,"refit_search_sec":$refitSearchSec%.3f,"loadavg":"$load"}""")
     spark.stop()
   }
 }

@@ -55,20 +55,34 @@ object BenchStreamOrdered {
       events.repartitionByRange(numFiles, col("ts"))
         .sortWithinPartitions("ts")
         .write.mode("overwrite").parquet(ordered)
+      // FileStreamSource replays in MODIFICATION-TIME order, and parallel
+      // write tasks finish in arbitrary order — restamp each part file
+      // with a strictly-increasing mtime in partition-index (= time-range)
+      // order, so the replay order IS the event-time order the probe is
+      // about. (A real deployment gets this for free: files land as time
+      // passes, so arrival mtime tracks event time.)
+      val parts = new java.io.File(ordered).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L)
+      }
     }
 
-    // ground truth: the batch interval join (identical condition)
-    val bv = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"),
-        col("ts").as("view_ts"))
-    val bc = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("__r_key"),
-        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    // ground truth: the batch interval join (identical condition),
+    // type-agnostic via epoch nanos (ts may be long nanos or timestamp)
+    val bv0 = events.filter(col("event_type") === "view")
+    val bv = bv0.select(col("user_id"), col("event_id").as("view_id"),
+      graft.util.TimeCols.epochNanos(bv0, "ts").as("view_tns"))
+    val bc0 = events.filter(col("event_type") === "click")
+    val bc = bc0.select(col("user_id").as("__r_key"),
+      col("event_id").as("click_id"),
+      graft.util.TimeCols.epochNanos(bc0, "ts").as("click_tns"))
     val lagNs = 240L * 60 * 1000000000L
     val (batchMatches, batchSec) = timed(
       bv.join(bc, col("user_id") === col("__r_key") &&
-          col("click_ts") >= col("view_ts") &&
-          col("click_ts") <= col("view_ts") + lagNs)
+          col("click_tns") >= col("view_tns") &&
+          col("click_tns") <= col("view_tns") + lagNs)
         .count())
 
     val schema = events.schema
@@ -92,6 +106,8 @@ object BenchStreamOrdered {
       val sec = (System.nanoTime() - t0) / 1e9
       val prog = q.recentProgress
       q.stop()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        prog.foreach(p => System.err.println(s"[progress] ${p.json}"))
       val rows = spark.table("ordered_attr_sink").count()
       val states = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
       val bytes = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes))

@@ -43,6 +43,29 @@ object SparkEntry {
       .fit(items)
   }
 
+  /** Write `src` as `numFiles` TIME-CONTIGUOUS parquet files whose
+    * modification times increase in event-time order, so a file-source
+    * stream replays them — and thus event time — in ARRIVAL ORDER (what
+    * a production source delivers naturally; FileStreamSource replays in
+    * mtime order, and parallel write tasks otherwise finish arbitrarily).
+    * Under ordered arrival no input row is ever behind the watermark, so
+    * the multi-batch streaming result set equals the batch oracle —
+    * deterministically, independent of where the range sampler puts the
+    * file boundaries. */
+  private def orderedReplayDir(src: DataFrame, tsCol: String,
+      numFiles: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ordrep").toString
+    src.repartitionByRange(numFiles, col(tsCol)).sortWithinPartitions(tsCol)
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val t0 = System.currentTimeMillis() - parts.length * 1000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(t0 + i * 1000L)
+    }
+    dir
+  }
+
   /** k-NN over embeddings: first 10 vec_ids as queries against the full
     * table — the engine's flagship top-K similarity join (reference
     * `search`, faiss_searcher.py:161-169). */
@@ -680,8 +703,10 @@ object SparkEntry {
     // top-k kernel (recall 1.0) and the brute-force batch oracle applies
     // EXACTLY. This automates the r17 sf100 boundary: LSH at its 64-table
     // feasibility ceiling served |Q|=2000 at 11–14× control vs the exact
-    // kernel's 2.7× (BASELINE.md); without the flag the same config only
-    // logs the warning and still serves buckets (knn_lsh_cos et al.)
+    // kernel's 2.7× (BASELINE.md). Without the flag an EXPLICIT spelling
+    // like this one still serves buckets (faiss semantics, warn-only);
+    // since r18 joint-auto spellings reroute on their own
+    // (knn_batch_lsh_auto_reroute)
     "knn_batch_lsh_fallback" -> ((s, dir) => {
       val items = table(s, dir, "embeddings")
       val model = new SparkSearcher(new PassthroughEncoder("embedding"),
@@ -1881,6 +1906,49 @@ object SparkEntry {
         .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
         .orderBy("user_id", "start_ns")
     }),
+    // the MULTI-BATCH regime of the eviction-path sessionizer, gated:
+    // events replayed as 4 time-ordered micro-batches (orderedReplayDir —
+    // production arrival order). Under ordered arrival the emitted set is
+    // batch-count-invariant: every non-last session gap-closes when the
+    // next event arrives (whatever batch it is in), and each user's last
+    // session closes iff its event-time timer (end + gap) trails the
+    // FINAL watermark — the same rule as the single-batch twin, so the
+    // same oracle applies. State is evicted as the watermark advances
+    // mid-stream (the property the operator exists for), which the
+    // single-batch twin never exercises
+    "q_sessionize_stream_bounded_ordered" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val sp = s
+      import sp.implicits._
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val ordered = orderedReplayDir(batch, "ts", numFiles = 4)
+      val stream = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ordered)
+      val events = stream.select(
+        col("user_id").cast("long").as("user_id"),
+        graft.util.TimeCols.epochNanos(stream, "ts").as("ts_ns"),
+        col("value").cast("double").as("value"))
+        .as[graft.streaming.StreamingOps.SessionEvent]
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamingOps.sessionizeBounded(events,
+              gapMinutes = 30, watermarkDelay = "1 hour")
+            .writeStream.outputMode("append").format("memory")
+            .queryName("q_sessionize_stream_bounded_ordered_sink")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination(300000)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(dataBatches == 4,
+        s"q_sessionize_stream_bounded_ordered expected 4 data batches, " +
+          s"got $dataBatches — the multi-batch claim is not being tested")
+      s.table("q_sessionize_stream_bounded_ordered_sink")
+        .select(col("user_id"), col("start_ns"), col("end_ns"), col("n_events"))
+        .orderBy("user_id", "start_ns")
+    }),
     // STREAM-STREAM interval join, oracle-gated: two file-source streams
     // over the same events table (view stream → click stream), inner
     // join on user within a 10-minute lag window. Watermark + the
@@ -1932,6 +2000,49 @@ object SparkEntry {
         s"q_stream_attribution expected single-batch replay, got $dataBatches " +
           "data batches — the batch oracle no longer applies")
       val out = s.table("q_stream_attribution_sink")
+      out.select(col("user_id"), col("view_id"), col("click_id"),
+          (graft.util.TimeCols.epochNanos(out, "click_ts") -
+            graft.util.TimeCols.epochNanos(out, "view_ts")).as("lag_ns"))
+        .orderBy("user_id", "view_id", "click_id")
+    }),
+    // the MULTI-BATCH regime of the stream-stream interval join, gated:
+    // both sides replay the events table as 4 time-ordered micro-batches
+    // (orderedReplayDir — production arrival order). Ordered arrival
+    // means no input row is ever behind the watermark, so the inner-join
+    // match set equals the batch interval join COMPLETELY — the property
+    // BENCH_r18_sf100_streamordered.json measured at parity 1.000000
+    // over 100M rows / 32 batches, here pinned into the correctness gate
+    // (cross-batch matches must survive real mid-stream state eviction,
+    // which the single-batch twin never exercises)
+    "q_stream_attribution_ordered" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val ordered = orderedReplayDir(batch, "ts", numFiles = 4)
+      def stream() = s.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ordered)
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id"),
+          col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val clicks = stream().filter(col("event_type") === "click")
+        .select(col("user_id"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val q =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.StreamingOps.attributeStream(views, clicks,
+              "user_id", "view_ts", "click_ts", maxLagMinutes = 240)
+            .writeStream.outputMode("append").format("memory")
+            .queryName("q_stream_attribution_ordered_sink")
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      q.awaitTermination(300000)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      require(dataBatches == 4,
+        s"q_stream_attribution_ordered expected 4 data batches, got " +
+          s"$dataBatches — the multi-batch claim is not being tested")
+      val out = s.table("q_stream_attribution_ordered_sink")
       out.select(col("user_id"), col("view_id"), col("click_id"),
           (graft.util.TimeCols.epochNanos(out, "click_ts") -
             graft.util.TimeCols.epochNanos(out, "view_ts")).as("lag_ns"))
@@ -2109,10 +2220,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("__cnt"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(24, 4))).as("__rev"))
+      // buildHash="big": the pre-agg bounded the big side to one narrow
+      // row per key, so the per-partition build map is distinct-keys/
+      // partitions (~45 MB at sf100/32 partitions) — dropping BOTH SMJ
+      // sorts (118 s / 36 GB spill → hash probe-only; the r17 OOM was
+      // building the UNBOUNDED 60M replicated side, a different shape)
       graft.operators.Relational.saltedEquiJoin(
         liAgg,
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "l_orderkey", "o_orderkey", saltBuckets = 4)
+        "l_orderkey", "o_orderkey", saltBuckets = 4, buildHash = "big")
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("__cnt")).as("n"),
           sum(col("__rev")).cast("double").as("revenue"))
@@ -2970,9 +3086,37 @@ object SparkEntry {
         |FROM s JOIN l ON s.user_id = l.user_id CROSS JOIN w
         |WHERE s.grp < l.mg OR (s.end_ns // 1000000) + 1800000 < w.wm
         |ORDER BY s.user_id, s.start_ns""".stripMargin.replace("\n", " "),
+    // multi-batch ordered twin: under ordered arrival every event lands
+    // ahead of the watermark (end + gap > wm at update time), so the
+    // timer is always end+gap and the emitted set is batch-count-
+    // invariant — the identical closure rule, the identical oracle
+    "q_sessionize_stream_bounded_ordered" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) tns FROM events),
+        |o AS (SELECT user_id, tns, CASE WHEN tns - lag(tns)
+        |  OVER (PARTITION BY user_id ORDER BY tns) > 1800000000000
+        |  THEN 1 ELSE 0 END brk FROM e),
+        |g AS (SELECT user_id, tns, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY tns ROWS UNBOUNDED PRECEDING) grp FROM o),
+        |s AS (SELECT user_id, grp, min(tns) start_ns, max(tns) end_ns,
+        |  count(*) n_events FROM g GROUP BY 1, 2),
+        |l AS (SELECT user_id, max(grp) mg FROM s GROUP BY 1),
+        |w AS (SELECT max(epoch_ms(ts)) - 3600000 wm FROM events)
+        |SELECT s.user_id, s.start_ns, s.end_ns, s.n_events
+        |FROM s JOIN l ON s.user_id = l.user_id CROSS JOIN w
+        |WHERE s.grp < l.mg OR (s.end_ns // 1000000) + 1800000 < w.wm
+        |ORDER BY s.user_id, s.start_ns""".stripMargin.replace("\n", " "),
     // the stream-stream interval join's inner-match set IS the batch
-    // interval join (inclusive bounds both ends, 4-hour lag window)
+    // interval join (inclusive bounds both ends, 4-hour lag window);
+    // the _ordered twin replays in 4 time-ordered micro-batches, where
+    // ordered arrival makes the same completeness hold (no late drops)
     "q_stream_attribution" ->
+      """SELECT v.user_id, v.event_id view_id, c.event_id click_id,
+        | epoch_ns(c.ts) - epoch_ns(v.ts) lag_ns
+        |FROM events v JOIN events c ON c.user_id = v.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin.replace("\n", " "),
+    "q_stream_attribution_ordered" ->
       """SELECT v.user_id, v.event_id view_id, c.event_id click_id,
         | epoch_ns(c.ts) - epoch_ns(v.ts) lag_ns
         |FROM events v JOIN events c ON c.user_id = v.user_id

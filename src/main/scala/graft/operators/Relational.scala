@@ -375,8 +375,28 @@ object Relational {
       .filter(pmod(rowHash, lit(1000000L)) <
         floor(col("mix_weight") * lit(1000000.0)).cast("long"))
 
+  /** `buildHash` (r18): pick the salted join's physical shape.
+    * - `"none"` (default): sort-merge — the ROBUST shape; SMJ's sorts
+    *   spill gracefully, and a salted join exists for skewed BIG data
+    *   (the r17 A/B measured shuffle-hash OOM-ing — "not enough memory
+    *   to build hash map", the build map cannot spill — when the build
+    *   side was the 60M-row replicated dim).
+    * - `"big"`: shuffled-hash with the build map on the BIG side's
+    *   partitions. Opt-in for callers who have STRUCTURALLY bounded the
+    *   big side first — e.g. pre-aggregated to one row per join key —
+    *   so the per-partition build map is (distinct keys / shuffle
+    *   partitions) narrow rows, not the raw fact stream. This removes
+    *   BOTH sort passes: the ×`saltBuckets`-replicated small side
+    *   streams through probe-only (the r18 q_salted_join gate measured
+    *   118 s / 36 GB sort spill → this shape, at sf100). Size
+    *   `spark.sql.shuffle.partitions` so the build side fits executor
+    *   memory — the build map cannot spill; that is the contract you
+    *   accept for dropping the sorts. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, saltBuckets: Int): DataFrame = {
+      smallKey: String, saltBuckets: Int,
+      buildHash: String = "none"): DataFrame = {
+    require(Set("none", "big").contains(buildHash),
+      s"buildHash must be 'none' (sort-merge) or 'big', got '$buildHash'")
     // Salt MUST be deterministic per row: it is a shuffle/join key, and a
     // nondeterministic source (monotonically_increasing_id, rand) re-assigns
     // salts on fetch-failure recompute or speculative re-execution, silently
@@ -393,7 +413,7 @@ object Relational {
       pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until saltBuckets).map(lit): _*)))
-    // Deliberately sort-merge, NOT hint("shuffle_hash"): the hash shape
+    // Default is sort-merge, NOT hint("shuffle_hash"): the hash shape
     // looks right on paper (the replicated side is the smaller one, and
     // SMJ sorts 60M big-side rows it never needs ordered — 51.7 GB of
     // sort spill at sf100), but Spark's shuffled-hash build map cannot
@@ -401,9 +421,12 @@ object Relational {
     // build hash map") at exactly the 60M-replicated-rows scale that
     // motivated it. SMJ's sorts spill gracefully; a salted join exists
     // for skewed BIG data, so the robust shape wins over the fast-until-
-    // it-dies one.
-    salted.join(replicated,
-        salted("__salt") === replicated("__salt") &&
+    // it-dies one. `buildHash = "big"` (scaladoc above) is the opt-in
+    // for big sides the caller has already bounded per key.
+    val buildSide =
+      if (buildHash == "big") salted.hint("shuffle_hash") else salted
+    buildSide.join(replicated,
+        buildSide("__salt") === replicated("__salt") &&
           col(bigKey) === col(smallKey))
       .drop("__salt")
   }

@@ -90,10 +90,15 @@ final case class SearcherParams(
       * searcher serves such configs through the exact top-k kernel
       * (recall 1.0 ⊇ anything the buckets would return) and logs the
       * decision; without it (default — faiss semantics: the index you
-      * built is the index that serves) it only logs a warning. The
-      * r17 sf100 boundary this automates: LSH at its 64-table
-      * feasibility ceiling served a 2000-query batch at 11–14× control
-      * vs the exact kernel's 2.7× (BASELINE.md). */
+      * built is the index that serves) an EXPLICIT spelling only logs
+      * a warning. JOINT-AUTO spellings (`LSH`/`LSH0`, r18) reroute
+      * regardless of this flag — an auto config carries no bucket
+      * obligation, so the resolver refuses to serve one its own cost
+      * model prices above the exact scan
+      * ([[SearcherModel.lshServeExact]]). The r17 sf100 boundary this
+      * automates: LSH at its 64-table feasibility ceiling served a
+      * 2000-query batch at 11–14× control vs the exact kernel's 2.7×
+      * (BASELINE.md). */
     lshExactFallback: Boolean = false,
     /** Refine pool multiplier for the `…,RFlat` stage: the inner
       * code-based index proposes `topK · refineKFactor` candidates, the

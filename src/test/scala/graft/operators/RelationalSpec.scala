@@ -72,14 +72,33 @@ class RelationalSpec extends SparkSpec {
   test("saltedEquiJoin: output equals the plain join") {
     val li = sf("lineitem").select("l_orderkey", "l_extendedprice")
     val o = sf("orders").select("o_orderkey", "o_orderpriority")
-    val salted = Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 8)
-      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
-        sum("l_extendedprice").as("s"))
-    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
-        sum("l_extendedprice").as("s"))
+    // DECIMAL sum: associative/exact, so the equality check is about the
+    // JOIN's output set, not about double-accumulation order (which
+    // legitimately differs between the SMJ and shuffled-hash shapes)
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy("o_orderpriority").agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(20, 2))).as("s"))
+    val salted = agg(Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 8))
+    val plain = agg(li.join(o, col("l_orderkey") === col("o_orderkey")))
     assert(salted.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(salted).count() === 0)
+    // buildHash="big": same results through the shuffled-hash shape, and
+    // the plan actually IS shuffled-hash with zero sorts below the join
+    // (the whole point of the opt-in: drop both SMJ sort passes when the
+    // caller has bounded the big side per key)
+    val hashed = Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+      8, buildHash = "big")
+    val hplan = hashed.queryExecution.executedPlan.toString
+    assert(hplan.contains("ShuffledHashJoin"), hplan)
+    assert(!hplan.contains("SortMergeJoin"), hplan)
+    val hagg = agg(hashed)
+    assert(hagg.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(hagg).count() === 0)
+    intercept[IllegalArgumentException] {
+      Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 8,
+        buildHash = "small")
+    }
   }
 
   test("prefixSum: exclusive running sum matches the window formulation, across partitions") {
