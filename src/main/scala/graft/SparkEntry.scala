@@ -2234,6 +2234,25 @@ object SparkEntry {
           sum(col("__rev")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     }),
+    // saltBuckets=0 (r18 auto): one key-histogram pass measures the hot
+    // key's row share and sizes the buckets from it — ceil(share · P),
+    // so a worsening hot key gets more slices as it grows and UNIFORM
+    // keys resolve to 1 (salting skipped: no replication paid for skew
+    // that is not there — the fixed 4 above pays a ×4-replicated 60M-row
+    // stream at sf100 as its demo price). Raw lineitem keys here (≤7
+    // rows/key → share ~1e-7 → 1 bucket); the >1-bucket branch is
+    // spec-pinned on a synthetic hot key (RelationalSpec)
+    "q_salted_join_auto" -> ((s, dir) => graft.operators.Relational
+      .saltedEquiJoin(
+        table(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "l_orderkey", "o_orderkey", saltBuckets = 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")),
     // sources/sinks end-to-end: parquet → CSV → JSON → aggregate; every
     // hop re-reads with an explicit schema (no inference drift), and the
     // final numbers must hash-match the straight-parquet oracle
@@ -3494,6 +3513,11 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size < 10 GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", " "),
     "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) n,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", " "),
+    "q_salted_join_auto" ->
       """SELECT o_orderpriority, count(*) n,
         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

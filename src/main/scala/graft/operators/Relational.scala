@@ -392,11 +392,47 @@ object Relational {
     *   `spark.sql.shuffle.partitions` so the build side fits executor
     *   memory — the build map cannot spill; that is the contract you
     *   accept for dropping the sorts. */
+  /** `saltBuckets = 0` (auto) resolution: measure the hot key instead of
+    * guessing a constant. One narrow key-histogram aggregation over the
+    * big side (partial-agg'd, one column) finds the largest key's row
+    * SHARE `s`; salting splits that key into `b` slices of `s/b` each,
+    * so the smallest `b` that caps the largest slice at one partition's
+    * fair share of the work is `ceil(s · P)` (P = shuffle partitions),
+    * clamped to [1, P] — more than P slices cannot spread further than P
+    * tasks. Uniform keys resolve to 1 = salting is a no-op (the honest
+    * answer: a fixed bucket count on uniform data pays replication for
+    * nothing — the r18 gate's fixed 4 costs a ×4 replicated 60M-row sort
+    * stream at sf100 that an auto would have skipped). A FIXED bucket
+    * count is scale-blind in both directions: too few buckets under-split
+    * a worsening hot key, too many multiply the replicated side as the
+    * dim grows. */
+  private[graft] def resolveSaltBuckets(big: DataFrame, bigKey: String): Int = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val row = big.groupBy(col(bigKey))
+      .agg(fcount(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__max"), sum(col("__n")).as("__total"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) return 1
+    val share = row.getLong(0).toDouble / row.getLong(1)
+    val p = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(p, math.ceil(share * p).toInt))
+  }
+
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int,
       buildHash: String = "none"): DataFrame = {
     require(Set("none", "big").contains(buildHash),
       s"buildHash must be 'none' (sort-merge) or 'big', got '$buildHash'")
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
+    val buckets =
+      if (saltBuckets > 0) saltBuckets
+      else {
+        val b = resolveSaltBuckets(big, bigKey)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.Relational").info(
+          s"saltedEquiJoin auto: hot-key histogram over '$bigKey' -> " +
+            s"$b salt bucket(s)" + (if (b == 1) " (uniform keys: salting skipped)" else ""))
+        b
+      }
     // Salt MUST be deterministic per row: it is a shuffle/join key, and a
     // nondeterministic source (monotonically_increasing_id, rand) re-assigns
     // salts on fetch-failure recompute or speculative re-execution, silently
@@ -410,9 +446,9 @@ object Relational {
     // sf100 for a 3-column aggregate; pruned, the salt still spreads hot
     // keys — per-row values differ — and the output set is identical).
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
-      explode(array((0 until saltBuckets).map(lit): _*)))
+      explode(array((0 until buckets).map(lit): _*)))
     // Default is sort-merge, NOT hint("shuffle_hash"): the hash shape
     // looks right on paper (the replicated side is the smaller one, and
     // SMJ sorts 60M big-side rows it never needs ordered — 51.7 GB of

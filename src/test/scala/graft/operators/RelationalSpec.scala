@@ -101,6 +101,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("saltedEquiJoin auto buckets: sized from the measured hot-key share; uniform keys skip salting") {
+    val sp = spark
+    import sp.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // synthetic hot key: key 0 holds half the rows -> ceil(0.5 * P) slices
+    val hot = ((1 to 500).map(_ => (0L, 1.0)) ++
+      (1 to 500).map(i => (i.toLong, 1.0))).toDF("k", "v")
+    assert(Relational.resolveSaltBuckets(hot, "k") ===
+      math.max(1, math.min(p, math.ceil(0.5 * p).toInt)))
+    // uniform keys: share ~ 1/n -> 1 bucket, salting becomes a no-op
+    val uni = (1L to 1000L).map(i => (i, 1.0)).toDF("k", "v")
+    assert(Relational.resolveSaltBuckets(uni, "k") === 1)
+    // empty big side: defined (1), not an NPE
+    assert(Relational.resolveSaltBuckets(uni.filter(col("k") < 0), "k") === 1)
+    // the auto path's OUTPUT equals the plain join either way
+    val dim = (0L to 1000L).map(i => (i, s"d$i")).toDF("dk", "name")
+    val plain = hot.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+    val auto = Relational.saltedEquiJoin(hot, dim, "k", "dk", saltBuckets = 0)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+    assert(auto.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(auto).count() === 0)
+  }
+
   test("prefixSum: exclusive running sum matches the window formulation, across partitions") {
     val sp = spark
     import sp.implicits._
