@@ -52,18 +52,28 @@ object SparkEntry {
     * the multi-batch streaming result set equals the batch oracle —
     * deterministically, independent of where the range sampler puts the
     * file boundaries. */
+  private val orderedDirCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
+
   private def orderedReplayDir(src: DataFrame, tsCol: String,
       numFiles: Int): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ordrep").toString
-    src.repartitionByRange(numFiles, col(tsCol)).sortWithinPartitions(tsCol)
-      .write.mode("overwrite").parquet(dir)
-    val parts = new java.io.File(dir).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val t0 = System.currentTimeMillis() - parts.length * 1000L
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(t0 + i * 1000L)
-    }
-    dir
+    // memoized per (source, ts, files) within the process: the ordered
+    // twin gates replay the SAME input artifact, so the sort+write is
+    // paid once per bench/verify run, not once per gate. Content is a
+    // pure function of the key, so sharing cannot couple gate results.
+    val key = (src.queryExecution.analyzed.canonicalized.toString, tsCol, numFiles)
+    orderedDirCache.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ordrep").toString
+      src.repartitionByRange(numFiles, col(tsCol)).sortWithinPartitions(tsCol)
+        .write.mode("overwrite").parquet(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 1000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(t0 + i * 1000L)
+      }
+      dir
+    })
   }
 
   /** k-NN over embeddings: first 10 vec_ids as queries against the full

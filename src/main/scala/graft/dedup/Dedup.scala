@@ -1841,8 +1841,14 @@ object Dedup {
 
   /**
    * Embedding near-duplicate pairs: all pairs with cosine ≥ threshold.
-   * Brute version is a broadcast self-join (verification / small corpora);
-   * at scale route through [[graft.search.IvfIndex]] cells first.
+   * Brute version is a broadcast self-join — QUADRATIC BY CONTRACT
+   * (n²/2 cosine evaluations; the r18 sf10 sweep measured 762 s at 200k
+   * vectors, CPU-saturated — ~258× the scan control, and 100× that again
+   * at 2M). It exists as the exact verification baseline for small
+   * corpora and the recall oracle for the scale paths; at scale route
+   * through [[embeddingNearDupsBlocked]] (auto-nlist: 2.7× control at
+   * sf10) or [[embeddingNearDupsLsh]] (auto-bits: 0.7×), which replace
+   * the all-pairs stream with cell/bucket-local candidates.
    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
