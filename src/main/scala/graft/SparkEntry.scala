@@ -2249,20 +2249,26 @@ object SparkEntry {
     // so a worsening hot key gets more slices as it grows and UNIFORM
     // keys resolve to 1 (salting skipped: no replication paid for skew
     // that is not there — the fixed 4 above pays a ×4-replicated 60M-row
-    // stream at sf100 as its demo price). Raw lineitem keys here (≤7
-    // rows/key → share ~1e-7 → 1 bucket); the >1-bucket branch is
-    // spec-pinned on a synthetic hot key (RelationalSpec)
-    "q_salted_join_auto" -> ((s, dir) => graft.operators.Relational
-      .saltedEquiJoin(
-        table(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice", "l_discount"),
+    // stream at sf100 as its demo price). Same pre-agg'd big side as the
+    // fixed gate (one row per key → trivially uniform → 1 bucket), SMJ
+    // default — so the pair covers (fixed, hash-build) and (auto, SMJ);
+    // the >1-bucket branch is spec-pinned on a synthetic hot key
+    // (RelationalSpec)
+    "q_salted_join_auto" -> ((s, dir) => {
+      val liAgg = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__cnt"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(24, 4))).as("__rev"))
+      graft.operators.Relational.saltedEquiJoin(
+        liAgg,
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
         "l_orderkey", "o_orderkey", saltBuckets = 0)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast(DecimalType(24, 4))).cast("double").as("revenue"))
-      .orderBy("o_orderpriority")),
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("__cnt")).as("n"),
+          sum(col("__rev")).cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
     // sources/sinks end-to-end: parquet → CSV → JSON → aggregate; every
     // hop re-reads with an explicit schema (no inference drift), and the
     // final numbers must hash-match the straight-parquet oracle
