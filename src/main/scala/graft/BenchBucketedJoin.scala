@@ -84,12 +84,23 @@ object BenchBucketedJoin {
     // assert the shape the probe claims: zero exchanges BELOW the join —
     // both sides feed the SMJ straight from the bucketed scans. (The
     // final 5-group aggregate above the join keeps its one-row-per-task
-    // exchange; that is not what bucketing exists to remove.) The plan
-    // prints top-down, so the join's subtree is everything after its line.
-    val plan = joinOnly.queryExecution.executedPlan.toString
-    val joinAt = plan.indexOf("SortMergeJoin")
-    require(joinAt >= 0 && !plan.substring(joinAt).contains("Exchange"),
-      s"bucketed join sides are not exchange-free:\n$plan")
+    // exchange; that is not what bucketing exists to remove.) Collected
+    // off the physical NODES, not plan-string layout (ADVICE r18: the
+    // substring scan depended on top-down print order and could
+    // false-trip on AQE/ReusedExchange spellings) — same refactor as
+    // SearcherSpec's rowIdJoins.
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.Exchange
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val plan = joinOnly.queryExecution.executedPlan
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      def exchanges(p: SparkPlan): Seq[Exchange] =
+        p.collect { case e: Exchange => e }
+      require(smjs.nonEmpty &&
+          smjs.forall(j => j.children.forall(c => exchanges(c).isEmpty)),
+        s"bucketed join sides are not exchange-free:\n$plan")
+    }
     val runs = (1 to joinRuns).map(_ => timed(drain(joinOnly))._2)
     val joinSec = runs.min
     val rows = drain(joinOnly)

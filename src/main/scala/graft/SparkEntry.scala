@@ -55,24 +55,37 @@ object SparkEntry {
   private val orderedDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
-  private def orderedReplayDir(src: DataFrame, tsCol: String,
+  private def orderedReplayDir(s: SparkSession, srcPath: String, tsCol: String,
       numFiles: Int): String = {
-    // memoized per (source, ts, files) within the process: the ordered
-    // twin gates replay the SAME input artifact, so the sort+write is
-    // paid once per bench/verify run, not once per gate. Content is a
-    // pure function of the key, so sharing cannot couple gate results.
-    val key = (src.queryExecution.analyzed.canonicalized.toString, tsCol, numFiles)
+    // memoized per (source PATH, ts, files) within the process: the
+    // ordered twin gates replay the SAME input artifact, so the sort+write
+    // is paid once per bench/verify run, not once per gate. The key is the
+    // concrete input path — known at every call site — not a plan string,
+    // which Spark TRUNCATES (maxToStringFields/maxPlanStringLength): two
+    // distinct sources could otherwise collide past the truncation point
+    // and silently share a replay dir. Content is a pure function of the
+    // key, so sharing cannot couple gate results.
+    val key = (srcPath, tsCol, numFiles)
     orderedDirCache.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-ordrep").toString
-      src.repartitionByRange(numFiles, col(tsCol)).sortWithinPartitions(tsCol)
-        .write.mode("overwrite").parquet(dir)
-      val parts = new java.io.File(dir).listFiles()
+      val dir = java.nio.file.Files.createTempDirectory("graft-ordrep")
+      // temp replay dirs are process-scoped scratch: delete them on JVM
+      // exit (recursive — deleteOnExit alone cannot remove a non-empty dir)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      s.read.parquet(srcPath)
+        .repartitionByRange(numFiles, col(tsCol)).sortWithinPartitions(tsCol)
+        .write.mode("overwrite").parquet(dir.toString)
+      val parts = dir.toFile.listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
       val t0 = System.currentTimeMillis() - parts.length * 1000L
       parts.zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(t0 + i * 1000L)
       }
-      dir
+      dir.toString
     })
   }
 
@@ -1931,7 +1944,7 @@ object SparkEntry {
       val sp = s
       import sp.implicits._
       val batch = s.read.parquet(s"$dir/events.parquet")
-      val ordered = orderedReplayDir(batch, "ts", numFiles = 4)
+      val ordered = orderedReplayDir(s, s"$dir/events.parquet", "ts", numFiles = 4)
       val stream = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(ordered)
       val events = stream.select(
@@ -2027,7 +2040,7 @@ object SparkEntry {
     "q_stream_attribution_ordered" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val batch = s.read.parquet(s"$dir/events.parquet")
-      val ordered = orderedReplayDir(batch, "ts", numFiles = 4)
+      val ordered = orderedReplayDir(s, s"$dir/events.parquet", "ts", numFiles = 4)
       def stream() = s.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1").parquet(ordered)
       val views = stream().filter(col("event_type") === "view")
@@ -2244,26 +2257,31 @@ object SparkEntry {
           sum(col("__rev")).cast("double").as("revenue"))
         .orderBy("o_orderpriority")
     }),
-    // saltBuckets=0 (r18 auto): one key-histogram pass measures the hot
-    // key's row share and sizes the buckets from it — ceil(share · P),
-    // so a worsening hot key gets more slices as it grows and UNIFORM
-    // keys resolve to 1 (salting skipped: no replication paid for skew
-    // that is not there — the fixed 4 above pays a ×4-replicated 60M-row
-    // stream at sf100 as its demo price). Same pre-agg'd big side as the
-    // fixed gate (one row per key → trivially uniform → 1 bucket), SMJ
-    // default — so the pair covers (fixed, hash-build) and (auto, SMJ);
-    // the >1-bucket branch is spec-pinned on a synthetic hot key
-    // (RelationalSpec)
+    // auto buckets, COMBINED shape (r19): the bucket count is derived
+    // from the caller's OWN pre-agg — one narrow aggregation over the
+    // pinned one-row-per-key frame (resolveSaltBucketsFromPreAgg) instead
+    // of the internal key histogram that re-executed the 60M-row groupBy
+    // per call at sf100 — and the join takes the hash-build shape on the
+    // bounded side. One-row-per-key ⇒ share 1/N ⇒ 1 bucket (salting
+    // honestly skipped: the skew was absorbed by the pre-agg), so the
+    // plan is a plain shuffled-hash join whose build map is exactly
+    // distinct-keys/partitions. The pin makes measurement + join share
+    // ONE lineitem scan; the entry is plan-keyed, so repeated runs reuse
+    // it. The >1-bucket auto branch and the internal saltBuckets=0
+    // histogram stay spec-pinned on a synthetic hot key (RelationalSpec)
     "q_salted_join_auto" -> ((s, dir) => {
       val liAgg = table(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("__cnt"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast(DecimalType(24, 4))).as("__rev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = graft.operators.Relational
+        .resolveSaltBucketsFromPreAgg(liAgg, "__cnt")
       graft.operators.Relational.saltedEquiJoin(
         liAgg,
         table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        "l_orderkey", "o_orderkey", saltBuckets = 0)
+        "l_orderkey", "o_orderkey", saltBuckets = b, buildHash = "big")
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("__cnt")).as("n"),
           sum(col("__rev")).cast("double").as("revenue"))

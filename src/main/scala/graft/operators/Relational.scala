@@ -265,7 +265,7 @@ object Relational {
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      else shufflePartitions(spark)
     val w = col(weightCol).cast("long")
     val arranged = df
       .withColumn("__w", coalesce(w, lit(0L)))
@@ -391,7 +391,9 @@ object Relational {
     *   118 s / 36 GB sort spill → this shape, at sf100). Size
     *   `spark.sql.shuffle.partitions` so the build side fits executor
     *   memory — the build map cannot spill; that is the contract you
-    *   accept for dropping the sorts. */
+    *   accept for dropping the sorts. r19: the contract is byte-GUARDED
+    *   at runtime (`buildBudgetBytes`) — an unbounded build side falls
+    *   back to sort-merge instead of OOMing. */
   /** `saltBuckets = 0` (auto) resolution: measure the hot key instead of
     * guessing a constant. One narrow key-histogram aggregation over the
     * big side (partial-agg'd, one column) finds the largest key's row
@@ -414,21 +416,90 @@ object Relational {
       .head()
     if (row.isNullAt(0) || row.getLong(1) == 0L) return 1
     val share = row.getLong(0).toDouble / row.getLong(1)
-    val p = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val p = shufflePartitions(big.sparkSession)
     math.max(1, math.min(p, math.ceil(share * p).toInt))
   }
 
+  /** Auto salt buckets derived from a caller-supplied per-key
+    * PRE-AGGREGATION of the side to be salted — the no-extra-scan twin of
+    * [[resolveSaltBuckets]]. The aggregate-below-the-join pattern
+    * (q_salted_join) materializes one row per join key, with a per-key
+    * row count, IMMEDIATELY upstream of the salted join; that frame IS
+    * the side being salted, so its hot-key share is `1/N` by construction
+    * (every key holds exactly one row) and the raw skew it absorbed reads
+    * off the count column — both from ONE narrow aggregation over the
+    * pre-agg, instead of re-running a corpus-wide key histogram over a
+    * plan that will execute AGAIN for the join. Persist the pre-agg
+    * before calling when the same frame feeds the join, so measurement
+    * and join share a single computation.
+    */
+  private[graft] def resolveSaltBucketsFromPreAgg(preAgg: DataFrame,
+      countCol: String): Int = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val r = preAgg.agg(fcount(lit(1)).as("__n"),
+      max(col(countCol).cast("long")).as("__hot"),
+      sum(col(countCol).cast("long")).as("__tot")).head()
+    if (r.getLong(0) == 0L) return 1
+    val n = r.getLong(0)
+    val absorbed = if (!r.isNullAt(2) && r.getLong(2) > 0L)
+      r.getLong(1).toDouble / r.getLong(2) else 0.0
+    val p = shufflePartitions(preAgg.sparkSession)
+    val b = math.max(1, math.min(p, math.ceil(p.toDouble / n).toInt))
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Relational").info(
+      f"saltedEquiJoin auto (from pre-agg): $n one-per-key rows " +
+        f"(salted-side share 1/$n; absorbed raw hot-key share " +
+        f"$absorbed%.6f) -> $b salt bucket(s)")
+    b
+  }
+
+  /** `spark.sql.shuffle.partitions` as an Int, tolerating non-numeric
+    * values (e.g. "auto" on AQE-managed deployments) by falling back to
+    * the cluster's default parallelism. With AQE coalescing the static
+    * setting is an UPPER BOUND on the real post-shuffle task count —
+    * the conservative direction for salt-bucket sizing (more slices than
+    * tasks spreads no further, but never under-splits a hot key). */
+  private[graft] def shufflePartitions(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
+  /** `buildBudgetBytes` (r19): per-partition byte budget for the
+    * `buildHash = "big"` build map. The shuffled-hash build map CANNOT
+    * spill (the exact OOM the r17 A/B measured when the build side was
+    * the 60M-row replicated dim), so before applying the hint the build
+    * side's bytes are estimated from the plan's stats — the same pattern
+    * as the payload gather-join's byte-guarded broadcast — and the join
+    * falls back to sort-merge (warn logged) above the budget. The
+    * estimate errs in the safe direction: non-CBO stats don't shrink
+    * through aggregates, so a genuinely bounded build side can read
+    * large and take the always-correct SMJ shape, but an unbounded one
+    * can never take the cannot-spill shape. Raise the budget explicitly
+    * for a side you have measured to fit executor memory. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
       smallKey: String, saltBuckets: Int,
-      buildHash: String = "none"): DataFrame = {
+      buildHash: String = "none",
+      buildBudgetBytes: Long = 1L << 30): DataFrame = {
     require(Set("none", "big").contains(buildHash),
       s"buildHash must be 'none' (sort-merge) or 'big', got '$buildHash'")
     require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
+    val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Relational")
     val buckets =
       if (saltBuckets > 0) saltBuckets
       else {
+        // the histogram is an EAGER job, and the join returned below
+        // recomputes `big` from scratch — pin the frame across both
+        // (MEMORY_AND_DISK, evictable) so measurement + join share ONE
+        // computation of what can be a corpus-scale pre-aggregation (at
+        // sf100 the unpinned auto gate executed a 60M-row groupBy twice
+        // per run). The pin is keyed by plan, so repeated calls reuse one
+        // cache entry; callers who want the blocks back call
+        // `big.unpersist()` after consuming the join, and callers who
+        // already HOLD a per-key pre-agg pass
+        // [[resolveSaltBucketsFromPreAgg]]'s result as an explicit bucket
+        // count to skip this measurement scan entirely.
+        big.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val b = resolveSaltBuckets(big, bigKey)
-        org.slf4j.LoggerFactory.getLogger("graft.operators.Relational").info(
+        log.info(
           s"saltedEquiJoin auto: hot-key histogram over '$bigKey' -> " +
             s"$b salt bucket(s)" + (if (b == 1) " (uniform keys: salting skipped)" else ""))
         b
@@ -460,7 +531,19 @@ object Relational {
     // it-dies one. `buildHash = "big"` (scaladoc above) is the opt-in
     // for big sides the caller has already bounded per key.
     val buildSide =
-      if (buildHash == "big") salted.hint("shuffle_hash") else salted
+      if (buildHash == "big") {
+        val statBytes = salted.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perPart = statBytes /
+          BigInt(math.max(1, shufflePartitions(big.sparkSession)))
+        if (perPart <= BigInt(buildBudgetBytes)) salted.hint("shuffle_hash")
+        else {
+          log.warn(s"saltedEquiJoin buildHash='big': estimated per-partition " +
+            s"build bytes $perPart > budget $buildBudgetBytes — the hash " +
+            "build map cannot spill; falling back to sort-merge (pass a " +
+            "larger buildBudgetBytes for a side measured to fit executor memory)")
+          salted
+        }
+      } else salted
     buildSide.join(replicated,
         buildSide("__salt") === replicated("__salt") &&
           col(bigKey) === col(smallKey))

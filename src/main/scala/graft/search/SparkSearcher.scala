@@ -1085,10 +1085,26 @@ object SparkSearcher {
       // load sees a plain affine projection either way
       graft.whitening.VecsWhiteningModel.load(spark, s"$path/pca", Some(nc))
     }
-    new SearcherModel(searcher,
+    val model = new SearcherModel(searcher,
       indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids,
       planes, cbooks, sqB, rot, pca)
+    // migration notice (r19, ADVICE): a save without formatVersion
+    // predates the joint-auto LSH degenerate reroute — if this load's
+    // deterministic route now serves through the exact kernel, the model
+    // returns a recall-1.0 SUPERSET of the bucket serving it was saved
+    // under. Same contract, better recall, but an existing artifact's
+    // behavior change deserves an explicit line, not silence.
+    if (!has("formatVersion") && model.lshServeExact)
+      org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(
+        s"index load: pre-r19 LSH model at $path resolves to the exact-scan " +
+          "serving route under the joint-auto degenerate check (its config " +
+          "prices at >= an exact scan); results are a recall-1.0 superset " +
+          "of the bucket serving this artifact was saved with")
+    model
   }
+
+  /** Serving-format version stamped into params.json at save (r19). */
+  private[search] val FormatVersion = 19L
 
   private[search] val ITEM = "__item"
   private[search] val ITEM_SAVED = "item"
@@ -1386,8 +1402,62 @@ class SearcherModel private[search] (
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = combined.count()
     indexed.unpersist()
+    // segment-growth trigger (r19): repeated HNSW add() accumulates
+    // fresh segment graphs, and per-graph beam economics degrade as the
+    // segment share grows (every graph is searched at the full beam, so
+    // cost scales with graph COUNT while each appended graph holds only
+    // its slice). One bounded agg over the cached union measures the
+    // split; once segment rows exceed the fitted corpus the guidance is
+    // logged: compact() (one graph rebuild) restores the fitted layout.
+    searcher.strategy match {
+      case HnswGraph(_) =>
+        val g0 = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
+          else spark.sparkContext.defaultParallelism)
+        val fittedRows = combined
+          .filter(col(NswGraph.GPART) < g0).count()
+        if (n - fittedRows > fittedRows)
+          org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(
+            s"HNSW add: segment graphs now hold ${n - fittedRows} rows vs " +
+              s"$fittedRows fitted — growth exceeded the fitted corpus; " +
+              "per-graph beam economics degrade from here (each graph is " +
+              "searched at the full beam). Call compact() to rebuild into " +
+              s"the fitted $g0-graph layout, or refit.")
+      case _ => ()
+    }
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
       lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
+  }
+
+  /**
+   * Merge add()-grown HNSW segment graphs back into the fitted layout —
+   * the Lucene forceMerge analog: ONE graph rebuild over every row
+   * (exactly a refit's graph cost, but without re-encoding, re-reading
+   * or re-deriving any quantizer state), returning a model whose search
+   * fans out over the fitted graph count again instead of
+   * fitted + segments·adds. No-op (returns `this`) when nothing is
+   * segmented: non-HNSW indexes append into existing cells/buckets/code
+   * tables (no segment growth to merge), and an HNSW model that was
+   * never add()-grown is already in its fitted layout.
+   */
+  def compact(): SearcherModel = searcher.strategy match {
+    case HnswGraph(m) =>
+      val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
+        else spark.sparkContext.defaultParallelism)
+      if (hnswGraphCount <= numGraphs) this
+      else {
+        val base = indexed.drop(NswGraph.GPART, NswGraph.NBRS)
+        val rebuilt = NswGraph.buildGraphs(base, VEC, ROW_ID, m,
+          efConstruction = math.max(64, 2 * m), numGraphs,
+          params.measurement, params.metricArg, gpartOffset = 0)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n2 = rebuilt.count()
+        org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
+          s"HNSW compact: $hnswGraphCount graphs -> $numGraphs, $n2 rows")
+        indexed.unpersist()
+        new SearcherModel(searcher, rebuilt, payloadCols, n2, dim, centroids,
+          lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
+      }
+    case _ => this
   }
 
   /**
@@ -1994,11 +2064,18 @@ class SearcherModel private[search] (
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
         // semantics survived
-        searcher.strategy.toString))
+        searcher.strategy.toString,
+        // serving-format version (r19): marks saves written since the
+        // joint-auto LSH degenerate reroute landed. Loads of models
+        // WITHOUT it that the reroute now serves through the exact
+        // kernel log an explicit migration notice — the route is
+        // deterministic from fitted state, but a pre-r18 artifact's
+        // operator should not change serving silently
+        SparkSearcher.FormatVersion))
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
         "exactPath", "broadcastThreshold", "lshBatchHint", "lshExactFallback",
-        "refineKFactor", "count", "dim", "effectiveIndex")
+        "refineKFactor", "count", "dim", "effectiveIndex", "formatVersion")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

@@ -99,6 +99,66 @@ class RelationalSpec extends SparkSpec {
       Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey", 8,
         buildHash = "small")
     }
+    // byte-guard (r19): a build side whose estimated per-partition bytes
+    // exceed the budget must REFUSE the cannot-spill hash shape and fall
+    // back to sort-merge — same results, robust plan. A 1-byte budget
+    // trips the guard on any non-empty side, standing in for the
+    // genuinely unbounded build map the r17 A/B measured OOMing.
+    val guarded = Relational.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey",
+      8, buildHash = "big", buildBudgetBytes = 1L)
+    // the guard's contract is "never the cannot-spill shuffled-hash shape";
+    // what replaces it (SMJ at scale, broadcast at this toy SF) is Spark's
+    // pick among the spill-safe shapes
+    val gplan = guarded.queryExecution.executedPlan.toString
+    assert(!gplan.contains("ShuffledHashJoin"), gplan)
+    val gagg = agg(guarded)
+    assert(gagg.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(gagg).count() === 0)
+  }
+
+  test("resolveSaltBucketsFromPreAgg: buckets from the caller's per-key pre-agg, no extra corpus scan") {
+    val sp = spark
+    import sp.implicits._
+    val p = Relational.shufflePartitions(spark)
+    // a per-key pre-agg is one row per key by construction: its hot-key
+    // share is 1/N, so buckets = ceil(P/N) — 1 for any N >= P (the skew
+    // the counts record was absorbed by the aggregation)
+    val preAgg = (1L to 1000L).map(i => (i, if (i == 1L) 500L else 1L))
+      .toDF("k", "__cnt")
+    assert(Relational.resolveSaltBucketsFromPreAgg(preAgg, "__cnt") === 1)
+    // tiny pre-agg (N < P): still defined, spreads its N rows over
+    // ceil(P/N) slices, clamped to P
+    val tiny = Seq((1L, 10L), (2L, 20L)).toDF("k", "__cnt")
+    assert(Relational.resolveSaltBucketsFromPreAgg(tiny, "__cnt") ===
+      math.max(1, math.min(p, math.ceil(p / 2.0).toInt)))
+    // empty: defined (1), not an NPE
+    assert(Relational.resolveSaltBucketsFromPreAgg(
+      tiny.filter(col("k") < 0), "__cnt") === 1)
+    // the combined gate shape end-to-end: pre-agg'd big side + hash build
+    // equals the plain join
+    val li = sf("lineitem").select("l_orderkey", "l_extendedprice")
+    val o = sf("orders").select("o_orderkey", "o_orderpriority")
+    val liAgg = li.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(20, 2))).as("__rev"))
+      .persist()
+    try {
+      val b = Relational.resolveSaltBucketsFromPreAgg(liAgg, "__cnt")
+      val combined = Relational.saltedEquiJoin(liAgg, o, "l_orderkey",
+        "o_orderkey", saltBuckets = b, buildHash = "big")
+        .groupBy("o_orderpriority")
+        .agg(sum(col("__cnt")).as("n"), sum(col("__rev")).as("rev"))
+      val plain = liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("__cnt")).as("n"), sum(col("__rev")).as("rev"))
+      assert(combined.exceptAll(plain).count() === 0)
+      assert(plain.exceptAll(combined).count() === 0)
+      // and the shape really is the hash build (the budget admits the
+      // bounded one-row-per-key side)
+      val cplan = combined.queryExecution.executedPlan.toString
+      assert(cplan.contains("ShuffledHashJoin"), cplan)
+    } finally liAgg.unpersist()
   }
 
   test("saltedEquiJoin auto buckets: sized from the measured hot-key share; uniform keys skip salting") {

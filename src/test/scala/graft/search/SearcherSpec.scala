@@ -586,6 +586,42 @@ class SearcherSpec extends SparkSpec {
     assert(fitP(a, "Flat").add(b).count === emb.count())
   }
 
+  test("HNSW compact: segment graphs merge back into the fitted layout; non-segmented is a no-op") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 300)
+    val b = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    val c = emb.filter(col("vec_id") >= 400)
+    def fitH(df: org.apache.spark.sql.DataFrame) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2,
+          efSearch = 64)).fit(df)
+    def graphs(m: SearcherModel) =
+      m.indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+    // two adds append two fresh 2-graph segments each (Lucene shape)
+    val grown = fitH(a).add(b).add(c)
+    assert(graphs(grown) === 6)
+    assert(grown.count === emb.count())
+    // compact rebuilds every row into the fitted 2-graph layout
+    val compacted = grown.compact()
+    assert(graphs(compacted) === 2)
+    assert(compacted.count === emb.count())
+    // post-compact graph quality: indexed self-queries find themselves
+    // (similarity 1.0 is the global max — a sound graph must surface it)
+    val q = emb.filter(col("vec_id") < 10)
+    val got = compacted.search(q, 1, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select(col("vec_id").cast("long"), col("sim_item").cast("long")).collect()
+    assert(got.nonEmpty && got.forall(r => r.getLong(0) === r.getLong(1)))
+    // no-op tiers: a never-grown HNSW model, and a non-segmented index
+    val h = fitH(a)
+    assert(h.compact() eq h)
+    val f = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(a)
+    assert(f.compact() eq f)
+    compacted.unpersist(); h.unpersist(); f.unpersist()
+  }
+
   test("remove: dropped ids stop matching; remainder searches like a fresh fit") {
     val sp = spark
     import sp.implicits._
