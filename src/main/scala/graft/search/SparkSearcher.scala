@@ -1398,10 +1398,24 @@ class SearcherModel private[search] (
           efConstruction = math.max(64, 2 * m), numGraphs,
           params.measurement, params.metricArg, gpartOffset = offset)
     }
-    val combined = indexed.unionByName(newPart)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Break the lineage BEFORE dropping the parent cache (r19): a plain
+    // persist embeds the old index's InMemoryRelation in the new cache's
+    // plan, and the indexed.unpersist() below then INVALIDATES the
+    // dependent entry — every later action silently replays the full
+    // lineage (for a fit-derived HNSW model that is a whole base-graph
+    // rebuild per add: the r19 segment probe measured every post-first
+    // add at ≈ fit cost, 104–139 s vs the real ~10 s segment build at
+    // 2M). An EAGER localCheckpoint materializes the union into lineage-
+    // free blocks, so the parent cache can be released with nothing
+    // depending on it — the CacheDiscipline pattern applied to the
+    // incremental-index hand-off.
+    val combined = indexed.unionByName(newPart).localCheckpoint(true)
     val n = combined.count()
     indexed.unpersist()
+    // a previous add/remove/compact left checkpoint-backed blocks the
+    // plain unpersist cannot release (they are LogicalRDD leaves, not
+    // cache-manager entries) — drop those too; the old model is consumed
+    graft.util.CacheDiscipline.release(indexed)
     // segment-growth trigger (r19): repeated HNSW add() accumulates
     // fresh segment graphs, and per-graph beam economics degrade as the
     // segment share grows (every graph is searched at the full beam, so
@@ -1446,14 +1460,17 @@ class SearcherModel private[search] (
       if (hnswGraphCount <= numGraphs) this
       else {
         val base = indexed.drop(NswGraph.GPART, NswGraph.NBRS)
+        // eager checkpoint before releasing the parent cache — same
+        // dependent-cache invalidation hazard as add() (see there)
         val rebuilt = NswGraph.buildGraphs(base, VEC, ROW_ID, m,
           efConstruction = math.max(64, 2 * m), numGraphs,
           params.measurement, params.metricArg, gpartOffset = 0)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val n2 = rebuilt.count()
         org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
           s"HNSW compact: $hnswGraphCount graphs -> $numGraphs, $n2 rows")
         indexed.unpersist()
+        graft.util.CacheDiscipline.release(indexed)
         new SearcherModel(searcher, rebuilt, payloadCols, n2, dim, centroids,
           lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
       }
@@ -1478,11 +1495,14 @@ class SearcherModel private[search] (
           "without the rows, or anti-join the search results")
       case _ => ()
     }
+    // eager checkpoint before releasing the parent cache — same
+    // dependent-cache invalidation hazard as add() (see there)
     val combined = indexed
       .join(ids.select(col(idCol).cast(LongType).as(ROW_ID)), Seq(ROW_ID), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = combined.count()
     indexed.unpersist()
+    graft.util.CacheDiscipline.release(indexed)
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
       lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
   }
