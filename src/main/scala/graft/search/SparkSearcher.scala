@@ -1398,17 +1398,21 @@ class SearcherModel private[search] (
           efConstruction = math.max(64, 2 * m), numGraphs,
           params.measurement, params.metricArg, gpartOffset = offset)
     }
-    // Break the lineage BEFORE dropping the parent cache (r19): a plain
-    // persist embeds the old index's InMemoryRelation in the new cache's
-    // plan, and the indexed.unpersist() below then INVALIDATES the
-    // dependent entry — every later action silently replays the full
-    // lineage (for a fit-derived HNSW model that is a whole base-graph
-    // rebuild per add: the r19 segment probe measured every post-first
-    // add at ≈ fit cost, 104–139 s vs the real ~10 s segment build at
-    // 2M). An EAGER localCheckpoint materializes the union into lineage-
-    // free blocks, so the parent cache can be released with nothing
-    // depending on it — the CacheDiscipline pattern applied to the
-    // incremental-index hand-off.
+    // Break the lineage BEFORE dropping the parent cache (r19).
+    // Mechanism (pinned by graft.ProbeCacheDep + graft.ProbeUnionCache):
+    // unions over LIVE caches substitute InMemoryTableScans fine, but
+    // unpersist() on a parent DROPS the dependent union-cache's entry
+    // from the cache manager — new plans miss it (zero IMTS) even while
+    // the dependent's own already-planned re-count keeps its data. The
+    // pre-r19 persist-then-unpersist-parent hand-off therefore made the
+    // NEXT add replay the FULL lineage (for a fit-derived HNSW model a
+    // whole base-graph rebuild per add: the r19 segment probe measured
+    // every post-first add at ≈ fit cost, 104–139 s vs the real ~10 s
+    // segment build at 2M). An EAGER localCheckpoint materializes the
+    // union into lineage-free blocks — the next union embeds the block
+    // RDD directly, nothing to invalidate — and the parent cache can be
+    // dropped with nothing depending on it: the CacheDiscipline pattern
+    // applied to the incremental-index hand-off.
     val combined = indexed.unionByName(newPart).localCheckpoint(true)
     val n = combined.count()
     indexed.unpersist()
