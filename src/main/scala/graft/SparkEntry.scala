@@ -835,6 +835,27 @@ object SparkEntry {
       knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
         keepRankNo = true, queryIdCol = Some("vec_id")))
     }),
+    // compact() oracle-gated end to end (r19): fit on a 3/5 slice, grow
+    // by TWO segment adds, compact back into the fitted graph layout,
+    // search at the exhaustive beam — a sound compacted graph must
+    // reproduce the exact top-k over the UNION corpus (same oracle as
+    // knn_hnsw; the %5 split is result-invariant because the oracle
+    // scans all rows). This also pins the r19 cache hand-off through
+    // the gate: the searched index is three lineage-free checkpoints
+    // away from the fit (add, add, compact)
+    "knn_hnsw_compact" -> ((s, dir) => {
+      val items = table(s, dir, "embeddings")
+      val fitPart = items.filter(pmod(col("vec_id"), lit(5)) < 3)
+      val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW32", efSearch = Int.MaxValue))
+        .fit(fitPart)
+        .add(items.filter(pmod(col("vec_id"), lit(5)) === 3))
+        .add(items.filter(pmod(col("vec_id"), lit(5)) === 4))
+        .compact()
+      knnSelect(model.search(items.filter(col("vec_id") < 10), 10,
+        keepRankNo = true, queryIdCol = Some("vec_id")))
+    }),
     // O9 on the RAW path (faiss_searcher.py:170-183 raw branch slices the
     // aligned matrices per k): one searchRaw at max(k), each k an array
     // truncation — exploded back to rows so every derived k hash-matches
@@ -2667,6 +2688,8 @@ object SparkEntry {
     "knn_range_fp16" -> fp16RangeOracle(0.35),
     "knn_window_cos" -> knnOracle("cos", 10),
     "knn_hnsw" -> knnOracle("cos", 10),
+    // fit→add→add→compact in the exhaustive regime ≡ exact over the union
+    "knn_hnsw_compact" -> knnOracle("cos", 10),
     // raw multi-K: every derived k must equal the exact top-k (the slice of
     // a rank-ordered max-K array IS the top-k, prefix property)
     "knn_raw_multik" ->
