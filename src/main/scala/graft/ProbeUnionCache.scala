@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * E the same plan as D AFTER unpersisting the grandparent plans with
   * ZERO — `unpersist()` on a parent drops the dependent cache's entry
   * from the manager, the hazard SearcherModel.add()'s r19
-  * localCheckpoint hand-off removes. Counts are taken AFTER
+  * localCheckpoint hand-off removes; F a PROJECTION-shaped dependent
+  * SURVIVES the same parent unpersist (IMTS stay), so the hazard is
+  * specific to union-shaped dependents — which is why the fit paths
+  * (projection/repartition over `pre`, see [[ProbeFitCache]]) never
+  * needed the fix while the add/remove/compact grow chain did. Counts are taken AFTER
   * materialization: AQE's AdaptiveSparkPlanExec hides the final plan
   * from a pre-execution collect (the first version of this probe read
   * zero everywhere for exactly that reason). */
@@ -48,6 +52,18 @@ object ProbeUnionCache {
     p.unpersist()
     println("E grown-union-after-grandparent-unpersist IMTS: " +
       imts(c1.unionByName(typed2)))
+    // F: a PROJECTION-shaped dependent (the fit paths' shape) after its
+    // parent unpersists — does it keep its entry where the union lost
+    // its? (ProbeFitCache sees the real fit paths survive; this pins
+    // the minimal repro of the asymmetry.)
+    val p2 = spark.range(100000L).select(col("id"), (col("id") % 7).as("k"))
+      .groupBy("k").agg(sum(col("id")).as("s")).persist()
+    p2.count()
+    val proj = p2.select(col("k"), (col("s") + 1).as("s1")).persist()
+    proj.count()
+    p2.unpersist()
+    println("F projection-after-parent-unpersist IMTS: " +
+      imts(proj.filter(col("k") >= 0)))
     spark.stop()
   }
 }
