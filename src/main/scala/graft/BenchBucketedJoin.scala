@@ -93,7 +93,15 @@ object BenchBucketedJoin {
       import org.apache.spark.sql.execution.SparkPlan
       import org.apache.spark.sql.execution.exchange.Exchange
       import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-      val plan = joinOnly.queryExecution.executedPlan
+      // the PRE-AQE physical plan (ADVICE r19): with AQE on (the 4.x
+      // default — and this query has exchanges above the join),
+      // executedPlan is an AdaptiveSparkPlanExec LEAF whose collect sees
+      // no children, so the SMJ assertion would false-trip on zero
+      // matches. sparkPlan is never wrapped, and bucketed scans feed the
+      // SMJ exchange-free in it iff they do in the adaptive final plan
+      // (AQE re-optimizes around exchanges; it cannot introduce one
+      // below a join whose sides are already co-partitioned by layout)
+      val plan = joinOnly.queryExecution.sparkPlan
       val smjs = plan.collect { case j: SortMergeJoinExec => j }
       def exchanges(p: SparkPlan): Seq[Exchange] =
         p.collect { case e: Exchange => e }

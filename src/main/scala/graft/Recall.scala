@@ -57,6 +57,16 @@ object Recall {
       // (per-graph rows / 256, floor 64) — the graph dual of IVF's
       // auto-nprobe; a fixed beam decays as the corpus grows
       Cfg("HNSW32 efSearch=auto", "hnsw", base.copy(indexParam = "HNSW32", efSearch = 0)),
+      // r20 efConstruction sweep: the BUILD beam (the last hardcoded
+      // constant, a knob since) — swept at the serving AUTO beam so any
+      // recall movement is attributable to GRAPH quality, not the
+      // search-time beam; fit_sec is the cost axis (build ~linear in it)
+      Cfg("HNSW32 efC=32", "efc",
+        base.copy(indexParam = "HNSW32", efSearch = 0, efConstruction = 32)),
+      Cfg("HNSW32 efC=auto(64)", "efc",
+        base.copy(indexParam = "HNSW32", efSearch = 0)),
+      Cfg("HNSW32 efC=128", "efc",
+        base.copy(indexParam = "HNSW32", efSearch = 0, efConstruction = 128)),
       Cfg("IVF0(auto) nprobe=1", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 1)),
       Cfg("IVF0(auto) nprobe=4", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 4)),
       Cfg("IVF0(auto) nprobe=16", "ivf", base.copy(indexParam = "IVF0,Flat", nprobe = 16)),

@@ -113,7 +113,34 @@ final case class SearcherParams(
       * (×256 at 2M) with the widened rescore still FASTER than the
       * exact scan (the ADC byte pass dominates). Explicit values pass
       * through untouched and persist via save/load. */
-    refineKFactor: Int = 0)
+    refineKFactor: Int = 0,
+    /** HNSW BUILD beam width (faiss `efConstruction`, part of the
+      * index_param build-config surface, faiss_searcher.py:100-107) —
+      * how many candidate neighbors each inserted node scores before
+      * keeping its best `m` links. 0 (default) = the engine's standing
+      * `max(64, 2·m)` rule, the value every pre-r20 index was built
+      * with (measured sound: recall@10 ≥ 0.9875 at 2M vectors across
+      * the r19 segment ladder). Build cost scales ~linearly with it;
+      * link quality saturates — raise it only when a recall probe at
+      * the serving beam says the GRAPH (not the beam) is the limiter.
+      * Persisted via save/load so add()/compact() segments are built
+      * with the same beam as the fitted graphs. */
+    efConstruction: Int = 0,
+    /** Opt-in HNSW merge policy (the Lucene TieredMergePolicy analog,
+      * r20). `add()` on an HNSW index appends FRESH segment graphs
+      * (built graphs are immutable); every graph is searched at the
+      * full beam, so batch latency grows ~linearly with graph COUNT
+      * while each segment holds only its slice (r19 ladder: 1.15 s →
+      * 3.26 s over 11× graphs at 2M). When > 0: after an add() that
+      * leaves `segment rows / fitted rows ≥` this ratio, the returned
+      * model is `compact()`ed — one graph rebuild over every row
+      * (≈ a refit's graph cost, measured 250.9 s vs 223.2 s at 2M,
+      * recall restored to 1.0000 at the exhaustive beam) — so serving
+      * latency stays bounded without a manual compaction step. 0
+      * (default) = faiss/Lucene manual semantics: add() only logs the
+      * guidance once growth exceeds the fitted corpus; the operator
+      * calls compact() on their own schedule. */
+    autoCompactAtSegmentRatio: Double = 0.0)
 
 /** Physical access path selected by the faiss-style factory string
   * (faiss_searcher.py:100-107). */
@@ -630,12 +657,16 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
           else base.sparkSession.sparkContext.defaultParallelism)
         val indexed = NswGraph.buildGraphs(pre, VEC, ROW_ID, m,
-            efConstruction = math.max(64, 2 * m), numGraphs,
+            SparkSearcher.resolveEfConstruction(params.efConstruction, m), numGraphs,
             params.measurement, params.metricArg)
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
-        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None, None)
+        // the FITTED layout (r20): persisted with the model so compact()'s
+        // rebuild target survives save/load onto a cluster whose
+        // parallelism differs from the one that fitted the graphs
+        new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None,
+          None, fittedGraphs = Some(numGraphs))
       case LshTables(numTables0, bitsOpt) =>
         val pre = base.persist(StorageLevel.MEMORY_AND_DISK)
         val n = pre.count()
@@ -852,6 +883,18 @@ object SparkSearcher {
     else math.max(SearcherParams().efSearch,
       math.ceil(count.toDouble / math.max(1, graphs) / 256.0).toInt)
 
+  /** `efConstruction = 0` (auto) resolution: `max(64, 2·m)` — the build
+    * beam every pre-r20 graph used (hardcoded then, a knob since).
+    * Unlike the SERVING autos (nprobe/efSearch/refineKFactor) this one
+    * is corpus-size-free by design: build-beam quality is a property of
+    * the local neighborhood being linked, not of how many distractors a
+    * later query must out-rank — the r19 2M-vector ladder measured the
+    * rule's graphs holding recall@10 ≥ 0.9875 under a corpus-scaled
+    * SERVING beam. Explicit values pass through untouched and persist,
+    * so segments added to a loaded index build at the fitted beam. */
+  private[search] def resolveEfConstruction(efc: Int, m: Int): Int =
+    if (efc > 0) efc else math.max(64, 2 * m)
+
   /** `refineKFactor = 0` (auto) resolution: quadruple the ×4 base per
     * corpus decade above 2k rows — `4 · 4^(log10(n/2000))`, floor 4.
     * Lands on the measured RECALL_r17_refine*.json ladder exactly: ×4
@@ -994,7 +1037,16 @@ object SparkSearcher {
       lshExactFallback =
         if (has("lshExactFallback")) kv.getAs[Boolean]("lshExactFallback")
         else dflt.lshExactFallback,
-      refineKFactor = lngOr("refineKFactor", dflt.refineKFactor).toInt)
+      refineKFactor = lngOr("refineKFactor", dflt.refineKFactor).toInt,
+      efConstruction = lngOr("efConstruction", dflt.efConstruction).toInt,
+      autoCompactAtSegmentRatio =
+        if (has("autoCompactAtSegmentRatio"))
+          kv.getAs[Double]("autoCompactAtSegmentRatio")
+        else dflt.autoCompactAtSegmentRatio)
+    // fitted graph layout (r20): 0/missing = non-HNSW or a pre-r20 save —
+    // compact()/add() then fall back to the old params/parallelism
+    // heuristic those artifacts were operated under
+    val fittedG = lngOr("fittedGraphs", 0L).toInt
     // construct first: the searcher strips any PCA prefix off indexParam,
     // so every strategy dispatch below sees the inner index
     val searcher = new SparkSearcher(encoder, params)
@@ -1087,7 +1139,8 @@ object SparkSearcher {
     }
     val model = new SearcherModel(searcher,
       indexed.withColumnRenamed(ITEM_SAVED, ITEM), payload, n, d, centroids,
-      planes, cbooks, sqB, rot, pca)
+      planes, cbooks, sqB, rot, pca,
+      fittedGraphs = if (fittedG > 0) Some(fittedG) else None)
     // migration notice (r19, ADVICE): a save without formatVersion
     // predates the joint-auto LSH degenerate reroute — if this load's
     // deterministic route now serves through the exact kernel, the model
@@ -1103,8 +1156,11 @@ object SparkSearcher {
     model
   }
 
-  /** Serving-format version stamped into params.json at save (r19). */
-  private[search] val FormatVersion = 19L
+  /** Serving-format version stamped into params.json at save. 19 = the
+    * joint-auto LSH reroute era; 20 adds the persisted fitted graph
+    * layout + build-config fields (all read tolerantly — the version is
+    * a provenance marker, not a gate). */
+  private[search] val FormatVersion = 20L
 
   private[search] val ITEM = "__item"
   private[search] val ITEM_SAVED = "item"
@@ -1127,14 +1183,32 @@ class SearcherModel private[search] (
     private[search] val pqCodebooks: Option[Array[Array[Array[Float]]]],
     private[search] val sqBounds: Option[(Array[Float], Array[Float])] = None,
     private[search] val opqRotation: Option[Array[Array[Float]]] = None,
-    private[search] val pcaModel: Option[graft.whitening.VecsWhiteningModel] = None) {
+    private[search] val pcaModel: Option[graft.whitening.VecsWhiteningModel] = None,
+    private[search] val fittedGraphs: Option[Int] = None) {
 
   import SparkSearcher._
 
   /** Attach the fitted PCA-prefix projection (same shared `indexed`). */
   private[search] def withPca(p: graft.whitening.VecsWhiteningModel): SearcherModel =
     new SearcherModel(searcher, indexed, payloadCols, count, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds, opqRotation, Some(p))
+      lshPlanes, pqCodebooks, sqBounds, opqRotation, Some(p), fittedGraphs)
+
+  // Grow ops CONSUME the receiver (r20, ADVICE): add()/remove()/compact()
+  // release the old model's checkpoint-backed blocks once the grown index
+  // is materialized — pre-r19 a stale handle degraded to a correct (slow)
+  // lineage recompute, but a checkpoint-backed receiver (itself the result
+  // of a grow op) now fails with a cryptic lost-block error. Make the
+  // contract explicit: any use of a consumed model throws with the op
+  // that consumed it. Set ONLY on grow-op success (a rejected remove() or
+  // a no-op compact() leaves the receiver live).
+  @volatile private var consumedBy: String = null
+  private def markConsumed(op: String): Unit = consumedBy = op
+  private def requireLive(): Unit =
+    if (consumedBy != null) throw new IllegalStateException(
+      s"this SearcherModel was consumed by $consumedBy() — grow operations " +
+        "release the receiver's cached/checkpointed index blocks; use the " +
+        "model they RETURNED instead (faiss mutates in place; the Spark " +
+        "analog hands you the grown immutable model and retires the old one)")
 
   /** Project an encoded query column through the fitted PCA prefix, if
     * one exists — BEFORE any cos/code normalization, mirroring fit. */
@@ -1196,6 +1270,19 @@ class SearcherModel private[search] (
     if (row.isNullAt(0)) 1 else row.getInt(0) + 1
   }
 
+  /** compact()'s rebuild target and add()'s segment-growth baseline: the
+    * FITTED graph layout. Persisted with the model (r20, params.json
+    * `fittedGraphs`), so a grown model loaded on a bigger cluster still
+    * compacts to the layout it was fitted with, and a never-grown model
+    * loaded on a smaller one stays a compact() no-op — parallelism of
+    * the SERVING session never rewrites the layout contract. Pre-r20
+    * saves lack the field: fall back to the old heuristic (explicit
+    * `hnswGraphs`, else this session's parallelism), the behavior those
+    * artifacts were operated under. */
+  private def fittedGraphTarget: Int = fittedGraphs.getOrElse(
+    math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
+      else spark.sparkContext.defaultParallelism))
+
   /** [[SparkSearcher.resolveEf]] over the fitted state (efSearch=0 ⇒
     * beam-fraction auto; explicit values untouched). Lazy: the auto
     * resolution is a function of fitted state, resolved — and logged —
@@ -1232,6 +1319,7 @@ class SearcherModel private[search] (
     * the fitted model (auto resolutions are functions of fitted state
     * only), so a dashboard diff catches a changed operating point. */
   def describe: DataFrame = {
+    requireLive()
     val sp = spark
     import sp.implicits._
     val eff = IndexStrategy.effective(searcher.strategy)
@@ -1240,6 +1328,20 @@ class SearcherModel private[search] (
     val efRes = eff match {
       case HnswGraph(_) => Some(effectiveEf)
       case _            => None
+    }
+    // HNSW serving lifecycle (r20): current vs fitted graph layout and
+    // the compact() recommendation — SAME criterion as add()'s warning
+    // (segment rows exceed the fitted corpus; the r19 2M ladder measured
+    // batch latency ~linear in graph count, and compact() restoring the
+    // fitted latency at recall 1.0), surfaced for ops dashboards so the
+    // merge decision doesn't live only in driver logs
+    val (hnswG, hnswFitted, compactRec) = eff match {
+      case HnswGraph(_) =>
+        val g0 = fittedGraphTarget
+        val fittedRows = indexed.filter(col(NswGraph.GPART) < g0).count()
+        (Some(hnswGraphCount), Some(g0),
+          Some(hnswGraphCount > g0 && count - fittedRows > fittedRows))
+      case _ => (None, None, None)
     }
     val kfRes = searcher.strategy match {
       case Refined(_) =>
@@ -1255,11 +1357,13 @@ class SearcherModel private[search] (
         if (lshT.isDefined) Some(lshServeExactCheaper) else None,
         if (lshT.isDefined) Some(if (lshServeExact) "exact" else "buckets")
         else None,
-        params.measurement, params.metricArg))
+        params.measurement, params.metricArg,
+        hnswG, hnswFitted, compactRec))
       .toDF("index_param", "effective_index", "count", "dim",
         "resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
         "lsh_tables", "lsh_bits", "lsh_exact_cheaper", "lsh_route",
-        "measurement", "metric_arg")
+        "measurement", "metric_arg",
+        "hnsw_graphs", "hnsw_fitted_graphs", "compact_recommended")
   }
 
   def fittedCodebooks: Option[Array[Array[Array[Float]]]] = pqCodebooks
@@ -1286,8 +1390,21 @@ class SearcherModel private[search] (
    * (faiss ntotal); with `idCol` set, id uniqueness is the caller's
    * contract as in `fit`. Returns the grown model; the old cached index
    * is unpersisted once the union is materialized.
+   *
+   * ==The receiver is CONSUMED==
+   * On success the old model's cached/checkpointed index blocks are
+   * released (they are what the grown model's lineage-free union
+   * replaced) — any later use of the receiver throws
+   * [[IllegalStateException]]. Branching (`m.add(x)` and `m.add(y)` from
+   * the same `m`) is not supported: faiss mutates the index in place, so
+   * the reference has no branched-index semantics to honor either —
+   * re-`fit` or `save`/`load` to fork. With
+   * [[SearcherParams.autoCompactAtSegmentRatio]] > 0 the returned HNSW
+   * model is already [[compact]]ed when segment growth tripped the
+   * ratio — one policy knob instead of a manual merge schedule.
    */
   def add(items: DataFrame): SearcherModel = {
+    requireLive()
     val itemCol = params.itemCol.getOrElse(items.columns.head)
     require(items.columns.contains(itemCol), s"item column '$itemCol' missing")
     val encoded0 = searcher.encoder.encode(items, itemCol, VEC)
@@ -1395,7 +1512,7 @@ class SearcherModel private[search] (
         val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
           else spark.sparkContext.defaultParallelism)
         NswGraph.buildGraphs(base, VEC, ROW_ID, m,
-          efConstruction = math.max(64, 2 * m), numGraphs,
+          SparkSearcher.resolveEfConstruction(params.efConstruction, m), numGraphs,
           params.measurement, params.metricArg, gpartOffset = offset)
     }
     // Break the lineage BEFORE dropping the parent cache (r19).
@@ -1420,30 +1537,47 @@ class SearcherModel private[search] (
     // plain unpersist cannot release (they are LogicalRDD leaves, not
     // cache-manager entries) — drop those too; the old model is consumed
     graft.util.CacheDiscipline.release(indexed)
-    // segment-growth trigger (r19): repeated HNSW add() accumulates
-    // fresh segment graphs, and per-graph beam economics degrade as the
-    // segment share grows (every graph is searched at the full beam, so
-    // cost scales with graph COUNT while each appended graph holds only
-    // its slice). One bounded agg over the cached union measures the
-    // split; once segment rows exceed the fitted corpus the guidance is
-    // logged: compact() (one graph rebuild) restores the fitted layout.
+    markConsumed("add")
+    val grown = new SearcherModel(searcher, combined, payloadCols, n, dim,
+      centroids, lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel,
+      fittedGraphs)
+    // segment-growth policy (r19 warning, r20 merge policy): repeated
+    // HNSW add() accumulates fresh segment graphs, and per-graph beam
+    // economics degrade as the segment share grows (every graph is
+    // searched at the full beam, so cost scales with graph COUNT while
+    // each appended graph holds only its slice). One bounded agg over
+    // the cached union measures the split against the FITTED layout
+    // (persisted, not re-derived from this cluster's parallelism):
+    // - autoCompactAtSegmentRatio > 0 and tripped → compact() inline
+    //   (the opt-in Lucene-merge-policy shape; the returned model is
+    //   already in the fitted layout)
+    // - otherwise, once segment rows exceed the fitted corpus the
+    //   guidance is logged: compact() (one graph rebuild) restores it.
     searcher.strategy match {
       case HnswGraph(_) =>
-        val g0 = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
-          else spark.sparkContext.defaultParallelism)
+        val g0 = fittedGraphTarget
         val fittedRows = combined
           .filter(col(NswGraph.GPART) < g0).count()
-        if (n - fittedRows > fittedRows)
-          org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").warn(
-            s"HNSW add: segment graphs now hold ${n - fittedRows} rows vs " +
+        val segRows = n - fittedRows
+        val ratio = params.autoCompactAtSegmentRatio
+        val log = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
+        if (ratio > 0 && fittedRows > 0 && segRows >= ratio * fittedRows) {
+          log.info(s"HNSW add: segment rows $segRows / fitted $fittedRows " +
+            f"reached autoCompactAtSegmentRatio=$ratio%.2f — compacting " +
+            s"into the fitted $g0-graph layout")
+          return grown.compact()
+        }
+        if (segRows > fittedRows)
+          log.warn(
+            s"HNSW add: segment graphs now hold $segRows rows vs " +
               s"$fittedRows fitted — growth exceeded the fitted corpus; " +
               "per-graph beam economics degrade from here (each graph is " +
               "searched at the full beam). Call compact() to rebuild into " +
-              s"the fitted $g0-graph layout, or refit.")
+              s"the fitted $g0-graph layout (or opt in to " +
+              "autoCompactAtSegmentRatio), or refit.")
       case _ => ()
     }
-    new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
+    grown
   }
 
   /**
@@ -1455,28 +1589,34 @@ class SearcherModel private[search] (
    * fitted + segments·adds. No-op (returns `this`) when nothing is
    * segmented: non-HNSW indexes append into existing cells/buckets/code
    * tables (no segment growth to merge), and an HNSW model that was
-   * never add()-grown is already in its fitted layout.
+   * never add()-grown is already in its fitted layout. The rebuild
+   * target is the PERSISTED fitted layout (r20) — a grown model loaded
+   * on a cluster with more parallelism still compacts back to the graph
+   * count it was fitted with, and a never-grown model loaded on a
+   * smaller one stays a no-op. On a real rebuild the receiver is
+   * CONSUMED (see [[add]]); the no-op tiers leave it live.
    */
   def compact(): SearcherModel = searcher.strategy match {
     case HnswGraph(m) =>
-      val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
-        else spark.sparkContext.defaultParallelism)
+      requireLive()
+      val numGraphs = fittedGraphTarget
       if (hnswGraphCount <= numGraphs) this
       else {
         val base = indexed.drop(NswGraph.GPART, NswGraph.NBRS)
         // eager checkpoint before releasing the parent cache — same
         // dependent-cache invalidation hazard as add() (see there)
         val rebuilt = NswGraph.buildGraphs(base, VEC, ROW_ID, m,
-          efConstruction = math.max(64, 2 * m), numGraphs,
-          params.measurement, params.metricArg, gpartOffset = 0)
+          SparkSearcher.resolveEfConstruction(params.efConstruction, m),
+          numGraphs, params.measurement, params.metricArg, gpartOffset = 0)
           .localCheckpoint(true)
         val n2 = rebuilt.count()
         org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
           s"HNSW compact: $hnswGraphCount graphs -> $numGraphs, $n2 rows")
         indexed.unpersist()
         graft.util.CacheDiscipline.release(indexed)
+        markConsumed("compact")
         new SearcherModel(searcher, rebuilt, payloadCols, n2, dim, centroids,
-          lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
+          lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel, fittedGraphs)
       }
     case _ => this
   }
@@ -1485,9 +1625,12 @@ class SearcherModel private[search] (
    * Remove rows by id — faiss `remove_ids` semantics: the rows stop
    * matching immediately; quantizers (IVF centroids, PQ codebooks, LSH
    * planes) are untouched, exactly like faiss. Anti-join on row_id, so
-   * removal scales with the index, not the id list.
+   * removal scales with the index, not the id list. On success the
+   * receiver is CONSUMED (see [[add]]); the HNSW rejection below leaves
+   * it live.
    */
   def remove(ids: DataFrame, idCol: String): SearcherModel = {
+    requireLive()
     // faiss raises "remove_ids not implemented" for HNSW too: deleting
     // graph nodes invalidates the adjacency their neighbors route through
     // (and the anti-join would scatter graph co-location). Mirror faiss:
@@ -1507,8 +1650,9 @@ class SearcherModel private[search] (
     val n = combined.count()
     indexed.unpersist()
     graft.util.CacheDiscipline.release(indexed)
+    markConsumed("remove")
     new SearcherModel(searcher, combined, payloadCols, n, dim, centroids,
-      lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel)
+      lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel, fittedGraphs)
   }
 
   /**
@@ -1520,6 +1664,7 @@ class SearcherModel private[search] (
    */
   def searchRange(queries: DataFrame, threshold: Double,
       queryIdCol: Option[String] = None): DataFrame = {
+    requireLive()
     require(count > 0, "search before fit (faiss_searcher.py:187)")
     // fp16 ranges over its reconstruction (faiss SQ range_search does the
     // same): codes decode in the scoring projection, below
@@ -1630,6 +1775,7 @@ class SearcherModel private[search] (
    */
   def search(queries: DataFrame, topK: Int, keepRankNo: Boolean = false,
       queryIdCol: Option[String] = None): DataFrame = {
+    requireLive()
     require(count > 0, "search before fit (faiss_searcher.py:187)")
     val qItemCol = params.itemCol
       .filter(queries.columns.contains).getOrElse(queries.columns.head)
@@ -2009,6 +2155,7 @@ class SearcherModel private[search] (
     * faiss_searcher.py:189-190, 200-203): items table as parquet + params
     * JSON (+ IVF centroids), Spark-ML style — no object serialization. */
   def save(path: String): Unit = {
+    requireLive()
     val itemsOut = indexed.withColumnRenamed(ITEM, ITEM_SAVED)
     IndexStrategy.effective(searcher.strategy) match {
       // IVF-family indexes persist PARTITIONED BY CELL: on disk the cells
@@ -2083,12 +2230,18 @@ class SearcherModel private[search] (
     Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
         p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
         p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold,
-        p.lshBatchHint, p.lshExactFallback, p.refineKFactor, count, dim,
+        p.lshBatchHint, p.lshExactFallback, p.refineKFactor,
+        p.efConstruction, p.autoCompactAtSegmentRatio, count, dim,
         // the strategy actually SERVING the factory string — differs from
         // indexParam when a translation happened (e.g. HNSWn → IVF(64));
         // a loader can detect the substitution instead of assuming faiss
         // semantics survived
         searcher.strategy.toString,
+        // the FITTED graph layout (r20): compact()'s rebuild target and
+        // add()'s segment baseline, persisted so the layout contract
+        // survives load onto a cluster whose parallelism differs from
+        // the fitting one (0 sentinel = non-HNSW / pre-r20)
+        fittedGraphs.map(_.toLong).getOrElse(0L),
         // serving-format version (r19): marks saves written since the
         // joint-auto LSH degenerate reroute landed. Loads of models
         // WITHOUT it that the reroute now serves through the exact
@@ -2099,7 +2252,8 @@ class SearcherModel private[search] (
       .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
         "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
         "exactPath", "broadcastThreshold", "lshBatchHint", "lshExactFallback",
-        "refineKFactor", "count", "dim", "effectiveIndex", "formatVersion")
+        "refineKFactor", "efConstruction", "autoCompactAtSegmentRatio",
+        "count", "dim", "effectiveIndex", "fittedGraphs", "formatVersion")
       .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
   }
 

@@ -360,10 +360,26 @@ class SearcherSpec extends SparkSpec {
     assert(row(lshAuto).getAs[Boolean]("lsh_exact_cheaper"))
     assert(row(lshAuto).getAs[String]("lsh_route") === "exact")
     lshAuto.unpersist()
-    // HNSW auto: the resolved beam is the value that will serve
+    // HNSW auto: the resolved beam is the value that will serve; the
+    // lifecycle columns read the fitted layout (never grown → no merge
+    // recommendation, r20)
     val hnsw = fit(SearcherParams(measurement = "cos", indexParam = "HNSW32",
       efSearch = 0, hnswGraphs = 4))
     assert(row(hnsw).getAs[Int]("resolved_ef_search") === 64)
+    assert(row(hnsw).getAs[Int]("hnsw_graphs") === 4)
+    assert(row(hnsw).getAs[Int]("hnsw_fitted_graphs") === 4)
+    assert(!row(hnsw).getAs[Boolean]("compact_recommended"))
+    // grown past the fitted corpus: describe surfaces the compact() call
+    // the r19 ladder showed is due (latency ∝ graph count from here)
+    val grownH = fit(SearcherParams(measurement = "cos", indexParam = "HNSW32",
+      efSearch = 0, hnswGraphs = 4))
+      .add(sf("embeddings").withColumn("vec_id", col("vec_id") + 1000)
+        .unionByName(sf("embeddings").withColumn("vec_id", col("vec_id") + 2000)))
+    val gr = row(grownH)
+    assert(gr.getAs[Int]("hnsw_graphs") === 8)
+    assert(gr.getAs[Int]("hnsw_fitted_graphs") === 4)
+    assert(gr.getAs[Boolean]("compact_recommended")) // 1000 seg > 500 fitted
+    grownH.unpersist()
     // refine auto: the spec-corpus pool is the ×4 floor
     val ref = fit(SearcherParams(measurement = "cos", indexParam = "PQ8,RFlat"))
     assert(row(ref).getAs[Int]("resolved_refine_kfactor") === 4)
@@ -373,7 +389,8 @@ class SearcherSpec extends SparkSpec {
     assert(fr.getAs[String]("effective_index") === "ExactFlat")
     assert(fr.getAs[Long]("count") === emb.count())
     Seq("resolved_nprobe", "resolved_ef_search", "resolved_refine_kfactor",
-      "lsh_tables", "lsh_bits", "lsh_exact_cheaper", "lsh_route")
+      "lsh_tables", "lsh_bits", "lsh_exact_cheaper", "lsh_route",
+      "hnsw_graphs", "hnsw_fitted_graphs", "compact_recommended")
       .foreach(c => assert(fr.isNullAt(fr.fieldIndex(c)), c))
     Seq(lsh, hnsw, ref, flat).foreach(_.unpersist())
   }
@@ -620,6 +637,146 @@ class SearcherSpec extends SparkSpec {
         measurement = "cos")).fit(a)
     assert(f.compact() eq f)
     compacted.unpersist(); h.unpersist(); f.unpersist()
+  }
+
+  test("efConstruction: explicit build beam plumbs through fit and persists; 0 = the standing max(64,2m) rule") {
+    // resolver: 0-auto is exactly the pre-r20 hardcode; explicit passes
+    assert(SparkSearcher.resolveEfConstruction(0, 16) === 64)
+    assert(SparkSearcher.resolveEfConstruction(0, 48) === 96)
+    assert(SparkSearcher.resolveEfConstruction(128, 16) === 128)
+    val emb = sf("embeddings")
+    val model = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2,
+        efSearch = 64, efConstruction = 96)).fit(emb)
+    // the explicitly-built graph is sound: indexed self-queries at rank 0
+    val q = emb.filter(col("vec_id") < 5)
+    val got = model.search(q, 1, keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select(col("vec_id").cast("long"), col("sim_item").cast("long")).collect()
+    assert(got.length === 5 && got.forall(r => r.getLong(0) === r.getLong(1)))
+    // persists: add()/compact() on a LOADED model must build segments at
+    // the fitted beam, so the knob rides params.json
+    val dir = java.nio.file.Files.createTempDirectory("graft-efc").toString
+    model.save(dir)
+    val saved = spark.read.json(s"$dir/params.json").head()
+    assert(saved.getAs[Long]("efConstruction") === 96L)
+    assert(saved.getAs[Long]("fittedGraphs") === 2L)
+    val loaded = SparkSearcher.load(spark, dir)
+    assert(loaded.searcher.params.efConstruction === 96)
+    loaded.unpersist(); model.unpersist()
+  }
+
+  test("autoCompactAtSegmentRatio: a tripped add returns the compacted layout; below threshold stays segmented") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 300) // 300 fitted rows
+    val b = emb.filter(col("vec_id") >= 300) // 200 segment rows → ratio 0.67
+    def fitH(ratio: Double) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2,
+          efSearch = Int.MaxValue, autoCompactAtSegmentRatio = ratio)).fit(a)
+    def graphs(m: SearcherModel) =
+      m.indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+    def res(m: SearcherModel) = m.search(emb.filter(col("vec_id") < 10), 5,
+        keepRankNo = true, queryIdCol = Some("vec_id"))
+      .select("vec_id", "rank_no", "sim_item", "sim_val").collect().map(_.toSeq).toSet
+    // 0.67 ≥ 0.5: the merge policy fires inside add() — fitted layout back
+    val auto = fitH(0.5).add(b)
+    assert(graphs(auto) === 2)
+    assert(auto.count === emb.count())
+    // at the exhaustive beam the compacted serving is exact (≡ union-fit)
+    val exact = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(emb)
+    assert(res(auto) === res(exact))
+    // 0.67 < 0.9: policy holds off — Lucene segment shape kept (2 fitted
+    // + 2 segment graphs), manual compact() semantics unchanged
+    val manual = fitH(0.9).add(b)
+    assert(graphs(manual) === 4)
+    // the policy knob persists like every other serving knob
+    val dir = java.nio.file.Files.createTempDirectory("graft-acr").toString
+    manual.save(dir)
+    assert(spark.read.json(s"$dir/params.json").head()
+      .getAs[Double]("autoCompactAtSegmentRatio") === 0.9)
+    assert(SparkSearcher.load(spark, dir)
+      .searcher.params.autoCompactAtSegmentRatio === 0.9)
+    auto.unpersist(); manual.unpersist(); exact.unpersist()
+  }
+
+  test("grow ops consume the receiver: stale handles throw; rejected/no-op tiers leave it live") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 400)
+    val b = emb.filter(col("vec_id") >= 400)
+    val q = emb.filter(col("vec_id") < 5)
+    val m = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos")).fit(a)
+    val grown = m.add(b)
+    // the old handle's blocks were RELEASED with the hand-off (r19 cache
+    // discipline) — every use must fail with the contract, not surface a
+    // lost-checkpoint-block error three operators downstream
+    val e = intercept[IllegalStateException](
+      m.search(q, 3, queryIdCol = Some("vec_id")).count())
+    assert(e.getMessage.contains("consumed by add()"))
+    intercept[IllegalStateException](m.add(b))
+    intercept[IllegalStateException](m.remove(b.select("vec_id"), "vec_id"))
+    intercept[IllegalStateException](m.describe.head())
+    intercept[IllegalStateException](
+      m.save(java.nio.file.Files.createTempDirectory("graft-cons").toString))
+    // the RETURNED model is the live one
+    assert(grown.search(q, 3, queryIdCol = Some("vec_id")).count() === 15)
+    // a REJECTED remove (HNSW) and a no-op compact never consume
+    val h = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2,
+        efSearch = 64)).fit(a)
+    intercept[UnsupportedOperationException](h.remove(b.select("vec_id"), "vec_id"))
+    assert(h.compact() eq h)
+    assert(h.search(q, 1, queryIdCol = Some("vec_id")).count() === 5)
+    grown.unpersist(); h.unpersist()
+  }
+
+  test("fitted graph layout persists: compact targets the SAVED layout, not the serving session") {
+    val emb = sf("embeddings")
+    val a = emb.filter(col("vec_id") < 300)
+    val b = emb.filter(col("vec_id") >= 300)
+    def graphs(m: SearcherModel) =
+      m.indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+    val grown = new SparkSearcher(new PassthroughEncoder("embedding"),
+      SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+        measurement = "cos", indexParam = "HNSW16", hnswGraphs = 2,
+        efSearch = 64)).fit(a).add(b) // 2 fitted + 2 segment graphs
+    assert(graphs(grown) === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fg").toString
+    grown.save(dir)
+    // rewrite the persisted layout to 3 — a value NEITHER params.hnswGraphs
+    // (2) nor any session parallelism heuristic would produce here: the
+    // rebuild target must come from the persisted FIELD (ADVICE r19: the
+    // re-derived target no-opped or over-rebuilt on a different cluster)
+    val pjson = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/params.json"))
+      .filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".json"))
+      .findFirst().get()
+    val txt = new String(java.nio.file.Files.readAllBytes(pjson), "UTF-8")
+    assert(txt.contains(""""fittedGraphs":2"""))
+    java.nio.file.Files.write(pjson,
+      txt.replace(""""fittedGraphs":2""", """"fittedGraphs":3""").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      pjson.resolveSibling("." + pjson.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(s"$dir/params.json")
+    val compacted3 = SparkSearcher.load(spark, dir).compact()
+    assert(graphs(compacted3) === 3)
+    // pre-r20 fallback: 0 sentinel (≡ field absent) → the old heuristic
+    // (explicit hnswGraphs=2) is the target, as those artifacts ran
+    java.nio.file.Files.write(pjson,
+      txt.replace(""""fittedGraphs":2""", """"fittedGraphs":0""").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      pjson.resolveSibling("." + pjson.getFileName.toString + ".crc"))
+    spark.catalog.refreshByPath(s"$dir/params.json")
+    val compacted2 = SparkSearcher.load(spark, dir).compact()
+    assert(graphs(compacted2) === 2)
+    grown.unpersist(); compacted3.unpersist(); compacted2.unpersist()
   }
 
   test("remove: dropped ids stop matching; remainder searches like a fresh fit") {
