@@ -205,6 +205,12 @@ class SearcherSpec extends SparkSpec {
     assert(loaded.searcher.params.hnswGraphs === dflt.hnswGraphs)
     assert(loaded.searcher.params.exactPath === dflt.exactPath)
     assert(loaded.searcher.params.nprobe === 4)
+    // r20 fields absent in an old save: build/policy knobs default, the
+    // fitted-layout field reads as "unknown" (pre-r20 heuristic applies)
+    assert(loaded.searcher.params.efConstruction === dflt.efConstruction)
+    assert(loaded.searcher.params.autoCompactAtSegmentRatio ===
+      dflt.autoCompactAtSegmentRatio)
+    assert(loaded.fittedGraphs === None)
     val res = loaded.search(sf("embeddings").filter(col("vec_id") < 2),
       topK = 2, keepRankNo = true, queryIdCol = Some("vec_id"))
     assert(res.count() === 4)
