@@ -55,6 +55,12 @@ object SparkEntry {
   private val orderedDirCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
+  /** Probe-only alias: [[ProbeStreamCost]] needs the same memoized replay
+    * dir the ordered gates use, without widening the gate helper itself. */
+  private[graft] def orderedReplayDirForProbe(s: SparkSession, srcPath: String,
+      tsCol: String, numFiles: Int): String =
+    orderedReplayDir(s, srcPath, tsCol, numFiles)
+
   private def orderedReplayDir(s: SparkSession, srcPath: String, tsCol: String,
       numFiles: Int): String = {
     // memoized per (source PATH, ts, files) within the process: the

@@ -1855,9 +1855,21 @@ object Dedup {
     // norms once per ROW, not per pair: cos = dot/(√na·√nb) evaluates the
     // exact same double ops as the one-shot cosine kernel (bit-identical to
     // the oracle) at a third of the per-pair flops
-    val base = df.select(col(idCol).as("id"),
+    val base0 = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<float>").as("v"))
       .withColumn("nrm", sqrt(VectorFunctions.vec_dot(col("v"), col("v"))))
+    // Parallelism floor on the STREAMED side (r21, scale-adaptive): the
+    // broadcast-NL join's task count is the streamed side's partition
+    // count, and a small parquet input is a single split — the whole
+    // O(n²/2) pair scan then runs on ONE task whatever the core count.
+    // Hash-spread by id when below defaultParallelism; a corpus big
+    // enough for the quadratic cost to matter has >= parallelism splits
+    // already, so no extra exchange is paid at scale. Pair set (and the
+    // oracle hash) is partition-independent: the join predicate and the
+    // cosine are per-pair values.
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val base = if (base0.rdd.getNumPartitions < para)
+      base0.repartition(para, col("id")) else base0
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -487,10 +487,27 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     val keepVec = strategy match { case Refined(_) => true; case _ => false }
     def dropVecUnlessKept(df: DataFrame): DataFrame =
       if (keepVec) df else df.drop(VEC)
+    // Serve-parallelism floor (scale-adaptive, r21): the persisted index
+    // inherits the SCAN's partitioning, and a small parquet input is 1-3
+    // splits — every subsequent serve scan (exact/PQ/SQ/LSH-verify kernels
+    // over the cached relation) then runs on 1-3 tasks regardless of core
+    // count. Spread the FINAL indexed relation to defaultParallelism by
+    // row_id hash before persisting. Fitted parameters (centroid/codebook
+    // samples, LSH anchor) are all computed from `pre` BEFORE this point
+    // and results are partition-independent (TopKByDistance tie-breaks on
+    // (dist, row_id)), so outputs are identical. At cluster scale the
+    // input has >= parallelism partitions and this is a no-op — no extra
+    // exchange is ever paid on a big corpus. HNSW/IVF branches are
+    // excluded: their build co-locates rows (graph adjacency / cell id)
+    // and already spreads via its own grouped shuffle.
+    def spreadForServe(df: DataFrame): DataFrame = {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p, col(ROW_ID)) else df
+    }
     val fitted = IndexStrategy.effective(strategy) match {
       case Refined(_) => throw new IllegalStateException("nested refine")
       case ExactFlat =>
-        val indexed = base.persist(StorageLevel.MEMORY_AND_DISK)
+        val indexed = spreadForServe(base).persist(StorageLevel.MEMORY_AND_DISK)
         val n = indexed.count() // materialize, like index.add (faiss_searcher.py:124)
         val d = dimOf(indexed)
         new SearcherModel(this, indexed, payloadCols.toSeq, n, d, None, None, None)
@@ -535,10 +552,10 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         rotated.count()
         pre.unpersist()
         val codebooks = PqIndex.fitCodebooks(rotated, VROT, m, d, n)
-        val indexed = rotated
+        val indexed = spreadForServe(rotated
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VROT), codebooks))
           .drop(VROT)
-          .transform(dropVecUnlessKept)
+          .transform(dropVecUnlessKept))
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         rotated.unpersist()
@@ -561,9 +578,9 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         // store BYTE codes (x4: two codes nibble-packed per byte), drop
         // the float vectors: dim·4·8/(m·nbits)× less memory — the
         // property that lets a 100 TB corpus stay cached
-        val indexed = pre
+        val indexed = spreadForServe(pre
           .withColumn(PqIndex.CODES, PqIndex.encodeCol(col(VEC), codebooks, nbits))
-          .transform(dropVecUnlessKept)
+          .transform(dropVecUnlessKept))
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -612,9 +629,9 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
           case Some((vmin, vdiff)) => SqIndex.encodeCol(col(VEC), vmin, vdiff, nbits)
           case None                => Fp16.encodeCol(col(VEC))
         }
-        val indexed = pre
+        val indexed = spreadForServe(pre
           .withColumn(PqIndex.CODES, codes)
-          .transform(dropVecUnlessKept)
+          .transform(dropVecUnlessKept))
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -739,8 +756,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
         val planes = SignLsh.planes(numTables, bits, d)
         // store each row's per-table bucket keys; search is an equi-join on
         // (table, bucket) — candidates only, never the full corpus
-        val indexed = pre
-          .withColumn(BUCKETS, SignLsh.bucketsCol(col(VEC), planes))
+        val indexed = spreadForServe(pre
+          .withColumn(BUCKETS, SignLsh.bucketsCol(col(VEC), planes)))
           .persist(StorageLevel.MEMORY_AND_DISK)
         indexed.count()
         pre.unpersist()
@@ -1057,7 +1074,15 @@ object SparkSearcher {
     // by gpart) makes this a directory-aligned shuffle
     val read = searcher.strategy match {
       case HnswGraph(_) => read0.repartition(col(NswGraph.GPART))
-      case _            => read0
+      // IVF keeps the at-rest cell clustering; everything else gets the
+      // same serve-parallelism floor as fit() — a small saved index is
+      // 1-3 parquet splits, which would pin every serve scan to 1-3
+      // tasks (no-op when the scan already has >= parallelism splits)
+      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) => read0
+      case _ =>
+        val p = spark.sparkContext.defaultParallelism
+        if (read0.rdd.getNumPartitions < p) read0.repartition(p, col(ROW_ID))
+        else read0
     }
     val indexed = read.persist(StorageLevel.MEMORY_AND_DISK)
     val n = indexed.count()
