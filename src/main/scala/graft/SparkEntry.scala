@@ -2330,7 +2330,13 @@ object SparkEntry {
     // final numbers must hash-match the straight-parquet oracle
     "q_csv_json_roundtrip" -> ((s, dir) => {
       val cols = Seq("l_orderkey", "l_returnflag", "l_quantity")
-      val li = table(s, dir, "lineitem").select(cols.map(col): _*)
+      // r21: the CSV/JSON writers serialize at the scan's partitioning —
+      // a 1-3-split lineitem put the whole row-serialization cost on one
+      // task; the floor parallelizes the sinks and is a no-op once the
+      // scan has >= parallelism splits. Result rows are a GROUP BY over
+      // the re-read — file-layout independent.
+      val li = graft.util.Parallelism.scanFloor(
+        table(s, dir, "lineitem").select(cols.map(col): _*), "l_orderkey")
       val tmp = java.nio.file.Files.createTempDirectory("graft-rt").toString
       li.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       val fromCsv = s.read.schema(li.schema).option("header", "true")

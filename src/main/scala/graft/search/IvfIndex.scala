@@ -585,6 +585,19 @@ object IvfIndex {
     // (the whole cost of a driver-side fit) use every core
     val nChunks = math.min(32, n)
     val bounds = Array.tabulate(nChunks + 1)(c => (c.toLong * n / nChunks).toInt)
+    // go parallel only when a round's arithmetic outweighs the fork-join
+    // dispatch (r21): the init below runs k SEQUENTIAL rounds of O(n·d)
+    // each — for a PQ subspace fit (n ≈ 8k, dsub = 8, k = 256) that is
+    // 2048 dispatches per codebook fit across the m calls, ~0.8 s of pure
+    // scheduling against ~30 µs of flops per round. The chunk decomposition
+    // and in-order merge are identical either way, so the picked centroids
+    // are bit-identical — only the executing thread count changes.
+    val parInit = n.toLong * d >= (1L << 21)
+    val parIter = n.toLong * k * d >= (1L << 21)
+    def chunkStream(par: Boolean): java.util.stream.IntStream = {
+      val s = java.util.stream.IntStream.range(0, nChunks)
+      if (par) s.parallel() else s
+    }
     // farthest-point init (deterministic k-means++ analog, no RNG). The
     // O(k·n·d) scan is chunk-parallel with the same in-order merge as the
     // Lloyd iterations: per-i minD updates are independent, and the global
@@ -599,7 +612,7 @@ object IvfIndex {
     var c = 1
     while (c < k) {
       val prev = cents(c - 1)
-      val chunkFar = java.util.stream.IntStream.range(0, nChunks).parallel()
+      val chunkFar = chunkStream(parInit)
         .mapToObj { ch =>
           var far = -1; var farD = -1.0; var i = bounds(ch)
           while (i < bounds(ch + 1)) {
@@ -620,7 +633,7 @@ object IvfIndex {
     }
     var it = 0
     while (it < iters) {
-      val partials = java.util.stream.IntStream.range(0, nChunks).parallel()
+      val partials = chunkStream(parIter)
         .mapToObj { c =>
           val sums = Array.ofDim[Double](k, d)
           val counts = new Array[Int](k)

@@ -1295,6 +1295,14 @@ class SearcherModel private[search] (
     if (row.isNullAt(0)) 1 else row.getInt(0) + 1
   }
 
+  /** Rows living in the FITTED graphs (gpart < fitted target) — the
+    * fitted/segment split [[describe]] reports. Cached per model instance
+    * (the split is immutable for a given SearcherModel: add()/compact()
+    * return NEW models), so a dashboard polling describe() runs the count
+    * job once, not per call (r21, ADVICE). */
+  private lazy val hnswFittedRows: Long =
+    indexed.filter(col(NswGraph.GPART) < fittedGraphTarget).count()
+
   /** compact()'s rebuild target and add()'s segment-growth baseline: the
     * FITTED graph layout. Persisted with the model (r20, params.json
     * `fittedGraphs`), so a grown model loaded on a bigger cluster still
@@ -1363,9 +1371,8 @@ class SearcherModel private[search] (
     val (hnswG, hnswFitted, compactRec) = eff match {
       case HnswGraph(_) =>
         val g0 = fittedGraphTarget
-        val fittedRows = indexed.filter(col(NswGraph.GPART) < g0).count()
         (Some(hnswGraphCount), Some(g0),
-          Some(hnswGraphCount > g0 && count - fittedRows > fittedRows))
+          Some(hnswGraphCount > g0 && count - hnswFittedRows > hnswFittedRows))
       case _ => (None, None, None)
     }
     val kfRes = searcher.strategy match {
@@ -1427,6 +1434,17 @@ class SearcherModel private[search] (
    * [[SearcherParams.autoCompactAtSegmentRatio]] > 0 the returned HNSW
    * model is already [[compact]]ed when segment growth tripped the
    * ratio — one policy knob instead of a manual merge schedule.
+   *
+   * ==Single-threaded handoff==
+   * The consumed-receiver guard is check-then-act: it catches SEQUENTIAL
+   * misuse (any call after a grow op on this handle throws the named
+   * exception), not concurrent races — a `search()`/`save()` running on
+   * another thread while `add()`/`remove()`/`compact()` consumes the
+   * receiver can pass the check and then hit the released blocks
+   * mid-job. Grow ops assume they own the model exclusively, like faiss's
+   * in-place `index.add`; concurrent readers of a model being grown are
+   * unsupported — hand the RETURNED model to readers only after the grow
+   * call completes.
    */
   def add(items: DataFrame): SearcherModel = {
     requireLive()
@@ -1590,7 +1608,19 @@ class SearcherModel private[search] (
           log.info(s"HNSW add: segment rows $segRows / fitted $fittedRows " +
             f"reached autoCompactAtSegmentRatio=$ratio%.2f — compacting " +
             s"into the fitted $g0-graph layout")
-          return grown.compact()
+          // the RECEIVER is already consumed and its blocks released by
+          // this point; if the full-graph rebuild dies (executor loss/OOM)
+          // the caller must still get a usable model — return the grown
+          // segmented one (still live: compact() consumes it only after
+          // its rebuild materializes) instead of propagating and leaking
+          // its checkpoint blocks (r21, ADVICE)
+          return (try grown.compact() catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn("HNSW add: in-add compact failed — returning the " +
+                "grown segmented model; call compact() again when the " +
+                s"cluster recovers (${e.getMessage})", e)
+              grown
+          })
         }
         if (segRows > fittedRows)
           log.warn(
@@ -1621,9 +1651,14 @@ class SearcherModel private[search] (
    * smaller one stays a no-op. On a real rebuild the receiver is
    * CONSUMED (see [[add]]); the no-op tiers leave it live.
    */
-  def compact(): SearcherModel = searcher.strategy match {
+  def compact(): SearcherModel = {
+    // consumed-receiver check BEFORE the strategy dispatch (r21, ADVICE):
+    // the no-op tiers (non-HNSW, never-grown HNSW) return `this` — on a
+    // consumed model that would silently hand the dead receiver back and
+    // the caller only discovers the staleness on a later search
+    requireLive()
+    searcher.strategy match {
     case HnswGraph(m) =>
-      requireLive()
       val numGraphs = fittedGraphTarget
       if (hnswGraphCount <= numGraphs) this
       else {
@@ -1644,6 +1679,7 @@ class SearcherModel private[search] (
           lshPlanes, pqCodebooks, sqBounds, opqRotation, pcaModel, fittedGraphs)
       }
     case _ => this
+    }
   }
 
   /**

@@ -709,6 +709,32 @@ class SearcherSpec extends SparkSpec {
     auto.unpersist(); manual.unpersist(); exact.unpersist()
   }
 
+  test("serve-parallelism floor: a 1-split corpus serves at defaultParallelism, results unchanged") {
+    val emb = sf("embeddings").filter(col("vec_id") < 500)
+    val one = emb.coalesce(1)           // the small-parquet scan shape
+    val q = emb.filter(col("vec_id") < 20)
+    val p = spark.sparkContext.defaultParallelism
+    def results(m: SearcherModel) =
+      m.search(q, 5, keepRankNo = true, queryIdCol = Some("vec_id"))
+        .select("vec_id", "rank_no", "sim_item")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def fitP(df: org.apache.spark.sql.DataFrame, param: String) =
+      new SparkSearcher(new PassthroughEncoder("embedding"),
+        SearcherParams(itemCol = Some("vec_id"), idCol = Some("vec_id"),
+          measurement = "cos", indexParam = param)).fit(df)
+    for (param <- Seq("Flat", "PQ8", "LSH12x8")) {
+      val floored = fitP(one, param)
+      // the fit spread the 1-partition input to the session's parallelism…
+      assert(floored.indexed.rdd.getNumPartitions === p,
+        s"$param: fitted index kept the degenerate input partitioning")
+      // …and the served hits are identical to a fit on the original layout
+      // (top-k tie-breaks on (dist, row_id): partition-independent)
+      val control = fitP(emb, param)
+      assert(results(floored) === results(control), s"$param: results moved")
+      floored.unpersist(); control.unpersist()
+    }
+  }
+
   test("grow ops consume the receiver: stale handles throw; rejected/no-op tiers leave it live") {
     val emb = sf("embeddings")
     val a = emb.filter(col("vec_id") < 400)
@@ -727,6 +753,10 @@ class SearcherSpec extends SparkSpec {
     intercept[IllegalStateException](m.add(b))
     intercept[IllegalStateException](m.remove(b.select("vec_id"), "vec_id"))
     intercept[IllegalStateException](m.describe.head())
+    // compact() on a consumed NON-HNSW model must throw too — its no-op
+    // tier (`case _ => this`) would otherwise hand the dead receiver back
+    // silently (r21, ADVICE)
+    intercept[IllegalStateException](m.compact())
     intercept[IllegalStateException](
       m.save(java.nio.file.Files.createTempDirectory("graft-cons").toString))
     // the RETURNED model is the live one
