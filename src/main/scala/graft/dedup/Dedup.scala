@@ -1871,7 +1871,10 @@ object Dedup {
     val base = if (base0.rdd.getNumPartitions < para)
       base0.repartition(para, col("id")) else base0
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    // the RIGHT side is the BNL broadcast build — it reads base0, not the
+    // floored base, so the spread exchange is paid only on the streamed
+    // side (a broadcast build gains nothing from partitioning)
+    val b = base0.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", when(col("n_a") * col("n_b") === 0.0, 0.0)
         .otherwise(VectorFunctions.vec_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
