@@ -55,6 +55,8 @@ object ProbeStreamCost {
       val q = try {
         spark.conf.set("spark.sql.shuffle.partitions",
           sys.env.getOrElse("PROBE_STREAM_SHUFFLE", "8"))
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+          sys.env.getOrElse("PROBE_STREAM_NODATA", "true"))
         graft.streaming.StreamingOps.attributeStream(views, clicks,
             "user_id", "view_ts", "click_ts", maxLagMinutes = 240)
           .writeStream.outputMode("append").format("memory")

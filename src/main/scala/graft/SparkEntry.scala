@@ -2026,15 +2026,28 @@ object SparkEntry {
         .select(col("user_id"),
           col("event_id").as("click_id"), col("ts").as("click_ts"))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val q =
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
+          // r21: skip the trailing no-data micro-batch. It exists to let
+          // event-time operators flush on the final watermark — an INNER
+          // stream-stream join emits matches eagerly in append mode, so
+          // here it runs a full state-store pass (~1 s: commit every
+          // store, scan for eviction) to emit zero rows. The sessionize
+          // and windowed-agg gates KEEP it (their final sessions/windows
+          // close on exactly that batch).
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
           graft.streaming.StreamingOps.attributeStream(views, clicks,
               "user_id", "view_ts", "click_ts", maxLagMinutes = 240)
             .writeStream.outputMode("append").format("memory")
             .queryName("q_stream_attribution_sink")
             .trigger(Trigger.AvailableNow()).start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
       q.awaitTermination(300000)
       val inputRows = q.recentProgress.map(_.numInputRows).sum
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
@@ -2077,15 +2090,24 @@ object SparkEntry {
         .select(col("user_id"),
           col("event_id").as("click_id"), col("ts").as("click_ts"))
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val prevNoData = s.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val q =
         try {
           s.conf.set("spark.sql.shuffle.partitions", "8")
+          // r21: same no-data-batch skip as the single-batch twin — the
+          // inner join emits eagerly; the trailing watermark-only batch
+          // produces zero rows for a full state-store pass
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
           graft.streaming.StreamingOps.attributeStream(views, clicks,
               "user_id", "view_ts", "click_ts", maxLagMinutes = 240)
             .writeStream.outputMode("append").format("memory")
             .queryName("q_stream_attribution_ordered_sink")
             .trigger(Trigger.AvailableNow()).start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        }
       q.awaitTermination(300000)
       val dataBatches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
