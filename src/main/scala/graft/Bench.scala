@@ -188,8 +188,21 @@ object Bench {
       System.err.println(s"[bench] ref $refPathPre measured a different sf dir; suspect check off")
       Map.empty[String, Double]
     }
-    val firstPass = suspects(
-      results.filter(_._3).map(r => r._1 -> r._2).toMap, refPre)
+    // r22 (stabilization, additions-only): the r21 driver sweep flagged 16
+    // gates noisy with zero code cause and its slowest gate read 2.7x its
+    // reference — UNDER the 3x recheck trigger. The self-heal pass now
+    // also fires on (a) sustained drift >= 2x the reference (the official
+    // `suspect` list keeps its 3x meaning) and (b) intra-run min/max
+    // spread (both repeats inside one contention episode escape min-of-2).
+    // Each hit costs one extra measurement after the sweep; the min is
+    // taken, exactly like the standing 3x self-heal.
+    val driftRecheck = suspects(
+      results.filter(_._3).map(r => r._1 -> r._2).toMap, refPre, k = 2.0)
+    val spreadRecheck = results.collect {
+      case (k, dt, ok, maxSec, _, _, _, _)
+        if ok && maxSec > 3 * dt && maxSec - dt > 0.3 => k
+    }
+    val firstPass = (driftRecheck ++ spreadRecheck).distinct
     val rechecked = firstPass.flatMap { name =>
       selected.find(_._1 == name).map { case (_, fn) =>
         val (sec, ok, _, _, _, _) = runOnce(name, fn)
@@ -229,7 +242,18 @@ object Bench {
       results.filter(_._3).map(r => r._1 -> r._2).toMap, refPre)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val load = loadavg()
-    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"suspect":$suspect,"rechecked":$recheckJson,"loadavg":"$load","run_metrics":$metricsJson,"sf":"$sfDir"}"""
+    // zero-shuffle control alongside totals (r22, BASELINE.md class-1
+    // protocol): text_bm25 is the suite's standing machine-speed control —
+    // a flat control across rounds means total deltas are code, a moved
+    // control means drift. control_ref_ratio > 1 reads "this box is
+    // currently slower than the reference run".
+    val controlSec = results.find(r => r._1 == "text_bm25" && r._3).map(_._2)
+    val controlJson = controlSec.map { c =>
+      val ratio = refPre.get("text_bm25").filter(_ > 0)
+        .map(r => f""","control_ref_ratio":${c / r}%.3f""").getOrElse("")
+      f""","control_sec":$c%.3f$ratio"""
+    }.getOrElse("")
+    val fullJson = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noisy":$noisy,"suspect":$suspect,"rechecked":$recheckJson,"loadavg":"$load"$controlJson,"run_metrics":$metricsJson,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout and parses a
     // JSON line out of them (r3-r8 lesson: the one-line-per-query format
     // outgrew that window and every driver-side parse came back null). So:
@@ -248,7 +272,7 @@ object Bench {
     val slowest = results.filter(_._3).sortBy(-_._2).take(25)
       .map { case (k, v, _, _, _, _, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_ok":${results.count(_._3)},"failed":$failed,"noisy":$noisy,"suspect":$suspect,"loadavg":"$load","queries_note":"slowest 25 of ${results.size}; full per-query record in $outPath","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"n_queries":${results.size},"n_ok":${results.count(_._3)},"failed":$failed,"noisy":$noisy,"suspect":$suspect,"loadavg":"$load"$controlJson,"queries_note":"slowest 25 of ${results.size}; full per-query record in $outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

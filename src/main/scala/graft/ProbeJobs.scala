@@ -53,12 +53,14 @@ object ProbeJobs {
         }
     })
     def union(ss: Seq[(Long, Long)]): Long = {
-      var tot = 0L; var curS = 0L; var curE = -1L
-      ss.sortBy(_._1).foreach { case (s, e) =>
-        if (e > curE) {
-          if (s > curE) { tot += curE - curS; curS = s }
-          curE = e
-        }
+      val sorted = ss.sortBy(_._1)
+      if (sorted.isEmpty) return 0L
+      // seed from the first span (the old -1 sentinel leaked -1 ns into
+      // the first interval and returned -1 on an empty list)
+      var tot = 0L; var curS = sorted.head._1; var curE = sorted.head._2
+      sorted.tail.foreach { case (s, e) =>
+        if (s > curE) { tot += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
       }
       tot + (curE - curS)
     }

@@ -1827,12 +1827,16 @@ object SparkEntry {
         else s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
       // state-store partition count is pinned at query start from the
-      // shuffle-partitions conf: 8 is plenty for ~3.4k windows, and each
-      // extra partition is per-micro-batch state-commit overhead
+      // shuffle-partitions conf; scale-adaptive since r22 (guide §2): one
+      // store per ~64 MB of source, floor 8 (measured near-optimal at
+      // sf0.1 — each extra partition is per-micro-batch state-commit
+      // overhead), capped at the session's configured parallelism. The
+      // emitted rows are partition-independent; only the store layout moves
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, src)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           graft.streaming.StreamingOps.hourlyEventStats(stream)
             .writeStream.outputMode("complete").format("memory")
             .queryName("q_stream_hourly_sink")
@@ -1878,9 +1882,11 @@ object SparkEntry {
         col("value").cast("double").as("value"))
         .as[graft.streaming.StreamingOps.SessionEvent]
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // scale-adaptive state-store count (r22, guide §2) — see q_stream_hourly
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, src)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           graft.streaming.StreamingOps.sessionize(events,
               gapMinutes = 30, closeOnIdle = false)
             .writeStream.outputMode("append").format("memory")
@@ -1934,9 +1940,11 @@ object SparkEntry {
         col("value").cast("double").as("value"))
         .as[graft.streaming.StreamingOps.SessionEvent]
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // scale-adaptive state-store count (r22, guide §2) — see q_stream_hourly
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, src)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           graft.streaming.StreamingOps.sessionizeBounded(events,
               gapMinutes = 30, watermarkDelay = "1 hour")
             .writeStream.outputMode("append").format("memory")
@@ -1980,9 +1988,11 @@ object SparkEntry {
         col("value").cast("double").as("value"))
         .as[graft.streaming.StreamingOps.SessionEvent]
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // scale-adaptive state-store count (r22, guide §2) — see q_stream_hourly
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, ordered)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           graft.streaming.StreamingOps.sessionizeBounded(events,
               gapMinutes = 30, watermarkDelay = "1 hour")
             .writeStream.outputMode("append").format("memory")
@@ -2028,9 +2038,11 @@ object SparkEntry {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      // scale-adaptive state-store count (r22, guide §2) — see q_stream_hourly
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, src)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           // r21: skip the trailing no-data micro-batch. It exists to let
           // event-time operators flush on the final watermark — an INNER
           // stream-stream join emits matches eagerly in append mode, so
@@ -2092,9 +2104,11 @@ object SparkEntry {
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       val prevNoData = s.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      // scale-adaptive state-store count (r22, guide §2) — see q_stream_hourly
+      val stateParts = graft.util.Parallelism.streamStatePartitions(s, ordered)
       val q =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
           // r21: same no-data-batch skip as the single-batch twin — the
           // inner join emits eagerly; the trailing watermark-only batch
           // produces zero rows for a full state-store pass

@@ -1867,9 +1867,7 @@ object Dedup {
     // already, so no extra exchange is paid at scale. Pair set (and the
     // oracle hash) is partition-independent: the join predicate and the
     // cosine are per-pair values.
-    val para = df.sparkSession.sparkContext.defaultParallelism
-    val base = if (base0.rdd.getNumPartitions < para)
-      base0.repartition(para, col("id")) else base0
+    val base = graft.util.Parallelism.scanFloor(base0, "id")
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     // the RIGHT side is the BNL broadcast build — it reads base0, not the
     // floored base, so the spread exchange is paid only on the streamed

@@ -500,10 +500,8 @@ class SparkSearcher(val encoder: Encoder, val params: SearcherParams = SearcherP
     // exchange is ever paid on a big corpus. HNSW/IVF branches are
     // excluded: their build co-locates rows (graph adjacency / cell id)
     // and already spreads via its own grouped shuffle.
-    def spreadForServe(df: DataFrame): DataFrame = {
-      val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p, col(ROW_ID)) else df
-    }
+    def spreadForServe(df: DataFrame): DataFrame =
+      graft.util.Parallelism.scanFloor(df, ROW_ID)
     val fitted = IndexStrategy.effective(strategy) match {
       case Refined(_) => throw new IllegalStateException("nested refine")
       case ExactFlat =>
@@ -1010,11 +1008,39 @@ object SparkSearcher {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** The single params row Spark's JSON writer produced (a directory of
+    * part files holding one JSON line), read driver-side through the
+    * path's FileSystem — works on any scheme, costs zero Spark jobs. */
+  private def readParamsJson(spark: SparkSession,
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".") && st.getLen > 0
+    }.sortBy(_.getPath.getName)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows: Seq[String] = parts.toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    require(rows.nonEmpty, s"index load: $path holds no params row")
+    mapper.readTree(rows.head)
+  }
+
   /** Load a saved model (reference `load_index`, faiss_searcher.py:109-114),
     * re-asserting the stored invariants: row count and vector dim. */
   def load(spark: SparkSession, path: String,
       encoder: Encoder = new PassthroughEncoder("embedding")): SearcherModel = {
-    val kv = spark.read.json(s"$path/params.json").head()
+    // params.json is ONE row; spark.read.json(...).head() paid two fixed
+    // driver round-trips (schema-inference job + head job) per load. Read
+    // the line through the path's own FileSystem and parse it on the
+    // driver instead (r22, guide §6 metadata-job audit) — zero jobs, same
+    // bytes, same field semantics (a JSON null reads as absent, exactly
+    // like spark.read.json dropping always-null columns).
+    val kv = readParamsJson(spark, s"$path/params.json")
     // TOLERANT reads for TUNING knobs only: params.json written by an
     // older build predates fields added since (efSearch/hnswGraphs arrived
     // with the graph ANN; exactPath with the dual exact shapes). A missing
@@ -1025,24 +1051,23 @@ object SparkSearcher {
     // corrupt or foreign, and silently defaulting them (e.g. a PQ-saved
     // index loading as a Flat cosine scan) would misread the index, not
     // tune it.
-    val fields = kv.schema.fieldNames.toSet
-    def has(n: String) = fields.contains(n) && !kv.isNullAt(kv.fieldIndex(n))
+    def has(n: String) = { val v = kv.get(n); v != null && !v.isNull }
     def need(n: String): Unit = require(has(n),
       s"index load: params.json is missing required field '$n' " +
         "(result-defining fields are never defaulted)")
     Seq("indexParam", "measurement", "metricArg", "normVec", "count", "dim")
       .foreach(need)
-    def str(n: String) = if (has(n)) kv.getAs[String](n) else null
-    def lng(n: String) = kv.getAs[Long](n)
+    def str(n: String) = if (has(n)) kv.get(n).asText() else null
+    def lng(n: String) = kv.get(n).asLong()
     val dflt = SearcherParams()
-    def lngOr(n: String, d: Long) = if (has(n)) kv.getAs[Long](n) else d
+    def lngOr(n: String, d: Long) = if (has(n)) kv.get(n).asLong() else d
     val params = SearcherParams(
       itemCol = Option(str("itemCol")).filter(_.nonEmpty),
       idCol = None, // ids already materialized in the saved table
       indexParam = str("indexParam"),
       measurement = str("measurement"),
-      metricArg = kv.getAs[Double]("metricArg"),
-      normVec = kv.getAs[Boolean]("normVec"),
+      metricArg = kv.get("metricArg").asDouble(),
+      normVec = kv.get("normVec").asBoolean(),
       docFeatureSep = Option(str("docFeatureSep")).filter(_.nonEmpty),
       queryFeatureSep = Option(str("queryFeatureSep")).filter(_.nonEmpty),
       nprobe = lngOr("nprobe", dflt.nprobe).toInt,
@@ -1052,13 +1077,13 @@ object SparkSearcher {
       exactPath = Option(str("exactPath")).getOrElse(dflt.exactPath),
       lshBatchHint = lngOr("lshBatchHint", dflt.lshBatchHint).toInt,
       lshExactFallback =
-        if (has("lshExactFallback")) kv.getAs[Boolean]("lshExactFallback")
+        if (has("lshExactFallback")) kv.get("lshExactFallback").asBoolean()
         else dflt.lshExactFallback,
       refineKFactor = lngOr("refineKFactor", dflt.refineKFactor).toInt,
       efConstruction = lngOr("efConstruction", dflt.efConstruction).toInt,
       autoCompactAtSegmentRatio =
         if (has("autoCompactAtSegmentRatio"))
-          kv.getAs[Double]("autoCompactAtSegmentRatio")
+          kv.get("autoCompactAtSegmentRatio").asDouble()
         else dflt.autoCompactAtSegmentRatio)
     // fitted graph layout (r20): 0/missing = non-HNSW or a pre-r20 save —
     // compact()/add() then fall back to the old params/parallelism
@@ -1072,26 +1097,35 @@ object SparkSearcher {
     // within its task); parquet splits don't respect graph boundaries, so
     // re-group by graph id once at load — the at-rest layout (partitioned
     // by gpart) makes this a directory-aligned shuffle
+    // dispatch on the EFFECTIVE strategy (r22, like fit does): a
+    // Refined(IvfPq)/Refined(IvfSq) must hit the IVF exclusion arm or the
+    // row_id spread scatters the at-rest cell co-location the IVF save
+    // deliberately preserves. HnswGraph stays a raw match — Refined(HNSW)
+    // is forbidden by parse, so raw and effective agree there.
     val read = searcher.strategy match {
       case HnswGraph(_) => read0.repartition(col(NswGraph.GPART))
-      // IVF keeps the at-rest cell clustering; everything else gets the
-      // same serve-parallelism floor as fit() — a small saved index is
-      // 1-3 parquet splits, which would pin every serve scan to 1-3
-      // tasks (no-op when the scan already has >= parallelism splits)
-      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) => read0
-      case _ =>
-        val p = spark.sparkContext.defaultParallelism
-        if (read0.rdd.getNumPartitions < p) read0.repartition(p, col(ROW_ID))
-        else read0
+      case st => IndexStrategy.effective(st) match {
+        // IVF keeps the at-rest cell clustering; everything else gets the
+        // same serve-parallelism floor as fit() — a small saved index is
+        // 1-3 parquet splits, which would pin every serve scan to 1-3
+        // tasks (no-op when the scan already has >= parallelism splits)
+        case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) => read0
+        case _ => graft.util.Parallelism.scanFloor(read0, ROW_ID)
+      }
     }
     val indexed = read.persist(StorageLevel.MEMORY_AND_DISK)
     val n = indexed.count()
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
+    // metadata collects are DRIVER-sorted (r22): these tables are a few
+    // hundred tiny rows, and `.orderBy(...).collect()` paid a range-
+    // partitioner boundary-sampling job on top of the collect for every
+    // one — per-load fixed cost, per metadata table. A plain collect is
+    // one job; the deterministic order the arrays need is re-established
+    // on the driver for free.
     val pq = IndexStrategy.effective(searcher.strategy) match {
       case PqFlat(_, _) | IvfPq(_, _, _) | OpqPq(_) =>
-        val rows = spark.read.parquet(s"$path/pq_codebooks")
-          .orderBy("sub", "cid").collect()
+        val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
         Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
           .map { case (_, rs) =>
             rs.sortBy(_.getAs[Int]("cid"))
@@ -1102,7 +1136,8 @@ object SparkSearcher {
     val sqB = IndexStrategy.effective(searcher.strategy) match {
       case SqFlat(16) | IvfSq(_, 16) => None // fp16: nothing was fitted
       case SqFlat(_) | IvfSq(_, _) =>
-        val rows = spark.read.parquet(s"$path/sq_bounds").orderBy("i").collect()
+        val rows = spark.read.parquet(s"$path/sq_bounds").collect()
+          .sortBy(_.getAs[Int]("i"))
         Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
       case _ => None
     }
@@ -1132,15 +1167,15 @@ object SparkSearcher {
       .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
         NswGraph.GPART, NswGraph.NBRS)).toSeq
     val centroids = IndexStrategy.effective(searcher.strategy) match {
-      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) => Some(spark.read.parquet(s"$path/centroids")
-        .orderBy("centroid_id").collect()
-        .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
+      case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) =>
+        Some(spark.read.parquet(s"$path/centroids").collect()
+          .sortBy(_.getAs[Int]("centroid_id"))
+          .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
     }
     val planes = searcher.strategy match {
       case LshTables(_, _) =>
-        val rows = spark.read.parquet(s"$path/lsh_planes")
-          .orderBy("tbl", "bit").collect()
+        val rows = spark.read.parquet(s"$path/lsh_planes").collect()
         val grouped = rows.groupBy(_.getAs[Int]("tbl")).toSeq.sortBy(_._1)
           .map { case (_, rs) =>
             rs.sortBy(_.getAs[Int]("bit"))
@@ -1151,7 +1186,8 @@ object SparkSearcher {
     }
     val rot = IndexStrategy.effective(searcher.strategy) match {
       case OpqPq(_) =>
-        Some(spark.read.parquet(s"$path/opq_rotation").orderBy("j").collect()
+        Some(spark.read.parquet(s"$path/opq_rotation").collect()
+          .sortBy(_.getAs[Int]("j"))
           .map(_.getAs[scala.collection.Seq[Float]]("row").toArray))
       case _ => None
     }
@@ -2236,19 +2272,23 @@ class SearcherModel private[search] (
       case _ =>
         itemsOut.write.mode("overwrite").parquet(s"$path/items")
     }
+    // metadata tables are a few KB–MB of fitted constants: write each as
+    // ONE file (r22) — a local Seq toDF otherwise parallelizes to the
+    // shuffle-partition count, paying ~32 write tasks and leaving ~32
+    // near-empty files for every later load to open
     centroids.foreach { cs =>
       val sp = spark
       import sp.implicits._
       cs.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("centroid_id", "centroid")
-        .write.mode("overwrite").parquet(s"$path/centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     }
     lshPlanes.foreach { ps =>
       val sp = spark
       import sp.implicits._
       (for (t <- ps.indices; b <- ps(t).indices)
         yield (t, b, ps(t)(b).toSeq)).toDF("tbl", "bit", "plane")
-        .write.mode("overwrite").parquet(s"$path/lsh_planes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/lsh_planes")
     }
     opqRotation.foreach { rot =>
       val sp = spark
@@ -2276,7 +2316,7 @@ class SearcherModel private[search] (
           import sp.implicits._
           (for (m <- cbs.indices; c <- cbs(m).indices)
             yield (m, c, cbs(m)(c).toSeq)).toDF("sub", "cid", "centroid")
-            .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
         }
     }
     // params as a 1-row JSON written by Spark's writer (real escaping — a

@@ -258,8 +258,10 @@ object BpeTokenizer {
     * (hand-built models without byte-level fallback round-trip). */
   def load(path: String): BpeModel = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // driver-sorted collect (r22): orderBy on a tiny metadata table costs
+    // a range-boundary sampling job on top of the collect, per load
     val merges = spark.read.parquet(s"$path/merges")
-      .orderBy("ord").collect()
+      .collect().sortBy(_.getAs[Int]("ord"))
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
       .toVector
     val alpha = spark.read.parquet(s"$path/alphabet")

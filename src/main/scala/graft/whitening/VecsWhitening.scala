@@ -163,11 +163,14 @@ class VecsWhiteningModel(val kernel: Array[Array[Double]], val bias: Array[Doubl
     * columnar, SURVEY §2 O23). */
   def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
+    // one file per metadata table (r22): a local Seq toDF parallelizes to
+    // the shuffle-partition count — ~32 write tasks and near-empty files
+    // for a few-KB kernel that every load then has to open
     kernel.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
       .toDF("row", "kernel_row")
-      .write.mode("overwrite").parquet(s"$path/kernel")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/kernel")
     Seq((bias.toSeq, nComponents, originDim)).toDF("bias", "n_components", "origin_dim")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 }
 
@@ -183,7 +186,10 @@ object VecsWhiteningModel {
       throw new IllegalArgumentException(
         s"loaded n_components $nc != expected $e (vecs_whitening.py:72-73)")
     }
-    val kernel = spark.read.parquet(s"$path/kernel").orderBy("row").collect()
+    // driver-sorted collect (r22): orderBy on a tiny metadata table costs
+    // a range-boundary sampling job on top of the collect, per load
+    val kernel = spark.read.parquet(s"$path/kernel").collect()
+      .sortBy(_.getAs[Int]("row"))
       .map(_.getAs[scala.collection.Seq[Double]]("kernel_row").toArray)
     new VecsWhiteningModel(kernel, bias, nc, od)
   }
