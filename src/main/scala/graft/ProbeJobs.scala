@@ -41,8 +41,13 @@ object ProbeJobs {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         starts.synchronized {
-          val site = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          // the result stage's details carry the submitting call stack;
+          // callSite.short is not propagated into job properties here
+          val site = e.stageInfos.lastOption.map { si =>
+            si.details.split('\n')
+              .find(l => l.contains("graft.") && !l.contains("graft.ProbeJobs"))
+              .getOrElse(si.name.take(60))
+          }.getOrElse("?")
           starts(e.jobId) = (System.nanoTime(), site)
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =

@@ -1492,9 +1492,15 @@ object Dedup {
     // width). One cheap shuffle of the tiny pair set down to the
     // session knob makes the whole contraction run at the user-tuned
     // parallelism.
-    val (raw, rawIds) = ckptTracked(
-      pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-        .repartition(sessParts))
+    // the raw checkpoint's own materialization job also reports the raw
+    // pair count (observe — the ckptSigTracked trick): it decides the r22
+    // RAW-immediate driver finish below for free
+    val rawObserved = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .repartition(sessParts)
+      .observe("__ccraw", count(lit(1)).as("__n"))
+    val (raw, rawIds) = ckptTracked(rawObserved)
+    val rawCount = rawObserved.queryExecution.observedMetrics("__ccraw").getLong(0)
     // round-checkpoint bookkeeping lives OUTSIDE the body below so a thrown
     // job anywhere (a driverComp collect OOM, a failed output checkpoint)
     // cannot leave blocks pinned for the life of the session: the finally
@@ -1503,34 +1509,31 @@ object Dedup {
     var edgeIds = Set.empty[Int]
     var nodeIds = Set.empty[Int]
     def runContraction(): DataFrame = {
-    // canonical orientation u > v; self-loops dropped from the edge set
-    // (the node set below still carries their endpoint as a singleton)
-    val firstCkpt = ckptSigTracked(
-      raw.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .distinct())
-    var edges = firstCkpt._1
-    edgeIds = firstCkpt._2
-    var sig = firstCkpt._3
     // the node set is only read by the FINAL labeling join. When the
-    // driver finish triggers immediately (known for free from the edge
-    // checkpoint's observed count — the common small/medium-corpus case,
-    // and every sf0.1 gate), materializing it as its own checkpoint is a
-    // pure extra job: leave it lazy over the raw checkpoint and let the
-    // derivation ride the single output-checkpoint job (5 fixed-cost jobs
-    // → 4; the r16 open probe read the CC tail at ~1.0 s of dedup_cluster's
-    // 2.14 s at sf0.1). The distributed-loop case keeps the upfront pin so
-    // the (possibly large) raw pair checkpoint frees BEFORE the rounds.
+    // driver finish triggers immediately (the common small/medium-corpus
+    // case, and every sf0.1 gate), materializing it as its own checkpoint
+    // is a pure extra job: leave it lazy over the raw checkpoint and let
+    // the derivation ride the single output-checkpoint job (the r16 open
+    // probe read the CC tail at ~1.0 s of dedup_cluster's 2.14 s at
+    // sf0.1). The distributed-loop case keeps the upfront pin so the
+    // (possibly large) raw pair checkpoint frees BEFORE the rounds.
     val nodesLazy = raw.select(explode(array(col("u"), col("v"))).as("id")).distinct()
-    val immediateFinish = sig._1 <= driverFinishEdges
-    val nodes =
-      if (immediateFinish) nodesLazy
-      else {
-        val t = ckptTracked(nodesLazy)
-        nodeIds = t._2
-        freeRdds(spark, rawIds)
-        t._1
-      }
+    def labelOut(nodeSet: DataFrame, comp: DataFrame): DataFrame = ckptTracked(
+      nodeSet.join(comp, Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+        .select(col("id"), col("component"),
+          (col("component") === col("id")).as("is_canonical")))._1
+    // RAW-immediate driver finish (r22): union-find is insensitive to
+    // duplicate pairs, edge orientation and self-loops (union(u,u) and a
+    // repeated union are no-ops), so when the RAW pair count — observed
+    // for free on the raw checkpoint's job — is already within the
+    // driver cap, the canonical-orientation + distinct pass and its
+    // eager checkpoint are pure fixed cost: collect the raw pairs
+    // directly. rawCount >= the distinct edge count, so the driver-memory
+    // bound is the same cap as before, decided one job earlier; a pair
+    // list over the cap keeps the exact pre-r22 flow, whose own immediate
+    // finish still fires once the DISTINCT count fits. cap = 0 (the spec
+    // force-distributed knob) never takes this branch.
     // DRIVER FINISH: star contraction shrinks the edge set geometrically,
     // so the TAIL rounds operate on trivially small graphs while still
     // paying full distributed fixed cost (two shuffle stages + one action
@@ -1554,12 +1557,12 @@ object Dedup {
     // a typical corpus (250k pairs). The earlier boxed shape (tuple
     // collect + LongMaps + a materialized Seq) peaked at several times
     // that and could OOM a modest driver just under the cap.
-    def driverComp(): DataFrame = {
+    def driverComp(e: DataFrame): DataFrame = {
       // ONE job, primitive transport: each partition packs its edges
       // into two long arrays (toLocalIterator would run a job PER
       // partition — 32 scheduling round-trips cost the sf0.1 corpus
       // family ~0.4 s each; a row collect would box every edge)
-      val parts = edges.select(col("u"), col("v")).rdd
+      val parts = e.select(col("u"), col("v")).rdd
         .mapPartitions { it =>
           var c = 16
           var u = new Array[Long](c); var v = new Array[Long](c)
@@ -1653,10 +1656,41 @@ object Dedup {
         .toDF("id", "component")
         .repartition(sessParts)
     }
+    // RAW-immediate driver finish (r22): union-find is insensitive to
+    // duplicate pairs, edge orientation and self-loops (union(u,u) and a
+    // repeated union are no-ops), so when the RAW pair count — observed
+    // for free on the raw checkpoint's job — is already within the
+    // driver cap, the canonical-orientation + distinct pass and its
+    // eager checkpoint are pure fixed cost: collect the raw pairs
+    // directly. rawCount >= the distinct edge count, so the driver-memory
+    // bound is the same cap as before, decided one job earlier; a pair
+    // list over the cap keeps the exact pre-r22 flow, whose own immediate
+    // finish still fires once the DISTINCT count fits. cap = 0 (the spec
+    // force-distributed knob) never takes this branch.
+    if (driverFinishEdges > 0 && rawCount <= driverFinishEdges)
+      return labelOut(nodesLazy, driverComp(raw))
+    // canonical orientation u > v; self-loops dropped from the edge set
+    // (the node set above still carries their endpoint as a singleton)
+    val firstCkpt = ckptSigTracked(
+      raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct())
+    var edges = firstCkpt._1
+    edgeIds = firstCkpt._2
+    var sig = firstCkpt._3
+    val immediateFinish = sig._1 <= driverFinishEdges
+    val nodes =
+      if (immediateFinish) nodesLazy
+      else {
+        val t = ckptTracked(nodesLazy)
+        nodeIds = t._2
+        freeRdds(spark, rawIds)
+        t._1
+      }
     var converged = false
     var it = 0
     var comp: DataFrame = null
-    if (immediateFinish) { comp = driverComp(); converged = true }
+    if (immediateFinish) { comp = driverComp(edges); converged = true }
     while (!converged && it < maxIters) {
       // large-star: for each node u (both orientations), m = min(Γ(u) ∪
       // {u}); every strictly-larger neighbor re-attaches to m. Output stays
@@ -1684,7 +1718,7 @@ object Dedup {
       edgeIds = nextIds
       it += 1
       if (!converged && sig._1 <= driverFinishEdges) {
-        comp = driverComp()
+        comp = driverComp(edges)
         converged = true
       }
     }
@@ -1697,12 +1731,7 @@ object Dedup {
     if (comp == null)
       comp = edges.groupBy("u").agg(min(col("v")).as("component"))
         .withColumnRenamed("u", "id")
-    val (out, _) = ckptTracked(
-      nodes.join(comp, Seq("id"), "left")
-        .select(col("id"), coalesce(col("component"), col("id")).as("component"))
-        .select(col("id"), col("component"),
-          (col("component") === col("id")).as("is_canonical")))
-    out
+    labelOut(nodes, comp)
     }
     // immediate finish keeps raw pinned through the output job (its lazy
     // node derivation reads it); the finally frees it — and everything

@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 import graft.encoders.{Encoder, PassthroughEncoder}
@@ -1092,7 +1092,17 @@ object SparkSearcher {
     // construct first: the searcher strips any PCA prefix off indexParam,
     // so every strategy dispatch below sees the inner index
     val searcher = new SparkSearcher(encoder, params)
-    val read0 = spark.read.parquet(s"$path/items")
+    // explicit read schema when the save recorded one (r22): parquet
+    // schema inference over a just-written directory runs a footer-
+    // reading Spark job per read — pure fixed cost when the writer
+    // already knew the schema. Absent field (pre-r22 artifact) falls
+    // back to inference.
+    val read0 =
+      if (has("itemsSchema"))
+        spark.read.schema(org.apache.spark.sql.types.DataType
+            .fromJson(kv.get("itemsSchema").asText()).asInstanceOf[StructType])
+          .parquet(s"$path/items")
+      else spark.read.parquet(s"$path/items")
     // HNSW graphs must be CO-LOCATED (a graph's adjacency is resolved
     // within its task); parquet splits don't respect graph boundaries, so
     // re-group by graph id once at load — the at-rest layout (partitioned
@@ -1117,15 +1127,21 @@ object SparkSearcher {
     val n = indexed.count()
     require(n == lng("count"),
       s"index load: ntotal $n != stored ${lng("count")} (faiss_searcher.py:112)")
-    // metadata collects are DRIVER-sorted (r22): these tables are a few
-    // hundred tiny rows, and `.orderBy(...).collect()` paid a range-
-    // partitioner boundary-sampling job on top of the collect for every
-    // one — per-load fixed cost, per metadata table. A plain collect is
-    // one job; the deterministic order the arrays need is re-established
-    // on the driver for free.
+    // Metadata reads (r22 shape): DRIVER-sorted collects over EXPLICIT
+    // static schemas. These tables are a few hundred tiny rows; the old
+    // `.orderBy(...).collect()` paid a range-partitioner boundary-sampling
+    // job AND a parquet footer-inference job on top of the collect — per
+    // metadata table, per load, pure fixed cost. The schemas are the
+    // writer's own (save() builds these frames inline); the deterministic
+    // order the arrays need is re-established on the driver for free.
+    def meta(sub: String, schema: StructType): Array[Row] =
+      spark.read.schema(schema).parquet(s"$path/$sub").collect()
+    val floatArr = ArrayType(FloatType)
     val pq = IndexStrategy.effective(searcher.strategy) match {
       case PqFlat(_, _) | IvfPq(_, _, _) | OpqPq(_) =>
-        val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
+        val rows = meta("pq_codebooks", StructType(Seq(
+          StructField("sub", IntegerType), StructField("cid", IntegerType),
+          StructField("centroid", floatArr))))
         Some(rows.groupBy(_.getAs[Int]("sub")).toSeq.sortBy(_._1)
           .map { case (_, rs) =>
             rs.sortBy(_.getAs[Int]("cid"))
@@ -1136,7 +1152,9 @@ object SparkSearcher {
     val sqB = IndexStrategy.effective(searcher.strategy) match {
       case SqFlat(16) | IvfSq(_, 16) => None // fp16: nothing was fitted
       case SqFlat(_) | IvfSq(_, _) =>
-        val rows = spark.read.parquet(s"$path/sq_bounds").collect()
+        val rows = meta("sq_bounds", StructType(Seq(
+          StructField("i", IntegerType), StructField("vmin", FloatType),
+          StructField("vdiff", FloatType))))
           .sortBy(_.getAs[Int]("i"))
         Some((rows.map(_.getAs[Float]("vmin")), rows.map(_.getAs[Float]("vdiff"))))
       case _ => None
@@ -1149,33 +1167,20 @@ object SparkSearcher {
       case _ => 8
     }
     val cbooks = pq.orElse(sqB.map { case (mn, df) => SqIndex.levels(mn, df, sqNbits) })
-    // PQ/SQ store codes only (no __vec): dim is re-derived from the
-    // codebooks as the SUM of subspace widths (SQ4 mixes size-2 pairs
-    // with a size-1 trailing subspace on odd dims — m·dsub0 would be off)
-    val d = cbooks match {
-      case Some(cbs) => cbs.map(_(0).length).sum
-      case None => IndexStrategy.effective(searcher.strategy) match {
-        // fp16 stores codes only: dim = half the code bytes
-        case SqFlat(16) | IvfSq(_, 16) =>
-          indexed.select(length(col(PqIndex.CODES))).head().getInt(0) / 2
-        case _ => indexed.select(size(col(VEC))).head().getInt(0)
-      }
-    }
-    require(d == lng("dim"),
-      s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
-    val payload = indexed.columns
-      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
-        NswGraph.GPART, NswGraph.NBRS)).toSeq
     val centroids = IndexStrategy.effective(searcher.strategy) match {
       case IvfFlat(_) | IvfPq(_, _, _) | IvfSq(_, _) =>
-        Some(spark.read.parquet(s"$path/centroids").collect()
+        Some(meta("centroids", StructType(Seq(
+          StructField("centroid_id", IntegerType),
+          StructField("centroid", floatArr))))
           .sortBy(_.getAs[Int]("centroid_id"))
           .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray))
       case _ => None
     }
     val planes = searcher.strategy match {
       case LshTables(_, _) =>
-        val rows = spark.read.parquet(s"$path/lsh_planes").collect()
+        val rows = meta("lsh_planes", StructType(Seq(
+          StructField("tbl", IntegerType), StructField("bit", IntegerType),
+          StructField("plane", floatArr))))
         val grouped = rows.groupBy(_.getAs[Int]("tbl")).toSeq.sortBy(_._1)
           .map { case (_, rs) =>
             rs.sortBy(_.getAs[Int]("bit"))
@@ -1186,11 +1191,36 @@ object SparkSearcher {
     }
     val rot = IndexStrategy.effective(searcher.strategy) match {
       case OpqPq(_) =>
-        Some(spark.read.parquet(s"$path/opq_rotation").collect()
+        Some(meta("opq_rotation", StructType(Seq(
+          StructField("j", IntegerType), StructField("row", floatArr))))
           .sortBy(_.getAs[Int]("j"))
           .map(_.getAs[scala.collection.Seq[Float]]("row").toArray))
       case _ => None
     }
+    // dim re-derivation: PQ/SQ store codes only (no __vec) — dim is the
+    // SUM of subspace widths (SQ4 mixes size-2 pairs with a size-1
+    // trailing subspace on odd dims — m·dsub0 would be off). Other
+    // strategies re-derive from whichever FITTED artifact carries the
+    // width (IVF centroids, LSH planes — the same artifact-consistency
+    // invariant class as the codebook path, minus one head() job per
+    // load); only a bare Flat/HNSW index, with no fitted artifact at
+    // all, still reads the width off the first stored vector.
+    val d = cbooks match {
+      case Some(cbs) => cbs.map(_(0).length).sum
+      case None => centroids.map(_(0).length)
+        .orElse(planes.map(_(0)(0).length))
+        .getOrElse(IndexStrategy.effective(searcher.strategy) match {
+          // fp16 stores codes only: dim = half the code bytes
+          case SqFlat(16) | IvfSq(_, 16) =>
+            indexed.select(length(col(PqIndex.CODES))).head().getInt(0) / 2
+          case _ => indexed.select(size(col(VEC))).head().getInt(0)
+        })
+    }
+    require(d == lng("dim"),
+      s"index load: dim $d != stored ${lng("dim")} (faiss_searcher.py:113)")
+    val payload = indexed.columns
+      .filterNot(Set(ROW_ID, ITEM_SAVED, VEC, IvfIndex.CID, BUCKETS, PqIndex.CODES,
+        NswGraph.GPART, NswGraph.NBRS)).toSeq
     // PCA-prefix kernel: indexParam carries the spelling, so the spec is
     // already parsed; n_components is re-asserted by the loader
     val pca = searcher.pcaSpec.map { case (nc, _, _) =>
@@ -2319,43 +2349,71 @@ class SearcherModel private[search] (
             .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
         }
     }
-    // params as a 1-row JSON written by Spark's writer (real escaping — a
-    // separator containing quotes/backslashes round-trips) with every
-    // search-relevant knob persisted (nprobe/exactPath/broadcastThreshold
-    // included: a reloaded IVF model must keep its recall setting). Option
-    // fields use an empty-string sentinel so the read schema is stable
-    // (spark.read.json drops always-null columns).
+    // params as a 1-row JSON with every search-relevant knob persisted
+    // (nprobe/exactPath/broadcastThreshold included: a reloaded IVF model
+    // must keep its recall setting). Option fields use an empty-string
+    // sentinel so the field set is stable across writers. Written
+    // DRIVER-side through the path's FileSystem since r22 (Jackson does
+    // the escaping — a separator containing quotes/backslashes still
+    // round-trips): Spark's JSON writer cost a whole job + commit
+    // protocol for one row. The layout is unchanged — a part file plus
+    // _SUCCESS under params.json/ — so spark.read.json and every older
+    // reader still parse it.
     val p = params
-    val sp = spark
-    import sp.implicits._
-    Seq((p.itemCol.getOrElse(""), p.indexParam, p.measurement, p.metricArg,
-        p.normVec, p.docFeatureSep.getOrElse(""), p.queryFeatureSep.getOrElse(""),
-        p.nprobe, p.efSearch, p.hnswGraphs, p.exactPath, p.broadcastThreshold,
-        p.lshBatchHint, p.lshExactFallback, p.refineKFactor,
-        p.efConstruction, p.autoCompactAtSegmentRatio, count, dim,
-        // the strategy actually SERVING the factory string — differs from
-        // indexParam when a translation happened (e.g. HNSWn → IVF(64));
-        // a loader can detect the substitution instead of assuming faiss
-        // semantics survived
-        searcher.strategy.toString,
-        // the FITTED graph layout (r20): compact()'s rebuild target and
-        // add()'s segment baseline, persisted so the layout contract
-        // survives load onto a cluster whose parallelism differs from
-        // the fitting one (0 sentinel = non-HNSW / pre-r20)
-        fittedGraphs.map(_.toLong).getOrElse(0L),
-        // serving-format version (r19): marks saves written since the
-        // joint-auto LSH degenerate reroute landed. Loads of models
-        // WITHOUT it that the reroute now serves through the exact
-        // kernel log an explicit migration notice — the route is
-        // deterministic from fitted state, but a pre-r18 artifact's
-        // operator should not change serving silently
-        SparkSearcher.FormatVersion))
-      .toDF("itemCol", "indexParam", "measurement", "metricArg", "normVec",
-        "docFeatureSep", "queryFeatureSep", "nprobe", "efSearch", "hnswGraphs",
-        "exactPath", "broadcastThreshold", "lshBatchHint", "lshExactFallback",
-        "refineKFactor", "efConstruction", "autoCompactAtSegmentRatio",
-        "count", "dim", "effectiveIndex", "fittedGraphs", "formatVersion")
-      .coalesce(1).write.mode("overwrite").json(s"$path/params.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("itemCol", p.itemCol.getOrElse(""))
+    node.put("indexParam", p.indexParam)
+    node.put("measurement", p.measurement)
+    node.put("metricArg", p.metricArg)
+    node.put("normVec", p.normVec)
+    node.put("docFeatureSep", p.docFeatureSep.getOrElse(""))
+    node.put("queryFeatureSep", p.queryFeatureSep.getOrElse(""))
+    node.put("nprobe", p.nprobe)
+    node.put("efSearch", p.efSearch)
+    node.put("hnswGraphs", p.hnswGraphs)
+    node.put("exactPath", p.exactPath)
+    node.put("broadcastThreshold", p.broadcastThreshold)
+    node.put("lshBatchHint", p.lshBatchHint)
+    node.put("lshExactFallback", p.lshExactFallback)
+    node.put("refineKFactor", p.refineKFactor)
+    node.put("efConstruction", p.efConstruction)
+    node.put("autoCompactAtSegmentRatio", p.autoCompactAtSegmentRatio)
+    node.put("count", count)
+    node.put("dim", dim)
+    // the strategy actually SERVING the factory string — differs from
+    // indexParam when a translation happened (e.g. HNSWn → IVF(64)); a
+    // loader can detect the substitution instead of assuming faiss
+    // semantics survived
+    node.put("effectiveIndex", searcher.strategy.toString)
+    // the FITTED graph layout (r20): compact()'s rebuild target and
+    // add()'s segment baseline, persisted so the layout contract survives
+    // load onto a cluster whose parallelism differs from the fitting one
+    // (0 sentinel = non-HNSW / pre-r20)
+    node.put("fittedGraphs", fittedGraphs.map(_.toLong).getOrElse(0L))
+    // serving-format version (r19): marks saves written since the
+    // joint-auto LSH degenerate reroute landed. Loads of models WITHOUT
+    // it that the reroute now serves through the exact kernel log an
+    // explicit migration notice — the route is deterministic from fitted
+    // state, but a pre-r18 artifact's operator should not change serving
+    // silently
+    node.put("formatVersion", SparkSearcher.FormatVersion)
+    // the items table's schema (r22): lets load() skip the distributed
+    // footer-inference job with an explicit read schema. Tolerant field —
+    // absent in older saves, load falls back to inference.
+    node.put("itemsSchema", itemsOut.schema.json)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics like the old writer's mode("overwrite"): a
+    // previous save's part files (possibly differently named) must not
+    // survive next to the new row
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val part = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "part-00000-graft.json"), true)
+    try part.write((mapper.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+    finally part.close()
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
 
   /** Pruned `(row_id, __vec)` view of the index, for external scorers
