@@ -1617,7 +1617,10 @@ class SearcherModel private[search] (
       // rows get FRESH graphs under gpart ids past the existing ones —
       // built graphs are immutable, search fans out over old + new alike
       case HnswGraph(m) =>
-        val offset = indexed.agg(max(col(NswGraph.GPART))).head().getInt(0) + 1
+        // max(__gpart)+1 via the model's cached lazy val — a model that
+        // already resolved its graph count (effectiveEf, describe, a
+        // previous search) pays no job here
+        val offset = hnswGraphCount
         val numGraphs = math.max(1, if (params.hnswGraphs > 0) params.hnswGraphs
           else spark.sparkContext.defaultParallelism)
         NswGraph.buildGraphs(base, VEC, ROW_ID, m,
@@ -1639,8 +1642,23 @@ class SearcherModel private[search] (
     // RDD directly, nothing to invalidate — and the parent cache can be
     // dropped with nothing depending on it: the CacheDiscipline pattern
     // applied to the incremental-index hand-off.
-    val combined = indexed.unionByName(newPart).localCheckpoint(true)
-    val n = combined.count()
+    // the row count — and, for HNSW, the fitted/segment split the growth
+    // policy below needs — ride the eager checkpoint's own
+    // materialization job via observe (r22; the Dedup ckptSigTracked
+    // pattern): localCheckpoint(true) already scans every row, so the
+    // old follow-up count() (and the policy's filter-count) were one and
+    // two whole extra jobs per add
+    val unioned = searcher.strategy match {
+      case HnswGraph(_) => indexed.unionByName(newPart).observe("__addmeta",
+        org.apache.spark.sql.functions.count(lit(1)).as("__n"),
+        coalesce(sum(when(col(NswGraph.GPART) < lit(fittedGraphTarget), 1L)
+          .otherwise(0L)), lit(0L)).as("__fitted"))
+      case _ => indexed.unionByName(newPart).observe("__addmeta",
+        org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    }
+    val combined = unioned.localCheckpoint(true)
+    val addMeta = unioned.queryExecution.observedMetrics("__addmeta")
+    val n = addMeta.getLong(0)
     indexed.unpersist()
     // a previous add/remove/compact left checkpoint-backed blocks the
     // plain unpersist cannot release (they are LogicalRDD leaves, not
@@ -1665,8 +1683,8 @@ class SearcherModel private[search] (
     searcher.strategy match {
       case HnswGraph(_) =>
         val g0 = fittedGraphTarget
-        val fittedRows = combined
-          .filter(col(NswGraph.GPART) < g0).count()
+        // observed on the checkpoint job above — no second scan
+        val fittedRows = addMeta.getLong(1)
         val segRows = n - fittedRows
         val ratio = params.autoCompactAtSegmentRatio
         val log = org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher")
@@ -1731,11 +1749,15 @@ class SearcherModel private[search] (
         val base = indexed.drop(NswGraph.GPART, NswGraph.NBRS)
         // eager checkpoint before releasing the parent cache — same
         // dependent-cache invalidation hazard as add() (see there)
-        val rebuilt = NswGraph.buildGraphs(base, VEC, ROW_ID, m,
+        val rebuiltObs = NswGraph.buildGraphs(base, VEC, ROW_ID, m,
           SparkSearcher.resolveEfConstruction(params.efConstruction, m),
           numGraphs, params.measurement, params.metricArg, gpartOffset = 0)
-          .localCheckpoint(true)
-        val n2 = rebuilt.count()
+          .observe("__compactmeta",
+            org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+        val rebuilt = rebuiltObs.localCheckpoint(true)
+        // rides the eager checkpoint's own job (r22) — no follow-up count
+        val n2 = rebuiltObs.queryExecution.observedMetrics("__compactmeta")
+          .getLong(0)
         org.slf4j.LoggerFactory.getLogger("graft.search.SparkSearcher").info(
           s"HNSW compact: $hnswGraphCount graphs -> $numGraphs, $n2 rows")
         indexed.unpersist()
@@ -1771,10 +1793,13 @@ class SearcherModel private[search] (
     }
     // eager checkpoint before releasing the parent cache — same
     // dependent-cache invalidation hazard as add() (see there)
-    val combined = indexed
+    val combinedObs = indexed
       .join(ids.select(col(idCol).cast(LongType).as(ROW_ID)), Seq(ROW_ID), "left_anti")
-      .localCheckpoint(true)
-    val n = combined.count()
+      .observe("__removemeta",
+        org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+    val combined = combinedObs.localCheckpoint(true)
+    // rides the eager checkpoint's own job (r22) — no follow-up count
+    val n = combinedObs.queryExecution.observedMetrics("__removemeta").getLong(0)
     indexed.unpersist()
     graft.util.CacheDiscipline.release(indexed)
     markConsumed("remove")
