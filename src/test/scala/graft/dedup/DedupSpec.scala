@@ -302,6 +302,16 @@ class DedupSpec extends SparkSpec {
     // no per-round checkpoint blocks may survive any call: only the three
     // result-pinning RDDs (one per invocation) are added
     assert(spark.sparkContext.getPersistentRDDs.size - pinnedBefore <= 3)
+    // the MID-FLOW immediate finish must still agree (r22): a pair list
+    // whose RAW count exceeds the cap but whose DISTINCT edge count fits
+    // skips the raw-immediate shortcut, checkpoints the oriented-distinct
+    // set, and driver-finishes from there — 300 duplicate pairs over a
+    // 10-edge chain with cap 50 takes exactly that path
+    val dup = (0 until 30).flatMap(_ => (0L until 10L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponents(dup, "id_a", "id_b",
+        driverFinishEdges = 50L)) ===
+      asMap(Dedup.connectedComponents(dup, "id_a", "id_b")))
     // the driver-finish knob caps where the dense-table arithmetic is
     // safe: 2^28 accepted, anything above rejected (at the old 2^30 cap
     // the open-addressed table's power-of-two sizing overflowed Int)
